@@ -1,0 +1,456 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator coverage (SURVEY.md §2.3–§2.7): scans, projections,
+  * filters, all join flavors, hash aggregates, windows, top-k, rollup, set
+  * ops, dedup. Every query is declarative DataFrame API so Catalyst gets
+  * predicate pushdown / column pruning / broadcast selection for free; at
+  * 100 TB the same plans hold (dims broadcast, facts hash-shuffle on join
+  * keys, top-k runs as TakeOrderedAndProject without a global sort).
+  */
+object RelationalQueries {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def sup(s: SparkSession, d: String) = Tables.supplier(s, d)
+  private def nat(s: SparkSession, d: String) = Tables.nation(s, d)
+  private def reg(s: SparkSession, d: String) = Tables.region(s, d)
+  private def prt(s: SparkSession, d: String) = Tables.part(s, d)
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  /** q01: TPC-H Q1-shaped pricing summary — partial+final hash aggregate on
+    * low-cardinality keys; the canonical map-side-combine scan agg. */
+  private def q01(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum("l_quantity").cast("long").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q02: TPC-H Q6-shaped selective scan agg — predicate pushdown to parquet,
+    * no shuffle at all (single global agg). */
+  private def q02(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  private val q02Sql =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.03 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** q03: TPC-H Q3-shaped 3-way join + agg + top-k. Orders/lineitem shuffle
+    * on orderkey; top-k is TakeOrderedAndProject (no global sort); ordering
+    * is on the rounded revenue with a unique key tiebreak so the oracle
+    * agrees bit-for-bit. */
+  private def q03(s: SparkSession, d: String): DataFrame =
+    cust(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(ord(s, d), col("c_custkey") === col("o_custkey"))
+      .join(li(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  private val q03Sql =
+    """SELECT o_orderkey, o_orderdate,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** q04: existence semi-join (TPC-H Q4 shape) — left_semi avoids
+    * materializing the many-row probe side. */
+  private def q04(s: SparkSession, d: String): DataFrame = {
+    val o = ord(s, d)
+    val l = li(s, d)
+    o.join(l,
+        o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  private val q04Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** q05: TPC-H Q5-shaped 6-way join — nation/region are broadcast dims, the
+    * c_nationkey = s_nationkey condition co-locates customer and supplier. */
+  private def q05(s: SparkSession, d: String): DataFrame =
+    cust(s, d)
+      .join(ord(s, d), col("c_custkey") === col("o_custkey"))
+      .join(li(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(sup(s, d),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+
+  private val q05Sql =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name""".stripMargin
+
+  /** q06: broadcast dim chain — revenue per region; both dims broadcast, fact
+    * shuffles once for the final agg. */
+  private def q06(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  private val q06Sql =
+    """SELECT r_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
+  /** q07: top-N per group via row_number window — the scalable "group top-k"
+    * (one shuffle on the partition key, no driver collect). */
+  private def q07(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    cust(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("acctbal"), col("rn"))
+  }
+
+  private val q07Sql =
+    """SELECT c_nationkey, c_custkey, c_name, round(c_acctbal, 2) AS acctbal, rn
+      |FROM (SELECT *, row_number() OVER
+      |        (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |      FROM customer)
+      |WHERE rn <= 3""".stripMargin
+
+  /** q08: running total window — sequential accumulation order is pinned by
+    * the (date, key) total order, so doubles match the oracle exactly. */
+  private def q08(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord(s, d).select(col("o_custkey"), col("o_orderkey"),
+      round(sum(col("o_totalprice")).over(w), 2).as("run_total"))
+  }
+
+  private val q08Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+      |FROM orders""".stripMargin
+
+  /** q09: lag/delta window (T5 rank-delta shape from SURVEY §2.6). */
+  private def q09(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    ord(s, d).select(col("o_custkey"), col("o_orderkey"),
+      round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2).as("delta"))
+  }
+
+  private val q09Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  round(o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey), 2) AS delta
+      |FROM orders""".stripMargin
+
+  /** q10/q11: semi/anti existence joins (SURVEY §2.4 J4). */
+  private def q10(s: SparkSession, d: String): DataFrame =
+    cust(s, d).join(ord(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
+  private val q10Sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  private def q11(s: SparkSession, d: String): DataFrame =
+    cust(s, d).join(ord(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  private val q11Sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** q12: distinct (D4/A6) — hash-shuffle dedup on the projected keys. */
+  private def q12(s: SparkSession, d: String): DataFrame =
+    cust(s, d).select(col("c_mktsegment"), col("c_nationkey")).distinct()
+
+  private val q12Sql = "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"
+
+  /** q13–q15: set operations (SURVEY §2.7 D4). */
+  private def q13(s: SparkSession, d: String): DataFrame =
+    cust(s, d).select(col("c_nationkey").as("nationkey"))
+      .union(sup(s, d).select(col("s_nationkey").as("nationkey")))
+      .distinct()
+
+  private val q13Sql =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |UNION
+      |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin
+
+  private def q14(s: SparkSession, d: String): DataFrame =
+    cust(s, d).select(col("c_nationkey").as("nationkey"))
+      .intersect(sup(s, d).select(col("s_nationkey").as("nationkey")))
+
+  private val q14Sql =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin
+
+  private def q15(s: SparkSession, d: String): DataFrame = {
+    val big = cust(s, d).filter(col("c_acctbal") > 9000)
+      .select(col("c_nationkey").as("nationkey"))
+    val supN = sup(s, d).select(col("s_nationkey").as("nationkey"))
+    big.except(supN)
+  }
+
+  private val q15Sql =
+    """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+      |EXCEPT
+      |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin
+
+  /** q16: agg + HAVING (post-aggregation filter). */
+  private def q16(s: SparkSession, d: String): DataFrame =
+    ord(s, d).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+      .filter(col("n_orders") >= 15)
+
+  private val q16Sql =
+    """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY o_custkey HAVING count(*) >= 15""".stripMargin
+
+  /** q17: conditional aggregation (CASE WHEN pivot shape) by order year. */
+  private def q17(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+        count(when(col("o_orderstatus") === "P", 1)).as("n_p"),
+        round(sum(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice"))
+          .otherwise(0.0)), 2).as("urgent_total"))
+
+  private val q17Sql =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+      |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+      |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+      |  round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END), 2) AS urgent_total
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** q18: rollup with subtotal rows (A7) — NULL group labels coalesced so the
+    * oracle compare is unambiguous. */
+  private def q18(s: SparkSession, d: String): DataFrame =
+    li(s, d).rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum("l_quantity").cast("long").as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("qty"))
+
+  private val q18Sql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      |  count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  /** q19: scalar-subquery shape — global avg computed once and broadcast
+    * (a 1-row cross join, not a driver collect). */
+  private def q19(s: SparkSession, d: String): DataFrame = {
+    val o = ord(s, d)
+    val avgP = o.agg(avg(col("o_totalprice")).as("avg_price"))
+    o.crossJoin(broadcast(avgP))
+      .filter(col("o_totalprice") > col("avg_price") * 1.5)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+  }
+
+  private val q19Sql =
+    """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+      |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)""".stripMargin
+
+  /** q20: scalar string-function surface (F1–F11). */
+  private def q20(s: SparkSession, d: String): DataFrame =
+    prt(s, d).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("name_up"),
+      length(col("p_name")).as("name_len"),
+      substring(col("p_type"), 1, 4).as("type4"),
+      concat(col("p_brand"), lit("/"), col("p_type"), lit("#"),
+        col("p_size").cast("string")).as("tag"),
+      trim(lower(col("p_brand"))).as("brand_lc"))
+
+  private val q20Sql =
+    """SELECT p_partkey, upper(p_name) AS name_up, length(p_name) AS name_len,
+      |  substr(p_type, 1, 4) AS type4,
+      |  p_brand || '/' || p_type || '#' || CAST(p_size AS VARCHAR) AS tag,
+      |  trim(lower(p_brand)) AS brand_lc
+      |FROM part""".stripMargin
+
+  /** q21: regex predicate + substitution (F5/F6, P5). */
+  private def q21(s: SparkSession, d: String): DataFrame =
+    prt(s, d)
+      .filter(col("p_type").rlike("^(STANDARD|SMALL)"))
+      .select(col("p_partkey"),
+        regexp_replace(col("p_name"), " ", "_").as("name_us"),
+        col("p_type"))
+
+  private val q21Sql =
+    """SELECT p_partkey, regexp_replace(p_name, ' ', '_', 'g') AS name_us, p_type
+      |FROM part WHERE regexp_matches(p_type, '^(STANDARD|SMALL)')""".stripMargin
+
+  /** q22: ordered string-concat aggregation (A2) — sort_array pins the
+    * within-group order so it matches string_agg(... ORDER BY). */
+  private def q22(s: SparkSession, d: String): DataFrame =
+    sup(s, d).groupBy(col("s_nationkey"))
+      .agg(concat_ws(",", sort_array(collect_list(col("s_name")))).as("names"))
+
+  private val q22Sql =
+    """SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names
+      |FROM supplier GROUP BY s_nationkey""".stripMargin
+
+  /** q23: theta join (equi + range residual, SURVEY §2.4 J5). */
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    val o = ord(s, d)
+    val l = li(s, d)
+    o.join(l,
+        o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late"))
+  }
+
+  private val q23Sql =
+    """SELECT o_orderpriority, count(*) AS n_late
+      |FROM orders JOIN lineitem
+      |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** q24: tumbling-window agg over the event stream table (ST2 batch view) —
+    * date_trunc keeps the group key computable map-side. */
+  private def q24(s: SparkSession, d: String): DataFrame =
+    ev(s, d).groupBy(
+        date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  private val q24Sql =
+    """SELECT date_trunc('hour', ts) AS h, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** q25: keep-first dedup over the stream table (ST4 batch equivalent of
+    * watermark+dropDuplicates): earliest event per (user, type). */
+  private def q25(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    ev(s, d).withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"), round(sum(col("value")), 2).as("first_value_sum"))
+  }
+
+  private val q25Sql =
+    """SELECT event_type, count(*) AS n_users, round(sum(value), 2) AS first_value_sum
+      |FROM (SELECT *, row_number() OVER
+      |        (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      |      FROM events)
+      |WHERE rn = 1 GROUP BY event_type""".stripMargin
+
+  /** q26: date-part extraction + multi-key agg (F13–F15 surface). */
+  private def q26(s: SparkSession, d: String): DataFrame =
+    ord(s, d).groupBy(
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+
+  private val q26Sql =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+      |  count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q01_pricing_summary", q01, Some(q01Sql), bench = true),
+    QueryDef("q02_selective_revenue", q02, Some(q02Sql), bench = true),
+    QueryDef("q03_top_orders", q03, Some(q03Sql), bench = true),
+    QueryDef("q04_exists_priority", q04, Some(q04Sql), bench = true),
+    QueryDef("q05_nation_revenue", q05, Some(q05Sql), bench = true),
+    QueryDef("q06_region_revenue", q06, Some(q06Sql)),
+    QueryDef("q07_topn_per_nation", q07, Some(q07Sql)),
+    QueryDef("q08_running_total", q08, Some(q08Sql), bench = true),
+    QueryDef("q09_order_delta", q09, Some(q09Sql)),
+    QueryDef("q10_semi_join", q10, Some(q10Sql)),
+    QueryDef("q11_anti_join", q11, Some(q11Sql)),
+    QueryDef("q12_distinct", q12, Some(q12Sql)),
+    QueryDef("q13_union", q13, Some(q13Sql)),
+    QueryDef("q14_intersect", q14, Some(q14Sql)),
+    QueryDef("q15_except", q15, Some(q15Sql)),
+    QueryDef("q16_having", q16, Some(q16Sql)),
+    QueryDef("q17_conditional_agg", q17, Some(q17Sql)),
+    QueryDef("q18_rollup", q18, Some(q18Sql)),
+    QueryDef("q19_above_avg", q19, Some(q19Sql)),
+    QueryDef("q20_string_funcs", q20, Some(q20Sql)),
+    QueryDef("q21_regex", q21, Some(q21Sql)),
+    QueryDef("q22_ordered_concat", q22, Some(q22Sql)),
+    QueryDef("q23_theta_join", q23, Some(q23Sql), bench = true),
+    QueryDef("q24_events_hourly", q24, Some(q24Sql), bench = true),
+    QueryDef("q25_events_dedup_first", q25, Some(q25Sql)),
+    QueryDef("q26_orders_by_month", q26, Some(q26Sql)))
+}
