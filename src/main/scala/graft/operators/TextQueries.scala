@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup operator inventory over the `documents` corpus
+  * (north-star training-data ops: token counting, quality scoring,
+  * fingerprinting, word frequency, exact/near dedup).
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** q30: token statistics per language — tokenization stays inside
+    * whole-stage codegen (split+size), agg is map-side combinable. */
+  private def q30(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("lang"), tokenCount(col("text")).as("toks"))
+      .groupBy(col("lang"))
+      .agg(sum(col("toks")).cast("long").as("total_tokens"),
+        count(lit(1)).as("n_docs"),
+        round(avg(col("toks")), 4).as("avg_tokens"))
+
+  private val q30Sql =
+    """SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |  count(*) AS n_docs, round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+      |FROM documents GROUP BY lang""".stripMargin
+
+  /** q31: corpus word frequency top-20 (L13 full-text-search postings
+    * shape: explode → count → top-k with unique tiebreak). */
+  private def q31(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(20)
+
+  private val q31Sql =
+    """SELECT word, count(*) AS freq
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY word ORDER BY freq DESC, word LIMIT 20""".stripMargin
+
+  /** q32: per-document fingerprints — exact content hash + order-insensitive
+    * shingle-set hash (document fingerprinting for dedup indexes). */
+  private def q32(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      contentFingerprint(col("text")).as("fp"),
+      shingleFingerprint(col("text")).as("sfp"))
+
+  private val q32Sql =
+    """SELECT doc_id, md5(text) AS fp,
+      |  md5(array_to_string(list_sort(list_distinct(
+      |    CASE WHEN len(string_split(text,' ')) >= 3
+      |         THEN list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+      |                i -> string_split(text,' ')[i] || ' ' ||
+      |                     string_split(text,' ')[i+1] || ' ' ||
+      |                     string_split(text,' ')[i+2])
+      |         ELSE [] END)), ' ')) AS sfp
+      |FROM documents""".stripMargin
+
+  /** q33: quality scoring — token count, mean token length, stopword ratio
+    * (integer-ratio doubles: bit-identical across engines). */
+  private def q33(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      round(meanTokenLen(col("text")), 4).as("mean_tok_len"),
+      round(stopwordRatio(col("text")), 4).as("stop_ratio"))
+
+  private val q33Sql =
+    """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+      |  round(CAST(list_sum(list_transform(string_split(text,' '), w -> length(w))) AS DOUBLE)
+      |        / len(string_split(text,' ')), 4) AS mean_tok_len,
+      |  round(CAST(len(list_filter(string_split(text,' '),
+      |          w -> list_contains(['the','a','of','and','to','in'], w))) AS DOUBLE)
+      |        / len(string_split(text,' ')), 4) AS stop_ratio
+      |FROM documents""".stripMargin
+
+  private val dupPairsSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(ws) >= 3
+      |         THEN list_transform(generate_series(1, len(ws) - 2),
+      |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |         ELSE [] END) AS sg FROM w),
+      |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+      |        CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+      |          / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j
+      |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT round(j, 4) AS jr, da, db FROM p WHERE j >= 0.5""".stripMargin
+
+  /** q34: brute-force near-dup pairs (oracle baseline, O(n²)). */
+  private def q34(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(docs(s, d), n = 3, threshold = 0.5)
+
+  /** q35: MinHash-LSH near-dup pairs with exact verification — the 100 TB
+    * path; verified output equals the brute-force oracle (see Dedup). */
+  private def q35(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashDupPairs(docs(s, d), n = 3, numHashes = 32,
+      rowsPerBand = 2, threshold = 0.5)
+
+  /** q36: SimHash near-dup pairs (hamming ≤ 3 via 16-bit banding) — no SQL
+    * oracle (xxhash64 isn't reproducible in DuckDB); unit-tested against the
+    * Jaccard ground truth instead. This corpus's 31-word vocabulary makes
+    * frequency-vector simhashes unusually close, so the tight hamming bound
+    * trades some recall for precision (the Jaccard/MinHash ops are the
+    * oracle-exact dedup path; simhash is the cheap screen). */
+  private def q36(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashDupPairs(docs(s, d), maxHamming = 3, numChunks = 4)
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q30_token_stats", q30, Some(q30Sql), bench = true),
+    QueryDef("q31_word_freq", q31, Some(q31Sql), bench = true),
+    QueryDef("q32_fingerprints", q32, Some(q32Sql)),
+    QueryDef("q33_quality_score", q33, Some(q33Sql)),
+    QueryDef("q34_jaccard_dupes", q34, Some(dupPairsSql)),
+    QueryDef("q35_minhash_dupes", q35, Some(dupPairsSql), bench = true),
+    QueryDef("q36_simhash_dupes", q36, None))
+}

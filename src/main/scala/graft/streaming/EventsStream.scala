@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming semantics for the ingestion cadence (SURVEY.md §2.11
+  * ST1–ST5): the reference's "stream" is a daily Airflow micro-batch with a
+  * today-only filter and id-upsert; here that becomes a file-source stream
+  * with an explicit watermark + keyed dedup + tumbling-window aggregation —
+  * the documented late/duplicate policy the reference leaves implicit
+  * (SURVEY §7.4.7).
+  */
+object EventsStream {
+
+  /** events.parquet physical schema (ts is TIMESTAMP(NANOS) → read as nanos
+    * LONG, converted below). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of an events parquet path glob. */
+  def readEvents(spark: SparkSession, pathGlob: String): DataFrame =
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(pathGlob)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** ST4: watermarked keyed dedup — duplicates within the watermark horizon
+    * are dropped by event_id (the reference's URL-keyed upsert semantics). */
+  def dedup(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  /** ST2: tumbling-window counts per event type after dedup. State is
+    * bounded by the watermark; at scale this is one shuffle keyed on
+    * (window, event_type) with partial aggregation. */
+  def hourlyCounts(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    dedup(events, watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("h"), col("event_type"), col("n"), col("total_value"))
+
+  /** Run a streaming query to completion against static input files
+    * (Trigger.AvailableNow semantics via processAllAvailable) and return the
+    * materialized result from the memory sink. */
+  def runToMemory(spark: SparkSession, streaming: DataFrame, name: String,
+      outputMode: String = "append"): DataFrame = {
+    val q = streaming.writeStream
+      .format("memory").queryName(name).outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.llm._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** L-layer: embedder determinism, stub LLM/TTS shape, RAG retrieval
+  * semantics (golden replay of SURVEY.md §3.2). */
+class LlmLayerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val embedder = new FeatureHashEmbedder(64)
+
+  test("embedder: deterministic, unit-norm, fixed dim, batch==single") {
+    val t = "power rankings phillies second"
+    val a = embedder.embed(t)
+    val b = embedder.embed(t)
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 64)
+    val norm = math.sqrt(a.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    val batch = embedder.embedBatch(Seq(t, "other words"))
+    assert(batch.head.toSeq == a.toSeq)
+    // different text → different vector
+    assert(embedder.embed("completely different tokens").toSeq != a.toSeq)
+  }
+
+  test("EmbedOps.embedText appends array<float> column, batched") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("id", "document")
+    val out = EmbedOps.embedText(df, "document", "embedding", embedder, batchSize = 1)
+    assert(out.schema("embedding").dataType.typeName == "array")
+    val norms = out.select(VectorFunctions.l2Norm(col("embedding"))).collect().map(_.getDouble(0))
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-5))
+  }
+
+  test("stub llm + tts are deterministic and shaped") {
+    val llm = new StubLlm
+    val p = Seq("prompt one", "prompt two")
+    assert(llm.completeBatch("answer", p) == llm.completeBatch("answer", p))
+    assert(llm.completeBatch("sentiment", p).head.contains("- positive:"))
+    val tts = new StubTts
+    val audio = tts.synthesizeBatch(Seq("hello world"))
+    assert(audio.head.length >= 16)
+    assert(audio.head.toSeq == tts.synthesizeBatch(Seq("hello world")).head.toSeq)
+  }
+
+  test("LlmOps.complete runs partition-batched over a DataFrame") {
+    import spark.implicits._
+    val df = Seq(("a", "What happened?"), ("b", "Summarize this.")).toDF("id", "prompt")
+    val out = LlmOps.complete(df, "answer", "prompt", "completion", new StubLlm)
+    assert(out.count() == 2)
+    assert(out.select("completion").collect().forall(_.getString(0).startsWith("[answer:")))
+    val audio = LlmOps.synthesize(df, "prompt", "audio", new StubTts)
+    assert(audio.select("audio").head.getAs[Array[Byte]](0).nonEmpty)
+  }
+
+  test("RAG golden replay: doc sharing query tokens ranks first") {
+    import spark.implicits._
+    val docs = Seq(
+      ("u1", "the phillies rank second in the power rankings this week"),
+      ("u2", "pitching rotations struggle in cold april weather"),
+      ("u3", "farm system prospects impress scouts at spring training"))
+      .toDF("id", "document")
+    val rag = new RagPipeline(embedder, new StubLlm)
+    val index = rag.buildIndex(docs)
+    val top = rag.retrieve(index, "phillies power rankings second", k = 2)
+    assert(top.head.getAs[String]("id") == "u1")
+    val ans = rag.answer(index, "phillies power rankings second")
+    assert(ans.startsWith("[answer:"))
+    assert(ans == rag.answer(index, "phillies power rankings second")) // deterministic
+    // empty index guard (P3)
+    assert(rag.answer(index.filter(col("id") === "nope"), "q") == "No data available.")
+  }
+
+  test("RAG upsert: same-id row replaced, new id appended (D2/D3)") {
+    import spark.implicits._
+    val rag = new RagPipeline(embedder, new StubLlm)
+    val index = rag.buildIndex(Seq(("u1", "old text"), ("u2", "keep me")).toDF("id", "document"))
+    val fresh = rag.buildIndex(Seq(("u1", "new text"), ("u9", "brand new")).toDF("id", "document"))
+    val merged = rag.upsert(index, fresh)
+    assert(merged.count() == 3)
+    val u1 = merged.filter(col("id") === "u1").head.getAs[String]("document")
+    assert(u1 == "new text")
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.llm.Parsers
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parser surface U1–U8 against fixture strings in the reference's observed
+  * emit formats (FIXTURES.md §7). */
+class ParsersSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("U1/U2: news blocks parse") {
+    val txt =
+      """HEADLINE: Dodgers win opener
+        |CONTENT: A late homer sealed it.
+        |SOURCE: mlb.com
+        |
+        |HEADLINE: Trade rumors swirl
+        |CONTENT: Deadline approaching.
+        |SOURCE: espn.com""".stripMargin
+    val items = Parsers.parseNewsItems(txt)
+    assert(items.size == 2)
+    assert(items.head.headline == "Dodgers win opener")
+    assert(items(1).source == "espn.com")
+    assert(Parsers.parseNewsItems("no structure here").isEmpty)
+  }
+
+  test("U3: section parsing (ALL-CAPS and short-colon headers)") {
+    val txt =
+      """GAME SUMMARY
+        |Tight game through seven.
+        |Bullpen held on.
+        |Key Players:
+        |Ohtani homered twice.""".stripMargin
+    val m = Parsers.parseSections(txt)
+    assert(m("GAME SUMMARY") == "Tight game through seven. Bullpen held on.")
+    assert(m("Key Players") == "Ohtani homered twice.")
+  }
+
+  test("U4: bullet extraction") {
+    val txt =
+      """FAN REACTIONS:
+        |- Unbelievable comeback!
+        |- Fire the manager.
+        |not a bullet""".stripMargin
+    assert(Parsers.parseBullets(txt) == Seq("Unbelievable comeback!", "Fire the manager."))
+  }
+
+  test("U5: plan parsing") {
+    val txt =
+      """Topic: Yankees losing streak
+        |Data Sources: news, game data
+        |Agents: NewsGatheringAgent, GameAnalysisAgent
+        |Storylines: slump
+        |and recovery
+        |Notes: keep it short""".stripMargin
+    val p = Parsers.parsePlan(txt)
+    assert(p.topic == "Yankees losing streak")
+    assert(p.agents == "NewsGatheringAgent, GameAnalysisAgent")
+    assert(p.storylines == "slump and recovery")
+    assert(p.notes == "keep it short")
+  }
+
+  test("U8: html extract (first h1, concatenated p)") {
+    val html = "<html><h1 class=\"t\">Big Win</h1><p>First.</p><div><p>Second <b>bold</b>.</p></div></html>"
+    val (t, b) = Parsers.htmlExtract(html)
+    assert(t == "Big Win")
+    assert(b == "First. Second bold.")
+    assert(Parsers.htmlExtract("<html></html>")._1 == "No Title")
+  }
+
+  test("U6: TTS script cleanup drops separator lines (expression-only)") {
+    import spark.implicits._
+    val df = Seq("Welcome!\n***\nLine two.\n---\n  \nBye.").toDF("script")
+    val out = df.select(Parsers.formatScriptForTts(col("script"))).head.getString(0)
+    assert(out == "Welcome! Line two. Bye.")
+  }
+
+  test("U7: plan→markdown") {
+    import spark.implicits._
+    val df = Seq(("T", "ds", "ag", "st", "no")).toDF("t", "d", "a", "s", "n")
+    val md = df.select(Parsers.formatPlanAsMarkdown(
+      col("t"), col("d"), col("a"), col("s"), col("n"))).head.getString(0)
+    assert(md.startsWith("# Podcast Plan: T"))
+    assert(md.contains("## Storylines\nst"))
+  }
+
+  test("parser UDFs run inside a DataFrame plan") {
+    import spark.implicits._
+    val df = Seq("HEADLINE: A\nCONTENT: B\nSOURCE: C").toDF("txt")
+    val exploded = df.select(explode(Parsers.parseNewsItemsUdf(col("txt"))).as("item"))
+      .select("item.headline", "item.content", "item.source")
+    assert(exploded.head.getString(0) == "A")
+  }
+}

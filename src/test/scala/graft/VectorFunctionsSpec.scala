@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.{CosineSimilarity, VectorFunctions}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Vector math: composed higher-order form vs native codegen expression must
+  * agree bit-for-bit (same fold order, same double math). */
+class VectorFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("native cosine_sim equals composed form bit-for-bit on real data") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val both = e.crossJoin(broadcast(q)).select(
+      VectorFunctions.cosineSim(col("embedding"), col("qe")).as("composed"),
+      CosineSimilarity(col("embedding"), col("qe")).as("native"))
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("cosine_sim basics: self=1, orthogonal=0, range [-1,1]") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 0f, 2f), Array(1f, 0f, 2f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 1f, 0f), Array(-1f, -1f, 0f)))
+      .toDF("a", "b")
+    val sims = df.select(CosineSimilarity(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(sims(0) - 1.0) < 1e-12)
+    assert(sims(1) == 0.0)
+    assert(math.abs(sims(2) + 1.0) < 1e-12)
+  }
+
+  test("cosine_sim registered for SQL via GraftExtensions injector") {
+    // function injection happens at session build; register directly here to
+    // exercise the same builder on the shared session
+    new graft.plans.GraftExtensions()
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.CosineSimilarity(args(0), args(1)),
+      "built-in")
+    val r = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS s")
+      .head.getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+}
