@@ -21,9 +21,11 @@ object TextFunctions {
         i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*)))
       .otherwise(array().cast("array<string>"))
 
-  /** Distinct word n-gram shingle set per document. */
+  /** Distinct word n-gram shingle set per document — the single-pass
+    * [[WordNgrams]] expression (same strings as `shingles(words(text), n)`,
+    * asserted in tests, but ~10× faster than the interpreted HOF chain). */
   def shingleSet(text: Column, n: Int = 3): Column =
-    array_distinct(shingles(words(text), n))
+    array_distinct(WordNgrams(text, n))
 
   /** Jaccard similarity of two pre-distinct string sets. Integer-derived
     * doubles: |A∩B| / (|A|+|B|−|A∩B|) is bit-identical across engines. */

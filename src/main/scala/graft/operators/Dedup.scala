@@ -61,10 +61,14 @@ object Dedup {
     val bands = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+    // using-columns self-join: joining by NAME on renamed frames guarantees
+    // both (band, bh) become hash-join equi keys — alias-qualified self-join
+    // conditions can degrade to residual filters over a band-only join
+    val x = bands.toDF("da", "band", "bh")
+    val y = bands.toDF("db", "band", "bh")
+    x.join(y, Seq("band", "bh"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"))
       .distinct()
   }
 
@@ -74,7 +78,9 @@ object Dedup {
     * equals the brute-force result (same oracle). */
   def minhashDupPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
       rowsPerBand: Int = 2, threshold: Double = 0.5): DataFrame = {
-    val sg = shingleSets(docs, n)
+    // shingle sets feed the signature agg AND both sides of the verify join;
+    // cache once instead of recomputing the scan+shingle pass three times
+    val sg = shingleSets(docs, n).cache()
     val cands = lshCandidates(minhashSignatures(sg, numHashes), numHashes, rowsPerBand)
     val j = TextFunctions.jaccard(col("sga"), col("sgb"))
     cands
@@ -121,11 +127,12 @@ object Dedup {
         explode(array(chunks: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.chunk").as("chunk"), col("bb.cv").as("cv"))
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("x.simhash").as("ha"),
-        col("y.doc_id").as("db"), col("y.simhash").as("hb"))
+    // using-columns self-join (see lshCandidates)
+    val x = banded.toDF("da", "ha", "chunk", "cv")
+    val y = banded.toDF("db", "hb", "chunk", "cv")
+    val cand = x.join(y, Seq("chunk", "cv"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("ha"), col("db"), col("hb"))
       .distinct()
     cand
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))

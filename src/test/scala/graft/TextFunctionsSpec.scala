@@ -1,0 +1,47 @@
+package graft
+
+import graft.functions.{TextFunctions, WordNgrams}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("WordNgrams equals the composed HOF shingle form on real docs") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val both = docs.select(
+      WordNgrams(col("text"), 3).as("fast"),
+      TextFunctions.shingles(TextFunctions.words(col("text")), 3).as("composed"))
+    val diff = both.filter(col("fast") =!= col("composed")).count()
+    assert(diff == 0)
+  }
+
+  test("WordNgrams edge cases: short text, exact n, empty tokens") {
+    import spark.implicits._
+    val df = Seq("one two", "a b c", "x  y").toDF("t") // "x  y" has empty token
+    val got = df.select(WordNgrams(col("t"), 3)).collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq())
+    assert(got(1) == Seq("a b c"))
+    assert(got(2) == Seq("x  y")) // split(" ",-1) keeps the empty middle token
+  }
+
+  test("jaccard of identical and disjoint sets") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "b"), Seq("a", "b")), (Seq("a"), Seq("b")))
+      .toDF("x", "y")
+    val j = df.select(TextFunctions.jaccard(col("x"), col("y"))).collect().map(_.getDouble(0))
+    assert(j(0) == 1.0 && j(1) == 0.0)
+  }
+
+  test("quality signals are integer-ratio exact") {
+    import spark.implicits._
+    val df = Seq("the cat sat").toDF("text")
+    val r = df.select(
+      TextFunctions.tokenCount(col("text")),
+      TextFunctions.meanTokenLen(col("text")),
+      TextFunctions.stopwordRatio(col("text"))).head
+    assert(r.getInt(0) == 3)
+    assert(r.getDouble(1) == 9.0 / 3)
+    assert(r.getDouble(2) == 1.0 / 3)
+  }
+}
