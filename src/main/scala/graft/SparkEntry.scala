@@ -12,7 +12,8 @@ object SparkEntry {
   /** All query modules, merged. Names are unique by construction (asserted
     * in the test suite). */
   def defs: Seq[QueryDef] =
-    RelationalQueries.all ++ TextQueries.all ++ SimilarityQueries.all
+    RelationalQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
+      AdvancedQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
