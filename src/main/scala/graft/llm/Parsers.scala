@@ -125,6 +125,22 @@ object Parsers {
         transform(split(script, "\n"), l => trim(l)),
         l => l =!= "" && !l.rlike("^[*\\-_=]{3,}$")))
 
+  /** F7/F6: TTS text normalization (reference behavior: abbreviation
+    * dictionary + ordinal split + bracket-section removal, config.py:224-241
+    * and pipeline.py:234-256) — chained regexp_replace, no UDF. */
+  def ttsNormalize(script: Column): Column = {
+    val abbrevs = Seq(
+      "MLB" -> "M L B", "HR" -> "home run", "RBI" -> "R B I",
+      "ERA" -> "E R A", "AL" -> "A L", "NL" -> "N L")
+    val expanded = abbrevs.foldLeft(script) { case (c, (k, v)) =>
+      regexp_replace(c, s"\\b$k\\b", v)
+    }
+    // "3rd" -> "3 rd"; drop [bracketed] section markers
+    regexp_replace(
+      regexp_replace(expanded, "(\\d+)(st|nd|rd|th)", "$1 $2"),
+      "\\[[^\\]]*\\]", "")
+  }
+
   /** U7: plan struct → markdown (utils.py:26-52 shape) — expression only. */
   def formatPlanAsMarkdown(topic: Column, dataSources: Column, agents: Column,
       storylines: Column, notes: Column): Column =

@@ -76,17 +76,59 @@ object AdvancedQueries {
       |GROUP BY event_type""".stripMargin
 
   /** q44: approx distinct (HLL sketch, SURVEY §2.5 A6 scale path) alongside
-    * the exact count — rows-only for the sketch (engine-specific estimate),
-    * but the exact column keeps the query oracle-comparable... split: exact
-    * only in the oracle-facing projection. */
+    * the exact count — rows-only (the sketch estimate is engine-specific). */
   private def q44(s: SparkSession, d: String): DataFrame =
     li(s, d).agg(
       countDistinct(col("l_partkey")).as("exact_parts"),
       approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
 
+  /** q45: embedding-cosine near-dup pairs (north-star dedup family) —
+    * brute-force oracle baseline; the scale path reuses Similarity's LSH
+    * buckets as the candidate generator. Integer ids + identical double
+    * folds keep the oracle exact. */
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("da"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("db"), col("embedding").as("eb"))
+    val sim = graft.functions.CosineSimilarity(col("ea"), col("eb"))
+    a.join(b, col("da") < col("db"))
+      .filter(sim >= 0.5)
+      .select(round(sim, 4).as("simr"), col("da"), col("db"))
+  }
+
+  private val q45Sql =
+    """WITH n AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nm
+      |  FROM embeddings),
+      |p AS (SELECT a.vec_id AS da, b.vec_id AS db,
+      |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |      q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))) / (a.nm * b.nm) AS sim
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT round(sim, 4) AS simr, da, db FROM p WHERE sim >= 0.5""".stripMargin
+
+  /** q46: full-text-search inverted postings (SURVEY §2.9 L13): term →
+    * document-frequency + sorted posting list. explode → groupBy(term) is
+    * the classic distributed index build (one shuffle on term). */
+  private def q46(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"),
+        concat_ws(",", sort_array(collect_set(col("doc_id")))).as("postings"))
+      .filter(col("freq") >= 900)
+
+  private val q46Sql =
+    """SELECT word, count(*) AS freq,
+      |  array_to_string(list_sort(list_distinct(list(doc_id))), ',') AS postings
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY word HAVING count(*) >= 900""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q27_sessionize", q27, Some(q27Sql), bench = true),
     QueryDef("q28_stats_agg", q28, Some(q28Sql)),
     QueryDef("q29_json_extract", q29, Some(q29Sql)),
-    QueryDef("q44_approx_distinct", q44, None))
+    QueryDef("q44_approx_distinct", q44, None),
+    QueryDef("q45_embedding_neardup", q45, Some(q45Sql)),
+    QueryDef("q46_fts_postings", q46, Some(q46Sql)))
 }

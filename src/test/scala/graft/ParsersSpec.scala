@@ -76,6 +76,31 @@ class ParsersSpec extends AnyFunSuite {
     assert(out == "Welcome! Line two. Bye.")
   }
 
+  test("F7: tts normalization expands abbreviations, splits ordinals, drops brackets") {
+    import spark.implicits._
+    val df = Seq("MLB recap [intro] the 3rd HR of the game").toDF("s")
+    val out = df.select(Parsers.ttsNormalize(col("s"))).head.getString(0)
+    assert(out == "M L B recap  the 3 rd home run of the game")
+  }
+
+  test("K6: stage view recomputes, mart table materializes") {
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    graft.jobs.Warehouse.stageView("stg_test", df.filter(col("id") > 1))
+    assert(spark.table("stg_test").count() == 1)
+    // clean both catalog entry and any stale location from a prior JVM
+    spark.sql("DROP TABLE IF EXISTS mart_test")
+    val loc = new java.io.File("spark-warehouse/mart_test")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+      }
+      rm(loc)
+    }
+    graft.jobs.Warehouse.martTable(spark, "mart_test", df)
+    assert(graft.jobs.Warehouse.table(spark, "mart_test").count() == 2)
+  }
+
   test("U7: plan→markdown") {
     import spark.implicits._
     val df = Seq(("T", "ds", "ag", "st", "no")).toDF("t", "d", "a", "s", "n")
