@@ -124,11 +124,32 @@ object AdvancedQueries {
       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
       |GROUP BY word HAVING count(*) >= 900""".stripMargin
 
+  /** q47: multimodal feature extraction — synthetic binary media (decode is
+    * a documented stub; the Spark-side schema/batching/shape is real).
+    * Output: per-kind feature aggregates. Rows-only. */
+  private def q47(s: SparkSession, d: String): DataFrame = {
+    val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 64))
+    feats.groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(element_at(col("features"), 1)), 4).as("f0_avg"))
+  }
+
+  /** q48: language-ID over the documents corpus — prediction distribution
+    * vs the synthetic label (the corpus is English-ish word salad, so this
+    * exercises the operator shape, not linguistic accuracy). Rows-only. */
+  private def q48(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), LangId.predict(col("text")).as("pred"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q27_sessionize", q27, Some(q27Sql), bench = true),
     QueryDef("q28_stats_agg", q28, Some(q28Sql)),
     QueryDef("q29_json_extract", q29, Some(q29Sql)),
     QueryDef("q44_approx_distinct", q44, None),
     QueryDef("q45_embedding_neardup", q45, Some(q45Sql)),
-    QueryDef("q46_fts_postings", q46, Some(q46Sql)))
+    QueryDef("q46_fts_postings", q46, Some(q46Sql)),
+    QueryDef("q47_media_features", q47, None),
+    QueryDef("q48_langid", q48, None))
 }

@@ -1,0 +1,94 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.llm.{FeatureHashEmbedder, Parsers, RagPipeline, StubLlm, StubTts}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants (SURVEY.md §5.2.3): dedup idempotence, embed
+  * determinism + cosine bounds, TTS-cleanup idempotence. Uses raw ScalaCheck
+  * generators with fixed seeds (the scalatest-scalacheck bridge isn't in the
+  * offline artifact cache). */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val embedder = new FeatureHashEmbedder(64)
+
+  private def samples[T](gen: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val wordGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val textGen: Gen[String] =
+    Gen.listOfN(12, wordGen).map(_.mkString(" "))
+
+  test("embedder: deterministic, unit-norm (or zero), cosine in [-1,1]") {
+    val texts = samples(textGen, 50)
+    texts.sliding(2).foreach { pair =>
+      val a = pair.head
+      val b = pair.last
+      val va = embedder.embed(a)
+      assert(va.toSeq == embedder.embed(a).toSeq)
+      val na = math.sqrt(va.map(x => x.toDouble * x).sum)
+      assert(na == 0.0 || math.abs(na - 1.0) < 1e-4)
+      val vb = embedder.embed(b)
+      val nb = math.sqrt(vb.map(x => x.toDouble * x).sum)
+      if (na > 0 && nb > 0) {
+        val cos = va.zip(vb).map { case (x, y) => x.toDouble * y }.sum / (na * nb)
+        assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9)
+      }
+    }
+  }
+
+  test("upsert idempotence: upserting the same batch twice equals once") {
+    import spark.implicits._
+    val rag = new RagPipeline(embedder, new StubLlm)
+    val base = rag.buildIndex(Seq(("a", "t one"), ("b", "t two")).toDF("id", "document"))
+    val batch = rag.buildIndex(Seq(("b", "t two v2"), ("c", "t three")).toDF("id", "document"))
+    val once = rag.upsert(base, batch)
+    val twice = rag.upsert(once, batch)
+    val c1 = once.select("id", "document").collect().map(_.toSeq).toSet
+    val c2 = twice.select("id", "document").collect().map(_.toSeq).toSet
+    assert(c1 == c2)
+  }
+
+  test("tts cleanup idempotence: clean(clean(x)) == clean(x)") {
+    import spark.implicits._
+    val lineGen = Gen.oneOf(textGen, Gen.const("***"), Gen.const("---"),
+      Gen.const("  "), Gen.const("====="))
+    val scripts = samples(Gen.listOfN(6, lineGen).map(_.mkString("\n")), 25)
+    val df = scripts.toDF("s")
+    val once = df.select(Parsers.formatScriptForTts(col("s")).as("s"))
+    val twice = once.select(Parsers.formatScriptForTts(col("s")).as("s"))
+    assert(once.collect().map(_.getString(0)).toSeq ==
+      twice.collect().map(_.getString(0)).toSeq)
+  }
+
+  test("jaccard symmetry, bounds, and self-similarity on shingle sets") {
+    import spark.implicits._
+    val pairs = samples(Gen.zip(textGen, textGen), 25)
+    val df = pairs.toDF("ta", "tb")
+    val rows = df.select(
+      TextFunctions.jaccard(TextFunctions.shingleSet(col("ta"), 2),
+        TextFunctions.shingleSet(col("tb"), 2)).as("jab"),
+      TextFunctions.jaccard(TextFunctions.shingleSet(col("tb"), 2),
+        TextFunctions.shingleSet(col("ta"), 2)).as("jba"),
+      TextFunctions.jaccard(TextFunctions.shingleSet(col("ta"), 2),
+        TextFunctions.shingleSet(col("ta"), 2)).as("jaa")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+      assert(r.getDouble(2) == 1.0)
+    }
+  }
+
+  test("stub tts output length bounded and deterministic") {
+    val tts = new StubTts
+    samples(textGen, 30).foreach { t =>
+      val b = tts.synthesizeBatch(Seq(t)).head
+      assert(b.length >= 16 && b.length <= 4096)
+      assert(b.toSeq == tts.synthesizeBatch(Seq(t)).head.toSeq)
+    }
+  }
+}
