@@ -124,6 +124,26 @@ object AdvancedQueries {
       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
       |GROUP BY word HAVING count(*) >= 900""".stripMargin
 
+  /** q49: correlated-subquery shape (decorrelated as a per-group aggregate
+    * join): lineitems whose quantity exceeds 1.2× their part's average.
+    * Group sums of integral doubles are exact, so the filter boundary is
+    * deterministic across engines. */
+  private def q49(s: SparkSession, d: String): DataFrame = {
+    val l = li(s, d)
+    val partAvg = l.groupBy(col("l_partkey").as("pk"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    l.join(partAvg, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") > col("avg_qty") * 1.2)
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"))
+  }
+
+  private val q49Sql =
+    """SELECT l_orderkey, l_partkey, CAST(l_quantity AS BIGINT) AS qty
+      |FROM lineitem l
+      |WHERE l_quantity > 1.2 * (SELECT avg(l_quantity) FROM lineitem
+      |                          WHERE l_partkey = l.l_partkey)""".stripMargin
+
   /** q47: multimodal feature extraction — synthetic binary media (decode is
     * a documented stub; the Spark-side schema/batching/shape is real).
     * Output: per-kind feature aggregates. Rows-only. */
@@ -151,5 +171,6 @@ object AdvancedQueries {
     QueryDef("q45_embedding_neardup", q45, Some(q45Sql)),
     QueryDef("q46_fts_postings", q46, Some(q46Sql)),
     QueryDef("q47_media_features", q47, None),
-    QueryDef("q48_langid", q48, None))
+    QueryDef("q48_langid", q48, None),
+    QueryDef("q49_above_part_avg", q49, Some(q49Sql)))
 }
