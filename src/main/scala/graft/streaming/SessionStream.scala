@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful streaming operator (SURVEY.md §2.11 ST7 family):
+  * gap-based session aggregation per user via flatMapGroupsWithState — the
+  * streaming counterpart of AdvancedQueries.q27. State per user is one open
+  * session (bounded); closed sessions are emitted when the inactivity gap is
+  * exceeded within a batch or on timeout. At scale this is one shuffle on
+  * user_id and O(users) state, watermark-bounded.
+  */
+object SessionStream {
+
+  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  final case class OpenSession(start: Long, last: Long, n: Int, total: Double)
+  final case class SessionOut(user_id: Long, start: Timestamp, end: Timestamp,
+      n_events: Int, total_value: Double)
+
+  val gapMs: Long = 30 * 60 * 1000
+
+  /** Per-user session folding: events arrive (within a batch) unordered, so
+    * sort by ts; emit every closed session, keep the open one in state. */
+  def foldSessions(userId: Long, events: Iterator[Event],
+      state: GroupState[OpenSession]): Iterator[SessionOut] = {
+    val sorted = events.toSeq.sortBy(_.ts.getTime)
+    var open = state.getOption
+    val out = Seq.newBuilder[SessionOut]
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      open match {
+        case Some(s) if t - s.last <= gapMs =>
+          open = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+        case Some(s) =>
+          out += SessionOut(userId, new Timestamp(s.start), new Timestamp(s.last),
+            s.n, s.total)
+          open = Some(OpenSession(t, t, 1, e.value))
+        case None =>
+          open = Some(OpenSession(t, t, 1, e.value))
+      }
+    }
+    if (state.hasTimedOut) {
+      open.foreach(s => out += SessionOut(userId, new Timestamp(s.start),
+        new Timestamp(s.last), s.n, s.total))
+      state.remove()
+    } else {
+      open.foreach(state.update)
+    }
+    out.result().iterator
+  }
+
+  /** Streaming session aggregation over an events stream. NoTimeout by
+    * default: the open tail session per user stays in state (a live deploy
+    * closes tails with EventTimeTimeout + watermark; ProcessingTimeTimeout
+    * is avoided because it makes the engine run continuous empty batches,
+    * which never lets processAllAvailable-style drains finish). */
+  def sessions(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("value")).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(foldSessions)
+  }
+}
