@@ -163,6 +163,60 @@ object AdvancedQueries {
       .groupBy(col("lang"), col("pred"))
       .agg(count(lit(1)).as("n"))
 
+  /** q50: bilateral trade volume (TPC-H Q7 shape): supplier nation ×
+    * customer nation pairs, yearly revenue — two broadcast dim joins feeding
+    * a fact join chain, group on (supp_nation, cust_nation, year). */
+  private def q50(s: SparkSession, d: String): DataFrame = {
+    val sn = Tables.nation(s, d).select(col("n_nationkey").as("s_nk"),
+      col("n_name").as("supp_nation"))
+    val cn = Tables.nation(s, d).select(col("n_nationkey").as("c_nk"),
+      col("n_name").as("cust_nation"))
+    li(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation").isin("NATION_1", "NATION_2") &&
+        col("cust_nation").isin("NATION_1", "NATION_2") &&
+        col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("yr"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("volume"))
+  }
+
+  private val q50Sql =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INTEGER) AS yr,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS volume
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+      |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+      |  AND sn.n_name <> cn.n_name
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** q51: pivot operator (wide conditional agg) — order counts by status per
+    * year; the oracle expresses the same result as CASE-WHEN columns. */
+  private def q51(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L)
+
+  private val q51Sql =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+      |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+      |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+      |FROM orders GROUP BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q27_sessionize", q27, Some(q27Sql), bench = true),
     QueryDef("q28_stats_agg", q28, Some(q28Sql)),
@@ -172,5 +226,7 @@ object AdvancedQueries {
     QueryDef("q46_fts_postings", q46, Some(q46Sql)),
     QueryDef("q47_media_features", q47, None),
     QueryDef("q48_langid", q48, None),
-    QueryDef("q49_above_part_avg", q49, Some(q49Sql)))
+    QueryDef("q49_above_part_avg", q49, Some(q49Sql)),
+    QueryDef("q50_trade_volume", q50, Some(q50Sql), bench = true),
+    QueryDef("q51_status_pivot", q51, Some(q51Sql)))
 }
