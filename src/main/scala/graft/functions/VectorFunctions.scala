@@ -26,7 +26,12 @@ object VectorFunctions {
       (acc, x) => acc + x.cast("double") * x.cast("double")))
 
   /** Cosine similarity: dot/(‖a‖·‖b‖) — expression shape mirrors the oracle
-    * exactly (dot / (na * nb)) so doubles match without tolerance. */
-  def cosineSim(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+    * exactly (dot / (na * nb)) so doubles match without tolerance. NULL on
+    * zero-norm inputs (explicit guard: Spark 4's ANSI mode would otherwise
+    * raise DIVIDE_BY_ZERO where DuckDB and the native expression yield NULL)
+    * and on length-mismatched inputs (zip_with pads with NULL → NULL dot). */
+  def cosineSim(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom =!= lit(0.0), dot(a, b) / denom)
+  }
 }

@@ -27,8 +27,11 @@ object PipelineJobs {
     val rag = new RagPipeline(embedder, new StubLlm)
     val fresh = rag.buildIndex(
       spark.read.parquet(lakePath).select(col("url").as("id"), col("body").as("document")))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(indexPath)
     val merged =
-      if (new java.io.File(indexPath).exists()) {
+      if (fs.exists(dst)) {
         val existing = spark.read.parquet(indexPath)
         rag.upsert(existing, fresh)
       } else fresh
@@ -36,9 +39,6 @@ object PipelineJobs {
     // (the same pattern an object store deployment uses for atomic publish)
     val tmp = indexPath + "_tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(indexPath)
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }

@@ -111,9 +111,10 @@ object Dedup {
   /** SimHash near-dup pairs: band the 64-bit hash into `numChunks` equal
     * chunks — by pigeonhole any pair within hamming distance (numChunks−1)
     * shares ≥1 chunk — bucket-join on chunk value, then verify true hamming
-    * ≤ maxHamming. Default 8×8-bit chunks detects up to hamming 7; at very
-    * large corpora drop to wider chunks (16 bit) + lower maxHamming to keep
-    * bucket sizes (n/2^bits per value) from exploding candidates. */
+    * ≤ maxHamming. Default 4×16-bit chunks guarantees detection up to
+    * hamming 3; raise numChunks to 8 (8-bit chunks) for hamming ≤ 7 recall,
+    * at the cost of smaller buckets (n/2^bits per value) producing more
+    * candidate pairs at very large corpora. */
   def simhashDupPairs(docs: DataFrame, maxHamming: Int = 3,
       numChunks: Int = 4): DataFrame = {
     val sh = simhash(docs)

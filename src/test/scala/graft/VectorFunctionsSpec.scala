@@ -36,6 +36,30 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(math.abs(sims(2) + 1.0) < 1e-12)
   }
 
+  test("cosine_sim edge cases: zero-norm and length mismatch yield NULL, matching composed form") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(0f, 0f, 0f), Array(1f, 2f, 3f)),  // zero left norm
+      (Array(1f, 2f, 3f), Array(0f, 0f, 0f)),  // zero right norm
+      (Array(1f, 2f), Array(1f, 2f, 3f)))      // length mismatch
+      .toDF("a", "b")
+    val rows = df.select(
+      CosineSimilarity(col("a"), col("b")).as("native"),
+      VectorFunctions.cosineSim(col("a"), col("b")).as("composed")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0), s"native should be NULL, got $r")
+      assert(r.isNullAt(1), s"composed should be NULL, got $r")
+    }
+    // and the interpreted (non-codegen) path agrees
+    val interp = CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(0f, 0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1f, 2f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+      .eval(null)
+    assert(interp == null)
+  }
+
   test("cosine_sim registered for SQL via GraftExtensions injector") {
     // function injection happens at session build; register directly here to
     // exercise the same builder on the shared session
