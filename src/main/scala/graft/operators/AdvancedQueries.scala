@@ -44,14 +44,22 @@ object AdvancedQueries {
   private def q28(s: SparkSession, d: String): DataFrame =
     li(s, d).groupBy(col("l_returnflag"))
       .agg(
-        round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
-        round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("median_price"),
+        // stddev rounds at 1 decimal, not 2: Spark (Welford) and DuckDB
+        // (sum-of-squares) accumulate differently, so the doubles differ by
+        // ~1e-5 and a 0.01 quantum sits inside the divergence at small SF
+        round(stddev_samp(col("l_extendedprice")), 1).as("sd_price"),
+        // interpolated median of two 2-decimal values is a .xx5 multiple —
+        // exactly the boundary where Spark's shortest-decimal HALF_UP round
+        // and DuckDB's binary round disagree. ×200 turns it into the exact
+        // integer cents-sum of the two middle values on both engines.
+        round(percentile(col("l_extendedprice"), lit(0.5)) * 200, 0)
+          .cast("long").as("median_x200"),
         round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"))
 
   private val q28Sql =
     """SELECT l_returnflag,
-      |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
-      |  round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+      |  round(stddev_samp(l_extendedprice), 1) AS sd_price,
+      |  CAST(round(quantile_cont(l_extendedprice, 0.5) * 200, 0) AS BIGINT) AS median_x200,
       |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 

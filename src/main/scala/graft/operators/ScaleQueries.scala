@@ -1,0 +1,254 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Third-wave operator coverage (round 2): as-of joins, window frames,
+  * ntile bucketing, cube/grouping-sets, outer joins, grid densification,
+  * per-row array functions, date arithmetic. Every query carries a DuckDB
+  * oracle; determinism rules per QueryDef (Tables.scala).
+  */
+object ScaleQueries {
+
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+
+  /** q52: as-of join (SURVEY §2.4 J5 family) — for each purchase event, the
+    * most recent view by the same user at-or-before the purchase. Implemented
+    * as the scalable single-pass form: union-free, one shuffle on user_id,
+    * running max of view-ts over an ordered window (views sort before
+    * purchases at equal ts to honor the ≤ bound). At 100 TB this beats the
+    * range-join formulation because state per key is O(1), not O(events). */
+  private def q52(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).filter(col("event_type").isin("view", "purchase"))
+      .withColumn("is_p", when(col("event_type") === "purchase", 1).otherwise(0))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_p"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("view_ts", max(when(col("is_p") === 0, col("ts"))).over(w))
+      .filter(col("is_p") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("view_ts"))
+  }
+
+  private val q52Sql =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |  (SELECT max(v.ts) FROM events v
+      |   WHERE v.user_id = p.user_id AND v.event_type = 'view'
+      |     AND v.ts <= p.ts) AS view_ts
+      |FROM events p WHERE p.event_type = 'purchase'""".stripMargin
+
+  /** q53: ntile decile bucketing of orders by total price — distribution
+    * summary per decile. The global ntile is a single-partition sort by
+    * construction (documented limit: at 100 TB decile boundaries come from
+    * approx_percentile and a broadcast range join instead). */
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    ord(s, d).withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+  }
+
+  private val q53Sql =
+    """SELECT decile, count(*) AS n, round(min(o_totalprice), 2) AS lo,
+      |  round(max(o_totalprice), 2) AS hi
+      |FROM (SELECT o_totalprice, o_orderkey,
+      |        ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      |      FROM orders)
+      |GROUP BY decile""".stripMargin
+
+  /** q54: bounded window frame — 4-order moving spend sum per customer
+    * (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), the classic incremental
+    * frame the reference's dashboards imply. One shuffle on o_custkey.
+    * A moving *sum* (not avg) keeps the oracle exact: avg of 4 two-decimal
+    * prices lands on .xx5 boundaries where Spark's Double.toString-based
+    * round (HALF_UP on shortest-decimal) and DuckDB's binary round split. */
+  private def q54(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-3, Window.currentRow)
+    ord(s, d).select(col("o_custkey"), col("o_orderkey"),
+      round(sum(col("o_totalprice")).over(w), 2).as("msum"))
+  }
+
+  private val q54Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS msum
+      |FROM orders""".stripMargin
+
+  /** q55: first_value/last_value over an unbounded frame — per-nation
+    * poorest/richest customer names (unique (acctbal, custkey) order key). */
+  private def q55(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cust(s, d).select(col("c_nationkey"),
+        first(col("c_name")).over(w).as("poorest"),
+        last(col("c_name")).over(w).as("richest"))
+      .distinct()
+  }
+
+  private val q55Sql =
+    """SELECT DISTINCT c_nationkey,
+      |  first_value(c_name) OVER w AS poorest,
+      |  last_value(c_name) OVER w AS richest
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+
+  /** q56: cube (SURVEY §2.5 A7) over (returnflag, linestatus) with
+    * grouping_id disambiguating subtotal levels. */
+  private def q56(s: SparkSession, d: String): DataFrame =
+    li(s, d).cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("long").as("qty"))
+      .select(col("gid"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("qty"))
+
+  private val q56Sql =
+    """SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
+      |  coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  /** q57: grouping sets (explicit subtotal lattice — the dbt marts-rollup
+    * shape) via the SQL surface: (rf, ls), (rf), (). */
+  private def q57(s: SparkSession, d: String): DataFrame = {
+    li(s, d).createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(1) AS n,
+        |  round(sum(l_extendedprice), 2) AS rev
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |""".stripMargin)
+  }
+
+  private val q57Sql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  count(*) AS n,
+      |  round(sum(l_extendedprice), 2) AS rev
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
+
+  /** q58: full outer join — high-balance customers against per-customer
+    * order counts; both null sides survive (customers with no orders, and
+    * order keys outside the filtered dim). */
+  private def q58(s: SparkSession, d: String): DataFrame = {
+    val c = cust(s, d).filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_name"))
+    val o = ord(s, d).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("ck"),
+        col("c_name"), col("n_orders"))
+  }
+
+  private val q58Sql =
+    """SELECT coalesce(c.c_custkey, o.o_custkey) AS ck, c.c_name, o.n_orders
+      |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000) c
+      |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders
+      |                 FROM orders GROUP BY o_custkey) o
+      |  ON c.c_custkey = o.o_custkey""".stripMargin
+
+  /** q59: grid densification — nation × order-month cross join, left join
+    * monthly revenue, zero-fill gaps. The cross join is broadcast (both
+    * sides tiny after distinct), the fact-side aggregate is the only
+    * shuffle — the standard calendar-densification shape for training-data
+    * feature tables. */
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    val months = ord(s, d)
+      .select(to_date(date_trunc("month", col("o_orderdate"))).as("month")).distinct()
+    val nations = Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"))
+    val rev = ord(s, d)
+      .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+    nations.crossJoin(broadcast(months))
+      .join(rev,
+        col("n_nationkey") === col("c_nationkey") && months("month") === rev("month"),
+        "left")
+      .select(col("n_name"), nations("n_nationkey").as("nk"), months("month"),
+        coalesce(round(col("rev"), 2), lit(0.0)).as("rev"))
+  }
+
+  private val q59Sql =
+    """WITH months AS (SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS month
+      |                FROM orders),
+      |rev AS (SELECT c_nationkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |          sum(o_totalprice) AS rev
+      |        FROM orders JOIN customer ON o_custkey = c_custkey
+      |        GROUP BY 1, 2)
+      |SELECT n.n_name, n.n_nationkey AS nk, m.month,
+      |  coalesce(round(r.rev, 2), 0.0) AS rev
+      |FROM nation n CROSS JOIN months m
+      |LEFT JOIN rev r ON n.n_nationkey = r.c_nationkey AND m.month = r.month""".stripMargin
+
+  /** q60: per-row array functions (F17–F19 widened) over tokenized text —
+    * token counts, distinct counts, boundary tokens, membership test. All
+    * codegen'd built-ins, no UDF. */
+  private def q60(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d).select(col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      element_at(toks, 1).as("first_tok"),
+      element_at(toks, -1).as("last_tok"),
+      array_contains(toks, "data").cast("int").as("has_data"))
+  }
+
+  private val q60Sql =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |  string_split(text, ' ')[1] AS first_tok,
+      |  string_split(text, ' ')[-1] AS last_tok,
+      |  CAST(list_contains(string_split(text, ' '), 'data') AS INTEGER) AS has_data
+      |FROM documents""".stripMargin
+
+  /** q61: date arithmetic (F13–F16) — month truncation, ISO weekday,
+    * interval add; grouped counts. */
+  private def q61(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .select(to_date(date_trunc("month", col("o_orderdate"))).as("month"),
+        (weekday(col("o_orderdate")) + 1).as("isodow"))
+      .groupBy(col("month"), col("isodow"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("next_month", add_months(col("month"), 1))
+
+  private val q61Sql =
+    """SELECT month, isodow, count(*) AS n,
+      |  CAST(month + INTERVAL 1 MONTH AS DATE) AS next_month
+      |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |        CAST(isodow(o_orderdate) AS INTEGER) AS isodow
+      |      FROM orders)
+      |GROUP BY 1, 2""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q52_asof_join", q52, Some(q52Sql), bench = true),
+    QueryDef("q53_deciles", q53, Some(q53Sql)),
+    QueryDef("q54_moving_avg", q54, Some(q54Sql), bench = true),
+    QueryDef("q55_value_windows", q55, Some(q55Sql)),
+    QueryDef("q56_cube", q56, Some(q56Sql)),
+    QueryDef("q57_grouping_sets", q57, Some(q57Sql)),
+    QueryDef("q58_full_outer", q58, Some(q58Sql)),
+    QueryDef("q59_dense_grid", q59, Some(q59Sql)),
+    QueryDef("q60_array_funcs", q60, Some(q60Sql)),
+    QueryDef("q61_date_arith", q61, Some(q61Sql)))
+}
