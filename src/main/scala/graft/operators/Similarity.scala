@@ -57,4 +57,87 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
+
+  // ---- IVF (inverted-file) ANN: coarse k-means quantizer + probed lists ----
+  //
+  // The second scale path for L2: vectors are assigned to their
+  // max-cosine centroid ("list"); a query scores the centroids on the driver
+  // (nLists × dim doubles — trivially small) and scans only the nProbe best
+  // lists. At 100 TB the assigned table is written partitioned by list_id, so
+  // a probe is partition pruning, not a filter scan; nProbe == nLists
+  // degenerates to exact brute force, which is the oracle configuration.
+
+  /** Dot product of a vector column against a literal double vector
+    * (centroids are unit-normalized, so argmax dot == argmax cosine). */
+  private def dotLit(emb: Column, c: Array[Double]): Column =
+    aggregate(
+      zip_with(emb, array(c.map(lit): _*), (x, h) => x.cast("double") * h),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Nearest-centroid id by max (dot, cid) — deterministic tiebreak.
+    * greatest() unifies the struct types and renames fields col1/col2. */
+  def nearestListExpr(emb: Column, cents: Array[Array[Double]]): Column =
+    greatest(cents.zipWithIndex.map { case (c, i) =>
+      struct(dotLit(emb, c), lit(i))
+    }: _*).getField("col2")
+
+  private def normalized(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** Spherical k-means coarse quantizer. Deterministic init: the nLists
+    * vectors with the lowest ids. Centroids live on the driver (nLists×dim
+    * doubles) like any broadcast dimension — the train loop is nIters
+    * assign+average jobs over the index, never a collect of the data. */
+  def ivfCentroids(index: DataFrame, embCol: String, idCol: String,
+      nLists: Int, nIters: Int = 2): Array[Array[Double]] = {
+    val dim = index.select(size(col(embCol))).head.getInt(0)
+    var cents: Array[Array[Double]] = index
+      .orderBy(col(idCol)).limit(nLists)
+      .select(col(embCol)).collect()
+      .map(r => normalized(r.getSeq[Float](0).map(_.toDouble).toArray))
+    for (_ <- 1 to nIters) {
+      val means = index
+        .select(nearestListExpr(col(embCol), cents).as("list_id"),
+          posexplode(col(embCol)).as(Seq("pos", "v")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(avg(col("v").cast("double")).as("m"))
+        .collect()
+      val next = Array.tabulate(cents.length)(i => cents(i).clone())
+      means.groupBy(_.getInt(0)).foreach { case (cid, rows) =>
+        val c = new Array[Double](dim)
+        rows.foreach(r => c(r.getInt(1)) = r.getDouble(2))
+        next(cid) = normalized(c)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Index side: embeddings + assigned list id. In production this is a
+    * build job whose output is partitioned by list_id (partition pruning at
+    * probe time); here it composes inline for oracle-checkable queries. */
+  def ivfAssign(index: DataFrame, embCol: String,
+      cents: Array[Array[Double]]): DataFrame =
+    index.withColumn("list_id", nearestListExpr(col(embCol), cents))
+
+  /** IVF top-k: probe the nProbe centroid lists nearest the query, exact
+    * cosine within candidates. nProbe == cents.length ⇒ exact search. */
+  def ivfTopK(index: DataFrame, embCol: String, idCol: String,
+      query: Array[Float], k: Int, cents: Array[Array[Double]],
+      nProbe: Int): DataFrame = {
+    val qd = query.map(_.toDouble)
+    val probes = cents.zipWithIndex
+      .map { case (c, i) => (c.zip(qd).map { case (a, b) => a * b }.sum, i) }
+      .sortBy { case (s, i) => (-s, i) }
+      .take(nProbe).map(_._2)
+    val qv = array(query.map(lit): _*)
+    ivfAssign(index, embCol, cents)
+      .filter(col("list_id").isInCollection(probes))
+      .select(col(idCol),
+        round(graft.functions.CosineSimilarity(col(embCol), qv), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
 }

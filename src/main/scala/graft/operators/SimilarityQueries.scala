@@ -92,9 +92,36 @@ object SimilarityQueries {
       concat_ws("\n\n", collect_list(col("text"))).as("context"))
   }
 
+  /** q62: IVF-ANN top-10 in its exact configuration (nProbe == nLists ⇒
+    * every list probed ⇒ identical to brute force, so the DuckDB oracle
+    * checks the whole IVF path: k-means train, list assignment, probe
+    * ranking, in-list exact cosine). Recall at nProbe < nLists is covered by
+    * IvfSpec. */
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val qvec = e.filter(col("vec_id") === 1)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    val cents = Similarity.ivfCentroids(e, "embedding", "vec_id", 8, 2)
+    Similarity.ivfTopK(e, "embedding", "vec_id", qvec, 10, cents, nProbe = 8)
+  }
+
+  private val q62Sql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+      |s AS (SELECT vec_id,
+      |    list_sum(list_transform(list_zip(embedding, qe),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+      |    sqrt(list_sum(list_transform(qe,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+      |  FROM embeddings, q)
+      |SELECT vec_id, round(dot / (na * nb), 4) AS sim
+      |FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q40_knn_cosine", q40, Some(q40Sql), bench = true),
     QueryDef("q41_label_centroids", q41, Some(q41Sql)),
     QueryDef("q42_embed_documents", q42, None),
-    QueryDef("q43_rag_retrieve", q43, None))
+    QueryDef("q43_rag_retrieve", q43, None),
+    QueryDef("q62_ivf_knn", q62, Some(q62Sql)))
 }
