@@ -23,8 +23,11 @@ object SessionStream {
   val gapMs: Long = 30 * 60 * 1000
 
   /** Per-user session folding: events arrive (within a batch) unordered, so
-    * sort by ts; emit every closed session, keep the open one in state. */
-  def foldSessions(userId: Long, events: Iterator[Event],
+    * sort by ts; emit every closed session, keep the open one in state.
+    * With `eventTimeTimeout`, the open session arms a timeout at last+gap so
+    * the watermark closes tails (see sessionsWithTimeout). */
+  def foldSessionsImpl(eventTimeTimeout: Boolean)(userId: Long,
+      events: Iterator[Event],
       state: GroupState[OpenSession]): Iterator[SessionOut] = {
     val sorted = events.toSeq.sortBy(_.ts.getTime)
     var open = state.getOption
@@ -47,10 +50,17 @@ object SessionStream {
         new Timestamp(s.last), s.n, s.total))
       state.remove()
     } else {
-      open.foreach(state.update)
+      open.foreach { s =>
+        state.update(s)
+        if (eventTimeTimeout) state.setTimeoutTimestamp(s.last + gapMs)
+      }
     }
     out.result().iterator
   }
+
+  def foldSessions(userId: Long, events: Iterator[Event],
+      state: GroupState[OpenSession]): Iterator[SessionOut] =
+    foldSessionsImpl(eventTimeTimeout = false)(userId, events, state)
 
   /** Streaming session aggregation over an events stream. NoTimeout by
     * default: the open tail session per user stays in state (a live deploy
@@ -63,5 +73,21 @@ object SessionStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(foldSessions)
+  }
+
+  /** Live-deploy variant: EventTimeTimeout + watermark closes open tail
+    * sessions once the watermark passes last+gap — the output converges to
+    * exactly the batch sessionization (q27) when the source drains. Spark
+    * runs a no-data batch after the watermark advances, which is what fires
+    * the timeouts. State stays O(users), eviction is watermark-bounded. */
+  def sessionsWithTimeout(spark: SparkSession, events: DataFrame,
+      watermark: String = "0 seconds"): Dataset[SessionOut] = {
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("value")).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        foldSessionsImpl(eventTimeTimeout = true))
   }
 }
