@@ -240,6 +240,42 @@ object ScaleQueries {
       |      FROM orders)
       |GROUP BY 1, 2""".stripMargin
 
+  /** q63: salted shuffle join (skew mitigation) — result must be identical
+    * to the plain equi-join, so the oracle is the unsalted SQL. Aggregated
+    * output keeps the check small while covering the join body. */
+  private def q63(s: SparkSession, d: String): DataFrame = {
+    val supp = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    SkewJoin.saltedInnerJoin(li(s, d), supp, Seq("l_suppkey"), saltFactor = 8)
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("long").as("qty"))
+  }
+
+  private val q63Sql =
+    """SELECT s_name, count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS qty
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name""".stripMargin
+
+  /** q64: hot-key-split join (broadcast path for hot keys, shuffle path for
+    * the cold tail) — same oracle-identity property as q63. Hot keys here
+    * are the busiest order keys by line count. */
+  private def q64(s: SparkSession, d: String): DataFrame = {
+    val o = ord(s, d).select(col("o_orderkey").as("l_orderkey"),
+      col("o_orderpriority"))
+    SkewJoin.hotKeySplitJoin(li(s, d), o, "l_orderkey",
+        hotKeys = Seq(1L, 7L, 42L, 4242L))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("rev"))
+  }
+
+  private val q64Sql =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  round(sum(l_extendedprice), 2) AS rev
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q52_asof_join", q52, Some(q52Sql), bench = true),
     QueryDef("q53_deciles", q53, Some(q53Sql)),
@@ -250,5 +286,7 @@ object ScaleQueries {
     QueryDef("q58_full_outer", q58, Some(q58Sql)),
     QueryDef("q59_dense_grid", q59, Some(q59Sql)),
     QueryDef("q60_array_funcs", q60, Some(q60Sql)),
-    QueryDef("q61_date_arith", q61, Some(q61Sql)))
+    QueryDef("q61_date_arith", q61, Some(q61Sql)),
+    QueryDef("q63_salted_join", q63, Some(q63Sql)),
+    QueryDef("q64_hotkey_join", q64, Some(q64Sql)))
 }
