@@ -110,6 +110,39 @@ object TextQueries {
   private def q36(s: SparkSession, d: String): DataFrame =
     Dedup.simhashDupPairs(docs(s, d), maxHamming = 3, numChunks = 4)
 
+  /** q65: TF-IDF (the IR-classic two-level aggregation): term frequency per
+    * (doc, word), document frequency per word, corpus size broadcast in as a
+    * one-row cross join — no driver-side collect in the lineage. Two
+    * shuffles ((doc,word) then word), both map-side combinable. */
+  private def q65(s: SparkSession, d: String): DataFrame = {
+    val tf = docs(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs(s, d).agg(countDistinct(col("doc_id")).as("n_docs"))
+    tf.join(dfreq, "word").crossJoin(broadcast(n))
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id"), col("word"), col("tf"),
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 4)
+          .as("tfidf"))
+  }
+
+  private val q65Sql =
+    """WITH tf AS (SELECT doc_id, word, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+      |SELECT t.doc_id, t.word, t.tf,
+      |  round(CAST(t.tf AS DOUBLE) *
+      |        ln(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)), 4) AS tfidf
+      |FROM tf t JOIN dfreq d USING (word) CROSS JOIN n
+      |WHERE t.doc_id < 10""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q30_token_stats", q30, Some(q30Sql), bench = true),
     QueryDef("q31_word_freq", q31, Some(q31Sql), bench = true),
@@ -117,5 +150,6 @@ object TextQueries {
     QueryDef("q33_quality_score", q33, Some(q33Sql)),
     QueryDef("q34_jaccard_dupes", q34, Some(dupPairsSql)),
     QueryDef("q35_minhash_dupes", q35, Some(dupPairsSql), bench = true),
-    QueryDef("q36_simhash_dupes", q36, None))
+    QueryDef("q36_simhash_dupes", q36, None),
+    QueryDef("q65_tfidf", q65, Some(q65Sql)))
 }
