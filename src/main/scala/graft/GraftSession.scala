@@ -18,6 +18,7 @@ object GraftSession {
 
   def configure(b: SparkSession.Builder, cpus: String, appName: String): SparkSession.Builder =
     b.appName(appName)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -118,10 +118,43 @@ object SimilarityQueries {
       |SELECT vec_id, round(dot / (na * nb), 4) AS sim
       |FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
+  /** q66: the SQL surface end-to-end — the session-injected native
+    * expressions (`cosine_sim`, `word_ngrams`, registered by
+    * GraftExtensions via spark.sql.extensions) used from spark.sql text,
+    * oracle-checked. Covers: extension injection, SQL function resolution,
+    * and the same math as the DataFrame path. */
+  private def q66(s: SparkSession, d: String): DataFrame = {
+    emb(s, d).createOrReplaceTempView("emb_sql")
+    docs(s, d).createOrReplaceTempView("docs_sql")
+    s.sql(
+      """SELECT d.doc_id,
+        |  size(word_ngrams(d.text, 3)) AS n_shingles,
+        |  round(cosine_sim(e.embedding, q.qe), 4) AS sim
+        |FROM docs_sql d
+        |JOIN emb_sql e ON d.doc_id = e.vec_id
+        |CROSS JOIN (SELECT embedding AS qe FROM emb_sql WHERE vec_id = 0) q
+        |WHERE d.doc_id < 20""".stripMargin)
+  }
+
+  private val q66Sql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT d.doc_id,
+      |  CASE WHEN len(string_split(d.text, ' ')) >= 3
+      |       THEN len(string_split(d.text, ' ')) - 2 ELSE 0 END AS n_shingles,
+      |  round(list_sum(list_transform(list_zip(e.embedding, q.qe),
+      |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |        / (sqrt(list_sum(list_transform(e.embedding,
+      |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |           * sqrt(list_sum(list_transform(q.qe,
+      |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
+      |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN q
+      |WHERE d.doc_id < 20""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q40_knn_cosine", q40, Some(q40Sql), bench = true),
     QueryDef("q41_label_centroids", q41, Some(q41Sql)),
     QueryDef("q42_embed_documents", q42, None),
     QueryDef("q43_rag_retrieve", q43, None),
-    QueryDef("q62_ivf_knn", q62, Some(q62Sql)))
+    QueryDef("q62_ivf_knn", q62, Some(q62Sql)),
+    QueryDef("q66_sql_surface", q66, Some(q66Sql)))
 }

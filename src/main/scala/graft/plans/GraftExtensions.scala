@@ -1,15 +1,16 @@
 package graft.plans
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, WordNgrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SparkSessionExtensions entry point: registers the engine's native
-  * expressions for SQL use (`SELECT cosine_sim(a, b)`). Install with
-  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  * expressions for SQL use (`SELECT cosine_sim(a, b)`,
+  * `SELECT word_ngrams(text, 3)`). Installed session-wide by
+  * `GraftSession.configure` via `spark.sql.extensions`; also usable with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -17,5 +18,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("cosine_sim"),
         new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
         (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    e.injectFunction(
+      (FunctionIdentifier("word_ngrams"),
+        new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+        (args: Seq[Expression]) => args(1) match {
+          case Literal(n: Int, _) => WordNgrams(args(0), n)
+          case other => throw new IllegalArgumentException(
+            s"word_ngrams(text, n): n must be an integer literal, got $other")
+        }))
   }
 }
