@@ -225,6 +225,41 @@ object AdvancedQueries {
       |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** q67: the streaming sessionizer run as a real Structured Streaming
+    * drain (file source → flatMapGroupsWithState → memory sink),
+    * oracle-checked: with NoTimeout, an emitted session is exactly one
+    * closed by data — every session except each user's last — which is
+    * boundary-free in ANSI SQL (watermark-timeout closing is covered by
+    * SessionStreamSpec instead; its ms-granular boundary can't be
+    * reproduced exactly in SQL). Session times are epoch micros; total
+    * value is excluded on purpose: min/max/count are accumulation-order-
+    * exact, double sums are not. */
+  private def q67(s: SparkSession, d: String): DataFrame = {
+    val streaming = graft.streaming.SessionStream.sessions(s,
+      graft.streaming.EventsStream.readEventsDir(s, d))
+      .toDF()
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+    graft.streaming.EventsStream.runToMemory(s, streaming, "q67_sessions")
+  }
+
+  private val q67Sql =
+    """WITH o AS (SELECT user_id, event_id, ts,
+      |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |           FROM events),
+      |s AS (SELECT user_id, ts,
+      |        sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+      |            THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |      FROM o),
+      |agg AS (SELECT user_id, sid, epoch_us(min(ts)) AS start_us,
+      |          epoch_us(max(ts)) AS end_us, count(*) AS n_events
+      |        FROM s GROUP BY 1, 2)
+      |SELECT user_id, start_us, end_us, n_events
+      |FROM (SELECT a.*, max(sid) OVER (PARTITION BY user_id) AS max_sid
+      |      FROM agg a)
+      |WHERE sid < max_sid""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q27_sessionize", q27, Some(q27Sql), bench = true),
     QueryDef("q28_stats_agg", q28, Some(q28Sql)),
@@ -236,5 +271,6 @@ object AdvancedQueries {
     QueryDef("q48_langid", q48, None),
     QueryDef("q49_above_part_avg", q49, Some(q49Sql)),
     QueryDef("q50_trade_volume", q50, Some(q50Sql), bench = true),
-    QueryDef("q51_status_pivot", q51, Some(q51Sql)))
+    QueryDef("q51_status_pivot", q51, Some(q51Sql)),
+    QueryDef("q67_stream_sessions", q67, Some(q67Sql)))
 }

@@ -30,6 +30,16 @@ object EventsStream {
       .parquet(pathGlob)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  /** Streaming read of `events.parquet` inside a multi-table directory
+    * (file sources require a directory path; pathGlobFilter selects the one
+    * table file). */
+  def readEventsDir(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
   /** ST4: watermarked keyed dedup — duplicates within the watermark horizon
     * are dropped by event_id (the reference's URL-keyed upsert semantics). */
   def dedup(events: DataFrame, watermark: String = "1 day"): DataFrame =

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.sql.Timestamp
-
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -12,15 +10,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * session (bounded); closed sessions are emitted when the inactivity gap is
   * exceeded within a batch or on timeout. At scale this is one shuffle on
   * user_id and O(users) state, watermark-bounded.
+  *
+  * Time is carried as epoch MICROSECONDS (long) end-to-end:
+  * java.sql.Timestamp would truncate the parquet micros to millis, breaking
+  * the exact-oracle property of q67_stream_sessions.
   */
 object SessionStream {
 
-  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  /** ts carries the watermarked TimestampType column through to the
+    * stateful operator (EventTimeTimeout's analyzer check needs it in
+    * scope); the session logic itself uses only the exact micros ts_us. */
+  final case class Event(user_id: Long, ts_us: Long, value: Double,
+      ts: java.sql.Timestamp)
   final case class OpenSession(start: Long, last: Long, n: Int, total: Double)
-  final case class SessionOut(user_id: Long, start: Timestamp, end: Timestamp,
+  final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
       n_events: Int, total_value: Double)
 
-  val gapMs: Long = 30 * 60 * 1000
+  val gapUs: Long = 30L * 60 * 1000000
 
   /** Per-user session folding: events arrive (within a batch) unordered, so
     * sort by ts; emit every closed session, keep the open one in state.
@@ -29,30 +35,29 @@ object SessionStream {
   def foldSessionsImpl(eventTimeTimeout: Boolean)(userId: Long,
       events: Iterator[Event],
       state: GroupState[OpenSession]): Iterator[SessionOut] = {
-    val sorted = events.toSeq.sortBy(_.ts.getTime)
+    val sorted = events.toSeq.sortBy(_.ts_us)
     var open = state.getOption
     val out = Seq.newBuilder[SessionOut]
     sorted.foreach { e =>
-      val t = e.ts.getTime
+      val t = e.ts_us
       open match {
-        case Some(s) if t - s.last <= gapMs =>
+        case Some(s) if t - s.last <= gapUs =>
           open = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
         case Some(s) =>
-          out += SessionOut(userId, new Timestamp(s.start), new Timestamp(s.last),
-            s.n, s.total)
+          out += SessionOut(userId, s.start, s.last, s.n, s.total)
           open = Some(OpenSession(t, t, 1, e.value))
         case None =>
           open = Some(OpenSession(t, t, 1, e.value))
       }
     }
     if (state.hasTimedOut) {
-      open.foreach(s => out += SessionOut(userId, new Timestamp(s.start),
-        new Timestamp(s.last), s.n, s.total))
+      open.foreach(s => out += SessionOut(userId, s.start, s.last, s.n, s.total))
       state.remove()
     } else {
       open.foreach { s =>
         state.update(s)
-        if (eventTimeTimeout) state.setTimeoutTimestamp(s.last + gapMs)
+        // GroupState timeouts are millisecond-granular
+        if (eventTimeTimeout) state.setTimeoutTimestamp((s.last + gapUs) / 1000)
       }
     }
     out.result().iterator
@@ -62,6 +67,12 @@ object SessionStream {
       state: GroupState[OpenSession]): Iterator[SessionOut] =
     foldSessionsImpl(eventTimeTimeout = false)(userId, events, state)
 
+  private def toEvents(spark: SparkSession, events: DataFrame): Dataset[Event] = {
+    import spark.implicits._
+    events.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+      col("value"), col("ts")).as[Event]
+  }
+
   /** Streaming session aggregation over an events stream. NoTimeout by
     * default: the open tail session per user stays in state (a live deploy
     * closes tails with EventTimeTimeout + watermark; ProcessingTimeTimeout
@@ -69,7 +80,7 @@ object SessionStream {
     * which never lets processAllAvailable-style drains finish). */
   def sessions(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {
     import spark.implicits._
-    events.select(col("user_id"), col("ts"), col("value")).as[Event]
+    toEvents(spark, events)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(foldSessions)
@@ -83,8 +94,7 @@ object SessionStream {
   def sessionsWithTimeout(spark: SparkSession, events: DataFrame,
       watermark: String = "0 seconds"): Dataset[SessionOut] = {
     import spark.implicits._
-    events.withWatermark("ts", watermark)
-      .select(col("user_id"), col("ts"), col("value")).as[Event]
+    toEvents(spark, events.withWatermark("ts", watermark))
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(

@@ -29,7 +29,7 @@ class SessionStreamSpec extends AnyFunSuite {
     assert(emitted == batchTotal - users,
       s"emitted=$emitted batchTotal=$batchTotal users=$users")
     // per-session invariants
-    val bad = got.filter(col("n_events") <= 0 || col("end") < col("start")).count()
+    val bad = got.filter(col("n_events") <= 0 || col("end_us") < col("start_us")).count()
     assert(bad == 0)
   }
 
