@@ -276,6 +276,48 @@ object ScaleQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** Typed row for q68 (SURVEY §1.4: `Dataset[T]` where type safety helps). */
+  final case class LineRevenue(l_returnflag: String, l_extendedprice: Double,
+      l_discount: Double)
+
+  /** Typed revenue sum as an `Aggregator` — unlike `mapGroups`, an
+    * Aggregator keeps map-side partial aggregation (reduce/merge), so the
+    * typed path costs the same shuffle as the untyped one. */
+  private object RevenueAgg
+      extends org.apache.spark.sql.expressions.Aggregator[LineRevenue, Double, Double] {
+    def zero: Double = 0.0
+    def reduce(acc: Double, r: LineRevenue): Double =
+      acc + r.l_extendedprice * (1.0 - r.l_discount)
+    def merge(a: Double, b: Double): Double = a + b
+    def finish(acc: Double): Double = acc
+    def bufferEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+    def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+  }
+
+  /** q68: the typed Dataset API surface — case-class rows, typed filter,
+    * groupByKey + typed Aggregator — oracle-checked like any untyped query.
+    * Revenue is rounded to whole units: the typed fold's accumulation order
+    * differs from SQL sum's, so cents-level doubles can split. */
+  private def q68(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    li(s, d).select(col("l_returnflag"), col("l_extendedprice"), col("l_discount"))
+      .as[LineRevenue]
+      .filter((r: LineRevenue) => r.l_discount > 0.02)
+      .groupByKey(_.l_returnflag)
+      .agg(RevenueAgg.toColumn.name("revenue"))
+      .select(col("key").as("l_returnflag"),
+        round(col("revenue"), 0).cast("long").as("rev_units"))
+  }
+
+  private val q68Sql =
+    """SELECT l_returnflag,
+      |  CAST(round(sum(l_extendedprice * (1.0 - l_discount)), 0) AS BIGINT)
+      |    AS rev_units
+      |FROM lineitem WHERE l_discount > 0.02
+      |GROUP BY l_returnflag""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q52_asof_join", q52, Some(q52Sql), bench = true),
     QueryDef("q53_deciles", q53, Some(q53Sql)),
@@ -288,5 +330,6 @@ object ScaleQueries {
     QueryDef("q60_array_funcs", q60, Some(q60Sql)),
     QueryDef("q61_date_arith", q61, Some(q61Sql)),
     QueryDef("q63_salted_join", q63, Some(q63Sql)),
-    QueryDef("q64_hotkey_join", q64, Some(q64Sql)))
+    QueryDef("q64_hotkey_join", q64, Some(q64Sql)),
+    QueryDef("q68_typed_agg", q68, Some(q68Sql)))
 }
