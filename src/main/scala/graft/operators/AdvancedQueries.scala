@@ -164,12 +164,37 @@ object AdvancedQueries {
 
   /** q48: language-ID over the documents corpus — prediction distribution
     * vs the synthetic label (the corpus is English-ish word salad, so this
-    * exercises the operator shape, not linguistic accuracy). Rows-only. */
+    * exercises the operator shape, not linguistic accuracy). Oracle-checked:
+    * the stopword-profile scores are integer-ratio doubles (exact in both
+    * engines) and the argmax tiebreak (larger language code wins, matching
+    * array_max over (score, lang) structs) is a CASE cascade in SQL. */
   private def q48(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("lang"), LangId.predict(col("text")).as("pred"))
       .groupBy(col("lang"), col("pred"))
       .agg(count(lit(1)).as("n"))
+
+  private val q48Sql: String = {
+    def lst(l: String) =
+      LangId.profiles(l).map(w => s"'$w'").mkString("[", ", ", "]")
+    val scores = LangId.profiles.keys.toSeq.sorted.map { l =>
+      s"""CAST(len(list_filter(ws, w -> list_contains(${lst(l)}, w))) AS DOUBLE)
+        |      / greatest(len(ws), 1) AS s_$l""".stripMargin
+    }.mkString(",\n      |    ")
+    // tiebreak: array_max over (score, lang) structs picks the larger lang
+    // code on score ties → test languages in reverse-lexicographic order
+    s"""WITH sc AS (SELECT lang,
+      |    $scores
+      |  FROM (SELECT lang, string_split(lower(text), ' ') AS ws FROM documents))
+      |SELECT lang,
+      |  CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+      |       WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+      |       WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+      |       WHEN s_en >= s_de THEN 'en'
+      |       ELSE 'de' END AS pred,
+      |  count(*) AS n
+      |FROM sc GROUP BY 1, 2""".stripMargin
+  }
 
   /** q50: bilateral trade volume (TPC-H Q7 shape): supplier nation ×
     * customer nation pairs, yearly revenue — two broadcast dim joins feeding
@@ -268,7 +293,7 @@ object AdvancedQueries {
     QueryDef("q45_embedding_neardup", q45, Some(q45Sql)),
     QueryDef("q46_fts_postings", q46, Some(q46Sql)),
     QueryDef("q47_media_features", q47, None),
-    QueryDef("q48_langid", q48, None),
+    QueryDef("q48_langid", q48, Some(q48Sql)),
     QueryDef("q49_above_part_avg", q49, Some(q49Sql)),
     QueryDef("q50_trade_volume", q50, Some(q50Sql), bench = true),
     QueryDef("q51_status_pivot", q51, Some(q51Sql)),

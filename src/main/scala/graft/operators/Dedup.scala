@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline north star:
@@ -90,19 +90,34 @@ object Dedup {
       .select(round(j, 4).as("jr"), col("da"), col("db"))
   }
 
-  /** 64-bit SimHash over the document's words: per set bit, majority vote of
-    * the words' xxhash64 bits. Computed with explode + bitwise aggs — no UDF. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val wordHash = docs
+  /** Cross-engine-reproducible word hash: a 31-bit polynomial fold over the
+    * character codes, `h = (h*31 + code) mod (2^31-1)`. Weaker mixing than
+    * xxhash64 but expressible identically in ANSI-ish SQL (DuckDB
+    * list_reduce), which puts the whole simhash pipeline under the oracle
+    * gate (q69). */
+  def portableWordHash(w: Column): Column =
+    aggregate(
+      transform(split(w, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % 2147483647L)
+
+  /** SimHash over the document's words: per bit, majority vote of the
+    * words' hash bits. Computed with explode + bitwise aggs — no UDF.
+    * Default hash is xxhash64 over all 64 bits (the scale path);
+    * `portableWordHash`/31 bits is the oracle-checkable configuration. */
+  def simhash(docs: DataFrame,
+      wordHash: Column => Column = xxhash64(_),
+      numBits: Int = 64): DataFrame = {
+    val hashed = docs
       .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      .select(col("doc_id"), wordHash(col("w")).as("h"))
     // For each bit b: sum of (+1 if bit set else -1); simhash bit = sign.
-    val bitCols = (0 until 64).map { b =>
+    val bitCols = (0 until numBits).map { b =>
       sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"b$b")
     }
-    val votes = wordHash.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-    val hashExpr = (0 until 64).map { b =>
+    val votes = hashed.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val hashExpr = (0 until numBits).map { b =>
       when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
     votes.select(col("doc_id"), hashExpr.as("simhash"))
@@ -116,9 +131,11 @@ object Dedup {
     * at the cost of smaller buckets (n/2^bits per value) producing more
     * candidate pairs at very large corpora. */
   def simhashDupPairs(docs: DataFrame, maxHamming: Int = 3,
-      numChunks: Int = 4): DataFrame = {
-    val sh = simhash(docs)
-    val bits = 64 / numChunks
+      numChunks: Int = 4,
+      wordHash: Column => Column = xxhash64(_),
+      numBits: Int = 64): DataFrame = {
+    val sh = simhash(docs, wordHash, numBits)
+    val bits = (numBits + numChunks - 1) / numChunks
     val mask = (1L << bits) - 1
     val chunks = (0 until numChunks).map { c =>
       struct(lit(c).as("chunk"),

@@ -143,6 +143,45 @@ object TextQueries {
       |FROM tf t JOIN dfreq d USING (word) CROSS JOIN n
       |WHERE t.doc_id < 10""".stripMargin
 
+  /** q69: the SimHash dedup pipeline under the oracle gate — same banding/
+    * verify machinery as q36 but with the cross-engine-reproducible 31-bit
+    * polynomial word hash, so DuckDB reproduces the simhashes bit-for-bit
+    * (votes → sign bits → 8-bit chunk banding → hamming verify). */
+  private def q69(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashDupPairs(docs(s, d), maxHamming = 3, numChunks = 4,
+        wordHash = Dedup.portableWordHash, numBits = 31)
+      .select(col("da"), col("db"), col("hamming").cast("int").as("hamming"))
+
+  private val q69Sql: String = {
+    val votes = (0 until 31)
+      .map(b => s"sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n      |          ")
+    val rebuild = (0 until 31)
+      .map(b => s"(CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+      .mkString(" +\n      |          ")
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |           FROM documents),
+      |h AS (SELECT doc_id,
+      |        list_reduce(list_transform(string_split(word, ''),
+      |          c -> CAST(ascii(c) AS BIGINT)),
+      |          (a, c) -> (a * 31 + c) % 2147483647) AS hv
+      |      FROM w),
+      |v AS (SELECT doc_id,
+      |          $votes
+      |      FROM h GROUP BY doc_id),
+      |s AS (SELECT doc_id,
+      |          $rebuild AS sh
+      |      FROM v),
+      |cb AS (SELECT doc_id, sh, chunk, (sh >> (chunk * 8)) & 255 AS cv
+      |       FROM s, (SELECT unnest([0, 1, 2, 3]) AS chunk)),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, a.sh AS ha,
+      |                b.doc_id AS db, b.sh AS hb
+      |         FROM cb a JOIN cb b
+      |           ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id)
+      |SELECT da, db, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q30_token_stats", q30, Some(q30Sql), bench = true),
     QueryDef("q31_word_freq", q31, Some(q31Sql), bench = true),
@@ -151,5 +190,6 @@ object TextQueries {
     QueryDef("q34_jaccard_dupes", q34, Some(dupPairsSql)),
     QueryDef("q35_minhash_dupes", q35, Some(dupPairsSql), bench = true),
     QueryDef("q36_simhash_dupes", q36, None),
-    QueryDef("q65_tfidf", q65, Some(q65Sql)))
+    QueryDef("q65_tfidf", q65, Some(q65Sql)),
+    QueryDef("q69_simhash_portable", q69, Some(q69Sql)))
 }
