@@ -83,12 +83,23 @@ object AdvancedQueries {
       |      FROM events)
       |GROUP BY event_type""".stripMargin
 
-  /** q44: approx distinct (HLL sketch, SURVEY §2.5 A6 scale path) alongside
-    * the exact count — rows-only (the sketch estimate is engine-specific). */
+  /** q44: approx distinct (HLL sketch, SURVEY §2.5 A6 scale path) checked
+    * as an accuracy contract: the sketch value itself is engine-specific,
+    * but "estimate within 5% of exact" is deterministic (the sketch is
+    * deterministic for fixed data), so the oracle asserts exact count +
+    * contract-held. */
   private def q44(s: SparkSession, d: String): DataFrame =
     li(s, d).agg(
-      countDistinct(col("l_partkey")).as("exact_parts"),
-      approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .select(col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) /
+          col("exact_parts") <= 0.05).cast("int").as("approx_within_5pct"))
+
+  private val q44Sql =
+    """SELECT count(DISTINCT l_partkey) AS exact_parts,
+      |  1 AS approx_within_5pct
+      |FROM lineitem""".stripMargin
 
   /** q45: embedding-cosine near-dup pairs (north-star dedup family) —
     * brute-force oracle baseline; the scale path reuses Similarity's LSH
@@ -151,6 +162,46 @@ object AdvancedQueries {
       |FROM lineitem l
       |WHERE l_quantity > 1.2 * (SELECT avg(l_quantity) FROM lineitem
       |                          WHERE l_partkey = l.l_partkey)""".stripMargin
+
+  /** q70: binary-column handling under the oracle gate — text encoded to a
+    * BinaryType payload (the multimodal column type), then byte length and
+    * content digest computed on the binary value; DuckDB reproduces both
+    * (md5 of the utf-8 string bytes == md5 of the payload). Complements
+    * q47, whose stubbed decode stays rows-only. */
+  private def q70(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        length(col("payload")).as("byte_len"),
+        md5(col("payload")).as("digest"))
+
+  private val q70Sql =
+    """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+      |  md5(text) AS digest
+      |FROM documents""".stripMargin
+
+  /** q71: date-partitioned lake round-trip (K1 sink + O1 partition pruning
+    * in one oracle-gated query): events written partitionBy(ingest_date),
+    * read back with a partition filter — the scan touches one date
+    * directory, and the result must equal DuckDB filtering the original
+    * table. Output columns are exact (counts + id min/max). */
+  private def q71(s: SparkSession, d: String): DataFrame = {
+    val lake = "/tmp/graft_q71_lake"
+    ev(s, d).withColumn("ingest_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("ingest_date").parquet(lake)
+    s.read.parquet(lake)
+      .filter(col("ingest_date") === lit("2024-01-15").cast("date"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+  }
+
+  private val q71Sql =
+    """SELECT event_type, count(*) AS n, min(event_id) AS min_id,
+      |  max(event_id) AS max_id
+      |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+      |GROUP BY event_type""".stripMargin
 
   /** q47: multimodal feature extraction — synthetic binary media (decode is
     * a documented stub; the Spark-side schema/batching/shape is real).
@@ -289,7 +340,7 @@ object AdvancedQueries {
     QueryDef("q27_sessionize", q27, Some(q27Sql), bench = true),
     QueryDef("q28_stats_agg", q28, Some(q28Sql)),
     QueryDef("q29_json_extract", q29, Some(q29Sql)),
-    QueryDef("q44_approx_distinct", q44, None),
+    QueryDef("q44_approx_distinct", q44, Some(q44Sql)),
     QueryDef("q45_embedding_neardup", q45, Some(q45Sql)),
     QueryDef("q46_fts_postings", q46, Some(q46Sql)),
     QueryDef("q47_media_features", q47, None),
@@ -297,5 +348,7 @@ object AdvancedQueries {
     QueryDef("q49_above_part_avg", q49, Some(q49Sql)),
     QueryDef("q50_trade_volume", q50, Some(q50Sql), bench = true),
     QueryDef("q51_status_pivot", q51, Some(q51Sql)),
-    QueryDef("q67_stream_sessions", q67, Some(q67Sql)))
+    QueryDef("q67_stream_sessions", q67, Some(q67Sql)),
+    QueryDef("q70_binary_digest", q70, Some(q70Sql)),
+    QueryDef("q71_lake_roundtrip", q71, Some(q71Sql)))
 }
