@@ -42,6 +42,33 @@ final class FeatureHashEmbedder(override val dim: Int = 64) extends Embedder {
   }
 }
 
+/** Feature-hashing embedder with a cross-engine-reproducible hash (the
+  * 31-bit polynomial char fold, as Dedup.portableWordHash) and NO
+  * normalization: bucket sums stay exact integers, so the whole embedding —
+  * and every downstream cosine (scale-invariant, so retrieval semantics are
+  * unchanged) — is reproducible bit-for-bit in the DuckDB oracle
+  * (q72/q73). The murmur3 FeatureHashEmbedder remains the default
+  * production stub; this one exists to put the L1/L2 pipeline under the
+  * correctness gate. */
+final class PortableHashEmbedder(override val dim: Int = 64) extends Embedder {
+  override def embedBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+    val v = new Array[Float](dim)
+    t.split(" ").foreach { w =>
+      if (w.nonEmpty) {
+        var h = 0L
+        var i = 0
+        while (i < w.length) {
+          h = (h * 31 + w.charAt(i).toLong) % 2147483647L
+          i += 1
+        }
+        val idx = (h % dim).toInt
+        v(idx) += (if ((h / dim) % 2 == 0) 1f else -1f)
+      }
+    }
+    v
+  }
+}
+
 object EmbedOps {
   /** Append an `array<float>` embedding column, batching `batchSize` rows per
     * model call inside mapPartitions. */

@@ -150,11 +150,88 @@ object SimilarityQueries {
       |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id CROSS JOIN q
       |WHERE d.doc_id < 20""".stripMargin
 
+  /** DuckDB CTE reproducing PortableHashEmbedder's sparse bucket sums for a
+    * token stream `src(id, word)`: polynomial char-fold hash → bucket =
+    * h % 64, sign = ±1 from (h / 64) % 2, integer sums per (id, bucket). */
+  private def bucketSumsSql(src: String): String =
+    s"""SELECT id, hv % 64 AS bucket,
+      |        CAST(sum(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END)
+      |          AS BIGINT) AS s
+      |      FROM (SELECT id,
+      |              list_reduce(list_transform(string_split(word, ''),
+      |                c -> CAST(ascii(c) AS BIGINT)),
+      |                (a, c) -> (a * 31 + c) % 2147483647) AS hv
+      |            FROM ($src) WHERE word <> '')
+      |      GROUP BY 1, 2""".stripMargin
+
+  /** q72: the batched embedding operator (L1) under the oracle gate — the
+    * PortableHashEmbedder runs through the real mapPartitions batching path
+    * and its output is checked in exact integer space (two components plus
+    * the squared norm); DuckDB recomputes the sparse bucket sums from the
+    * raw text. */
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    val embedded = EmbedOps.embedText(
+      docs(s, d).select(col("doc_id"), col("text")),
+      "text", "embedding", new graft.llm.PortableHashEmbedder(64))
+    embedded.select(col("doc_id"),
+      element_at(col("embedding"), 1).cast("long").as("s0"),
+      element_at(col("embedding"), 32).cast("long").as("s31"),
+      aggregate(col("embedding"), lit(0L),
+        (acc, x) => acc + x.cast("long") * x.cast("long")).as("norm2"))
+  }
+
+  private val q72Sql =
+    s"""WITH sums AS (
+      |  ${bucketSumsSql("SELECT doc_id AS id, unnest(string_split(text, ' ')) AS word FROM documents")})
+      |SELECT id AS doc_id,
+      |  coalesce(max(CASE WHEN bucket = 0 THEN s END), 0) AS s0,
+      |  coalesce(max(CASE WHEN bucket = 31 THEN s END), 0) AS s31,
+      |  CAST(sum(s * s) AS BIGINT) AS norm2
+      |FROM sums GROUP BY 1""".stripMargin
+
+  /** q73: the RAG retrieval pipeline (§3.2: embed query → cosine top-k)
+    * oracle-checked end-to-end: the query string is embedded by the engine
+    * (driver-side, same embedder), documents through the batched path, and
+    * DuckDB independently recomputes BOTH embeddings from raw text via the
+    * portable hash. Integer bucket sums make every cosine double exact. */
+  private def q73(s: SparkSession, d: String): DataFrame = {
+    val embedder = new graft.llm.PortableHashEmbedder(64)
+    val qvec = embedder.embed(ragQuery)
+    val embedded = EmbedOps.embedText(
+      docs(s, d).select(col("doc_id"), col("text")),
+      "text", "embedding", embedder)
+    embedded.select(col("doc_id"),
+        round(graft.functions.CosineSimilarity(col("embedding"),
+          array(qvec.map(v => lit(v)): _*)), 4).as("simr"))
+      .orderBy(col("simr").desc, col("doc_id"))
+      .limit(3)
+  }
+
+  private val ragQuery = "the data pipeline model team"
+
+  private val q73Sql = {
+    val qWords = ragQuery.split(" ").map(w => s"('$w')").mkString(", ")
+    s"""WITH d AS (
+      |  ${bucketSumsSql("SELECT doc_id AS id, unnest(string_split(text, ' ')) AS word FROM documents")}),
+      |q AS (
+      |  ${bucketSumsSql(s"SELECT 0 AS id, word FROM (VALUES $qWords) t(word)")}),
+      |dn AS (SELECT id, sqrt(sum(s * s)) AS nm FROM d GROUP BY 1),
+      |qn AS (SELECT sqrt(sum(s * s)) AS nm FROM q),
+      |dot AS (SELECT d.id, sum(d.s * q.s) AS dp
+      |        FROM d JOIN q ON d.bucket = q.bucket GROUP BY 1)
+      |SELECT dn.id AS doc_id,
+      |  round(coalesce(dot.dp, 0) / (dn.nm * qn.nm), 4) AS simr
+      |FROM dn LEFT JOIN dot ON dn.id = dot.id, qn
+      |ORDER BY simr DESC, doc_id LIMIT 3""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q40_knn_cosine", q40, Some(q40Sql), bench = true),
     QueryDef("q41_label_centroids", q41, Some(q41Sql)),
     QueryDef("q42_embed_documents", q42, None),
     QueryDef("q43_rag_retrieve", q43, None),
     QueryDef("q62_ivf_knn", q62, Some(q62Sql)),
-    QueryDef("q66_sql_surface", q66, Some(q66Sql)))
+    QueryDef("q66_sql_surface", q66, Some(q66Sql)),
+    QueryDef("q72_embed_portable", q72, Some(q72Sql)),
+    QueryDef("q73_rag_portable", q73, Some(q73Sql)))
 }
