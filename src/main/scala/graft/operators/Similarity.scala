@@ -122,16 +122,47 @@ object Similarity {
       cents: Array[Array[Double]]): DataFrame =
     index.withColumn("list_id", nearestListExpr(col(embCol), cents))
 
+  /** Deployed-index form: persist the assigned table partitioned by
+    * list_id, so probing reads only the probed lists' directories
+    * (PartitionFilters at the scan — verified in IvfSpec). At 100 TB this
+    * is the difference between scanning nProbe/nLists of the corpus and
+    * scanning all of it. */
+  def writeIvfIndex(index: DataFrame, embCol: String,
+      cents: Array[Array[Double]], path: String): Unit =
+    ivfAssign(index, embCol, cents)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("list_id").parquet(path)
+
+  /** Probe a persisted IVF index: the list_id filter prunes partitions at
+    * the file index, before any data is read. */
+  def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      embCol: String, idCol: String, query: Array[Float], k: Int,
+      probes: Seq[Int]): DataFrame = {
+    val qv = array(query.map(lit): _*)
+    spark.read.parquet(path)
+      .filter(col("list_id").isInCollection(probes))
+      .select(col(idCol),
+        round(graft.functions.CosineSimilarity(col(embCol), qv), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Rank centroids by dot with the query; take the best nProbe list ids. */
+  def probeLists(query: Array[Float], cents: Array[Array[Double]],
+      nProbe: Int): Seq[Int] = {
+    val qd = query.map(_.toDouble)
+    cents.zipWithIndex
+      .map { case (c, i) => (c.zip(qd).map { case (a, b) => a * b }.sum, i) }
+      .sortBy { case (s, i) => (-s, i) }
+      .take(nProbe).map(_._2).toSeq
+  }
+
   /** IVF top-k: probe the nProbe centroid lists nearest the query, exact
     * cosine within candidates. nProbe == cents.length ⇒ exact search. */
   def ivfTopK(index: DataFrame, embCol: String, idCol: String,
       query: Array[Float], k: Int, cents: Array[Array[Double]],
       nProbe: Int): DataFrame = {
-    val qd = query.map(_.toDouble)
-    val probes = cents.zipWithIndex
-      .map { case (c, i) => (c.zip(qd).map { case (a, b) => a * b }.sum, i) }
-      .sortBy { case (s, i) => (-s, i) }
-      .take(nProbe).map(_._2)
+    val probes = probeLists(query, cents, nProbe)
     val qv = array(query.map(lit): _*)
     ivfAssign(index, embCol, cents)
       .filter(col("list_id").isInCollection(probes))

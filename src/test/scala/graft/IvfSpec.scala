@@ -44,6 +44,30 @@ class IvfSpec extends AnyFunSuite {
     assert(mean >= 0.5, s"mean recall@10 with 3/8 lists = $mean (per-query: $recalls)")
   }
 
+  test("persisted IVF index prunes partitions at probe time and matches inline results") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    val q = queryVec(5)
+    val cents = Similarity.ivfCentroids(e, "embedding", "vec_id", 8, 2)
+    Similarity.writeIvfIndex(e, "embedding", cents, dir)
+    val probes = Similarity.probeLists(q, cents, 3)
+    val probed = Similarity.probeIvfIndex(spark, dir, "embedding", "vec_id",
+      q, 10, probes)
+    // the list_id filter must reach the scan as a partition filter
+    // (pruned at the file index, not evaluated per row)
+    val planStr = probed.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("list_id"),
+      s"expected partition pruning in plan:\n$planStr")
+    // and results equal the inline (non-persisted) probe of the same lists
+    val inline = Similarity.ivfTopK(e, "embedding", "vec_id", q, 10, cents, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val persisted = probed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(persisted == inline)
+    // partitioned layout on disk: one directory per probed list
+    val dirs = new java.io.File(dir).listFiles.filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("list_id=")).toSet
+    assert(dirs.nonEmpty && dirs.subsetOf((0 until 8).map(i => s"list_id=$i").toSet))
+  }
+
   test("assignment covers every vector with a valid list id") {
     val cents = Similarity.ivfCentroids(e, "embedding", "vec_id", 8, 1)
     val assigned = Similarity.ivfAssign(e, "embedding", cents)
