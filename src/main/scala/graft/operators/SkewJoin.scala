@@ -25,6 +25,8 @@ object SkewJoin {
   def saltedInnerJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       saltFactor: Int, seed: Long = 42L): DataFrame = {
     require(saltFactor > 0)
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "saltedInnerJoin reserves the __salt column name")
     val l = left.withColumn("__salt", (rand(seed) * saltFactor).cast("int"))
     val r = right.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
@@ -38,6 +40,7 @@ object SkewJoin {
     * the shuffle join never sees the hot keys, so no task drowns. */
   def hotKeySplitJoin(left: DataFrame, right: DataFrame, key: String,
       hotKeys: Seq[Any]): DataFrame = {
+    if (hotKeys.isEmpty) return left.join(right, Seq(key))
     val hotL = left.filter(col(key).isin(hotKeys: _*))
     val coldL = left.filter(!col(key).isin(hotKeys: _*) || col(key).isNull)
     val hotR = right.filter(col(key).isin(hotKeys: _*))

@@ -59,6 +59,9 @@ object EventsStream {
     * materialized result from the memory sink. */
   def runToMemory(spark: SparkSession, streaming: DataFrame, name: String,
       outputMode: String = "append"): DataFrame = {
+    // a previous drain under the same name leaves its memory table behind;
+    // drop it so reruns in one session don't fail at start()
+    spark.catalog.dropTempView(name)
     val q = streaming.writeStream
       .format("memory").queryName(name).outputMode(outputMode)
       .start()
