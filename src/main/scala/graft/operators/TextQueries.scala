@@ -182,6 +182,27 @@ object TextQueries {
       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin
   }
 
+  /** BPE-style pretokenizer regex (GPT-2-shaped, simplified to the subset
+    * both Java regex and RE2 support — no lookaround): contraction tails,
+    * space-prefixed letter runs, digit runs, punctuation runs. */
+  private val bpeIshPattern = "'(?:ll|ve|re|[sdmt])| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ']+"
+
+  /** q74: token counting both ways the north star asks for — whitespace
+    * split and a BPE-ish pretokenizer regex — per document, plus the
+    * ratio's numerator/denominator kept exact (ints). */
+  private def q74(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      tokenCount(col("text")).as("n_ws"),
+      size(regexp_extract_all(col("text"), lit(bpeIshPattern), lit(0)))
+        .as("n_bpe"))
+
+  private val q74Sql = {
+    val sqlPat = bpeIshPattern.replace("'", "''")
+    s"""SELECT doc_id, len(string_split(text, ' ')) AS n_ws,
+      |  len(regexp_extract_all(text, '$sqlPat')) AS n_bpe
+      |FROM documents""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q30_token_stats", q30, Some(q30Sql), bench = true),
     QueryDef("q31_word_freq", q31, Some(q31Sql), bench = true),
@@ -191,5 +212,6 @@ object TextQueries {
     QueryDef("q35_minhash_dupes", q35, Some(dupPairsSql), bench = true),
     QueryDef("q36_simhash_dupes", q36, None),
     QueryDef("q65_tfidf", q65, Some(q65Sql)),
-    QueryDef("q69_simhash_portable", q69, Some(q69Sql)))
+    QueryDef("q69_simhash_portable", q69, Some(q69Sql)),
+    QueryDef("q74_bpe_tokens", q74, Some(q74Sql)))
 }
