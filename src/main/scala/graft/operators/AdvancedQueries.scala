@@ -203,6 +203,36 @@ object AdvancedQueries {
       |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
       |GROUP BY event_type""".stripMargin
 
+  /** q75: the batched media feature-extraction path (Multimodal
+    * .extractFeatures — mapPartitions over binary payloads, the real
+    * decode-batch shape) under the oracle gate: payloads are encoded
+    * document text, the decode is the digest-byte stub whose features are
+    * exact small integers, and DuckDB recomputes them from md5 hex pairs. */
+  private def q75(s: SparkSession, d: String): DataFrame = {
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    Multimodal.extractFeatures(media, decode = Multimodal.byteDecode)
+      .select(col("doc_id"),
+        element_at(col("features"), 1).cast("int").as("f0"),
+        element_at(col("features"), 2).cast("int").as("f1"),
+        element_at(col("features"), 3).cast("int").as("f2"),
+        element_at(col("features"), 4).cast("int").as("f3"))
+  }
+
+  private val q75Sql = {
+    // hex pair -> int via a 16-char index fold (strpos is 1-based)
+    def hexByte(pos: Int) =
+      s"""CAST(list_reduce(list_transform(string_split(substr(md5(text), $pos, 2), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, c) -> a * 16 + c) AS INTEGER)""".stripMargin
+    s"""SELECT doc_id,
+      |  ${hexByte(1)} AS f0,
+      |  ${hexByte(3)} AS f1,
+      |  ${hexByte(5)} AS f2,
+      |  ${hexByte(7)} AS f3
+      |FROM documents""".stripMargin
+  }
+
   /** q47: multimodal feature extraction — synthetic binary media (decode is
     * a documented stub; the Spark-side schema/batching/shape is real).
     * Output: per-kind feature aggregates. Rows-only. */
@@ -350,5 +380,6 @@ object AdvancedQueries {
     QueryDef("q51_status_pivot", q51, Some(q51Sql)),
     QueryDef("q67_stream_sessions", q67, Some(q67Sql)),
     QueryDef("q70_binary_digest", q70, Some(q70Sql)),
-    QueryDef("q71_lake_roundtrip", q71, Some(q71Sql)))
+    QueryDef("q71_lake_roundtrip", q71, Some(q71Sql)),
+    QueryDef("q75_media_extract", q75, Some(q75Sql)))
 }

@@ -38,16 +38,27 @@ object Multimodal {
     }.toArray
   }
 
+  /** Digest-byte decode with exact small-integer features (each in
+    * [0, 255], exactly representable as Float): the oracle-checkable stub —
+    * DuckDB recomputes the same values from md5 hex (q75). */
+  def byteDecode(payload: Array[Byte]): Array[Float] = {
+    val d = MessageDigest.getInstance("MD5").digest(payload)
+    d.take(4).map(b => (b & 0xff).toFloat)
+  }
+
   /** Feature extraction over a media DataFrame: partition-batched (the real
     * model call would amortize per batch exactly like EmbedOps), output =
-    * fixed-dim float features per row. */
-  def extractFeatures(media: DataFrame, batchSize: Int = 32): DataFrame = {
+    * fixed-dim float features per row. `decode` is the pluggable codec
+    * seam: stubDecode by default, byteDecode for the oracle-gated path, a
+    * real codec in production. */
+  def extractFeatures(media: DataFrame, batchSize: Int = 32,
+      decode: Array[Byte] => Array[Float] = stubDecode): DataFrame = {
     val schema = media.schema.add("features", ArrayType(FloatType))
     val idx = media.schema.fieldIndex("payload")
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // batch boundary = where a real decoder/model would be invoked once
-        val feats = batch.map(r => stubDecode(r.getAs[Array[Byte]](idx)))
+        val feats = batch.map(r => decode(r.getAs[Array[Byte]](idx)))
         batch.lazyZip(feats).map((r, f) => Row.fromSeq(r.toSeq :+ f.toSeq))
       }
     }(Encoders.row(schema))
