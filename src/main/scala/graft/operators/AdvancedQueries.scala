@@ -233,6 +233,28 @@ object AdvancedQueries {
       |FROM documents""".stripMargin
   }
 
+  /** q76: the watermarked streaming pipeline (ST2+ST4: keyed dedup +
+    * tumbling hourly windows, append mode) against a SQL oracle. With the
+    * 1-day watermark, append emits exactly the windows whose end the final
+    * watermark passed — `end <= max_ts - 1 day` in SQL. Safe here because
+    * window ends are hour-exact while the watermark is not (no boundary
+    * tie), and the corpus has no conflicting duplicate event_ids (checked),
+    * so the stateful dedup is deterministic. total_value (double sum) is
+    * excluded; counts are exact. */
+  private def q76(s: SparkSession, d: String): DataFrame = {
+    val hourly = graft.streaming.EventsStream.hourlyCounts(
+      graft.streaming.EventsStream.readEventsDir(s, d))
+      .select(col("h"), col("event_type"), col("n"))
+    graft.streaming.EventsStream.runToMemory(s, hourly, "q76_hourly")
+  }
+
+  private val q76Sql =
+    """WITH mx AS (SELECT max(ts) AS max_ts FROM events)
+      |SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+      |FROM events, mx
+      |GROUP BY 1, 2, max_ts
+      |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= max_ts - INTERVAL 1 DAY""".stripMargin
+
   /** q47: multimodal feature extraction — synthetic binary media (decode is
     * a documented stub; the Spark-side schema/batching/shape is real).
     * Output: per-kind feature aggregates. Rows-only. */
@@ -381,5 +403,6 @@ object AdvancedQueries {
     QueryDef("q67_stream_sessions", q67, Some(q67Sql)),
     QueryDef("q70_binary_digest", q70, Some(q70Sql)),
     QueryDef("q71_lake_roundtrip", q71, Some(q71Sql)),
-    QueryDef("q75_media_extract", q75, Some(q75Sql)))
+    QueryDef("q75_media_extract", q75, Some(q75Sql)),
+    QueryDef("q76_stream_hourly", q76, Some(q76Sql)))
 }
