@@ -23,6 +23,46 @@ class PropertySpec extends AnyFunSuite {
   private val textGen: Gen[String] =
     Gen.listOfN(12, wordGen).map(_.mkString(" "))
 
+  test("portable embedder matches an independent reimplementation on random text") {
+    val texts = samples(textGen, 80)
+    val emb = new graft.llm.PortableHashEmbedder(64)
+    def reference(t: String): Seq[Int] = {
+      val v = new Array[Int](64)
+      t.split(" ").filter(_.nonEmpty).foreach { w =>
+        val h = w.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 2147483647L)
+        v((h % 64).toInt) += (if ((h / 64) % 2 == 0) 1 else -1)
+      }
+      v.toSeq
+    }
+    texts.foreach { t =>
+      assert(emb.embed(t).map(_.toInt).toSeq == reference(t), s"text: $t")
+    }
+  }
+
+  test("salted join equals plain join for random salt factors") {
+    import spark.implicits._
+    val left = samples(Gen.chooseNum(0L, 20L), 200).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "lv")
+    val right = (0L to 20L).map(k => (k, s"r$k")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    Seq(1, 3, 8, 16).foreach { f =>
+      val salted = graft.operators.SkewJoin
+        .saltedInnerJoin(left, right, Seq("k"), f).collect()
+        .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      assert(salted == plain, s"saltFactor=$f")
+    }
+  }
+
+  test("as-of join invariant: matched view never succeeds its purchase") {
+    val q52 = SparkEntry.queries("q52_asof_join")(spark, TestSpark.sf0001)
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val bad = q52.join(ev, "purchase_id")
+      .filter(col("view_ts").isNotNull && col("view_ts") > col("p_ts"))
+    assert(bad.count() == 0)
+  }
+
   test("embedder: deterministic, unit-norm (or zero), cosine in [-1,1]") {
     val texts = samples(textGen, 50)
     texts.sliding(2).foreach { pair =>
