@@ -318,6 +318,54 @@ object ScaleQueries {
       |FROM lineitem WHERE l_discount > 0.02
       |GROUP BY l_returnflag""".stripMargin
 
+  /** q77: TPC-H Q22 shape — high-balance customers (above the positive-
+    * balance average, a scalar subquery) with no high-value orders (anti
+    * join; every customer in this corpus has SOME order, so the classic
+    * no-orders predicate would be vacuous). Cross-join broadcast of the
+    * one-row average; anti join against the filtered orders key set. */
+  private def q77(s: SparkSession, d: String): DataFrame = {
+    val c = cust(s, d)
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("ab"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(ord(s, d).filter(col("o_totalprice") > 450000)
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(substring(col("c_name"), -1, 1).as("suffix"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+  }
+
+  private val q77Sql =
+    """SELECT suffix, count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+      |FROM (SELECT c_custkey, c_acctbal,
+      |        substr(c_name, length(c_name), 1) AS suffix
+      |      FROM customer
+      |      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+      |                         WHERE c_acctbal > 0)
+      |        AND c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                              WHERE o_totalprice > 450000))
+      |GROUP BY suffix""".stripMargin
+
+  /** q78: TPC-H Q16 shape — supplier-count per part attribute group with a
+    * NOT-LIKE exclusion; distinct-count after a join (two shuffles, both
+    * partial-aggregated). */
+  private def q78(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .filter(!col("p_type").like("%_2%"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .filter(col("supplier_cnt") >= 5)
+
+  private val q78Sql =
+    """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_type NOT LIKE '%_2%'
+      |GROUP BY p_brand, p_size
+      |HAVING count(DISTINCT l_suppkey) >= 5""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q52_asof_join", q52, Some(q52Sql), bench = true),
     QueryDef("q53_deciles", q53, Some(q53Sql)),
@@ -331,5 +379,7 @@ object ScaleQueries {
     QueryDef("q61_date_arith", q61, Some(q61Sql)),
     QueryDef("q63_salted_join", q63, Some(q63Sql)),
     QueryDef("q64_hotkey_join", q64, Some(q64Sql)),
-    QueryDef("q68_typed_agg", q68, Some(q68Sql)))
+    QueryDef("q68_typed_agg", q68, Some(q68Sql)),
+    QueryDef("q77_no_order_custs", q77, Some(q77Sql)),
+    QueryDef("q78_supplier_cnt", q78, Some(q78Sql)))
 }
