@@ -366,6 +366,72 @@ object ScaleQueries {
       |GROUP BY p_brand, p_size
       |HAVING count(DISTINCT l_suppkey) >= 5""".stripMargin
 
+  /** q79: approx_percentile (t-digest-family sketch) under the q44-style
+    * accuracy contract: the sketch value is engine-specific, but "within 1%
+    * of the exact interpolated quantile" is deterministic for fixed data. */
+  private def q79(s: SparkSession, d: String): DataFrame =
+    ord(s, d).agg(
+        percentile(col("o_totalprice"), lit(0.5)).as("exact_med"),
+        approx_percentile(col("o_totalprice"), lit(0.5), lit(10000)).as("approx_med"))
+      .select(
+        round(col("exact_med") * 200, 0).cast("long").as("exact_med_x200"),
+        (abs(col("approx_med") - col("exact_med")) /
+          col("exact_med") <= 0.01).cast("int").as("approx_within_1pct"))
+
+  private val q79Sql =
+    """SELECT CAST(round(quantile_cont(o_totalprice, 0.5) * 200, 0) AS BIGINT)
+      |    AS exact_med_x200,
+      |  1 AS approx_within_1pct
+      |FROM orders""".stripMargin
+
+  /** q80: rank-family windows — percent_rank and cume_dist are exact
+    * rational formulas over a unique total order, so the doubles match
+    * across engines without tolerance. */
+  private def q80(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    li(s, d)
+      .filter(col("l_orderkey") < 100)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+  }
+
+  private val q80Sql =
+    """SELECT l_returnflag, l_orderkey, l_linenumber,
+      |  round(percent_rank() OVER w, 6) AS pr,
+      |  round(cume_dist() OVER w, 6) AS cd
+      |FROM lineitem WHERE l_orderkey < 100
+      |WINDOW w AS (PARTITION BY l_returnflag
+      |             ORDER BY l_orderkey, l_linenumber)""".stripMargin
+
+  /** q81: the custom DataSourceV2 connector under the oracle gate — reads
+    * the graft-synth generator (8 ranged partitions, pruned columns) and
+    * aggregates; DuckDB reproduces the table from range(0, 5000) with the
+    * same overflow-free arithmetic. val_sum is safe at 1 decimal: the true
+    * sum has exactly one decimal digit, so no rounding boundary exists. */
+  private def q81(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.v2.SyntheticEventsProvider")
+      .option("rows", "5000").option("partitions", "8").load()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("user_id")).cast("long").as("sum_user"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"),
+        round(sum(col("value")), 1).as("val_sum"))
+
+  private val q81Sql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(user_id) AS BIGINT) AS sum_user,
+      |  min(id) AS min_id, max(id) AS max_id,
+      |  round(sum(value), 1) AS val_sum
+      |FROM (SELECT range AS id, range % 150 AS user_id,
+      |        ['view', 'click', 'purchase', 'signup', 'error']
+      |          [CAST((range * 7) % 5 AS INTEGER) + 1] AS event_type,
+      |        CAST(((range % 9973) * 31 + 7) % 1000 AS DOUBLE) / 10.0 AS value
+      |      FROM range(0, 5000))
+      |GROUP BY event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q52_asof_join", q52, Some(q52Sql), bench = true),
     QueryDef("q53_deciles", q53, Some(q53Sql)),
@@ -381,5 +447,8 @@ object ScaleQueries {
     QueryDef("q64_hotkey_join", q64, Some(q64Sql)),
     QueryDef("q68_typed_agg", q68, Some(q68Sql)),
     QueryDef("q77_no_order_custs", q77, Some(q77Sql)),
-    QueryDef("q78_supplier_cnt", q78, Some(q78Sql)))
+    QueryDef("q78_supplier_cnt", q78, Some(q78Sql)),
+    QueryDef("q79_approx_quantile", q79, Some(q79Sql)),
+    QueryDef("q80_rank_family", q80, Some(q80Sql)),
+    QueryDef("q81_dsv2_source", q81, Some(q81Sql)))
 }
