@@ -54,6 +54,28 @@ object EventsStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("w.start").as("h"), col("event_type"), col("n"), col("total_value"))
 
+  /** ST5 made concrete: an idempotent micro-batch sink. Each batch lands in
+    * its own batch_id=N partition under dynamic partition overwrite, so a
+    * replayed batch (Spark retry, or a restart re-emitting the last
+    * uncommitted batch) rewrites its partition instead of appending
+    * duplicates — the standard foreachBatch exactly-once recipe. */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long, path: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
+  /** Drain a stream through the idempotent sink to completion. */
+  def runToParquet(streaming: DataFrame, path: String): Unit = {
+    val q = streaming.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) => writeBatchIdempotent(batch, batchId, path))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Run a streaming query to completion against static input files
     * (Trigger.AvailableNow semantics via processAllAvailable) and return the
     * materialized result from the memory sink. */

@@ -55,6 +55,23 @@ class SessionStreamSpec extends AnyFunSuite {
     assert(perUser == 0)
   }
 
+  test("idempotent foreachBatch sink: replaying a batch does not duplicate rows") {
+    val dir = Files.createTempDirectory("idem_sink")
+    Files.copy(Paths.get(s"${TestSpark.sf0001}/events.parquet"),
+      dir.resolve("events.parquet"))
+    val out = Files.createTempDirectory("idem_out").toString
+    EventsStream.runToParquet(
+      EventsStream.readEvents(spark, dir.toString), out)
+    val expected = Tables.events(spark, TestSpark.sf0001).count()
+    assert(spark.read.parquet(out).count() == expected)
+    // replay batch 0 (simulates a retry after an uncommitted epoch):
+    // dynamic partition overwrite rewrites batch_id=0 instead of appending
+    EventsStream.writeBatchIdempotent(
+      Tables.events(spark, TestSpark.sf0001), 0L, out)
+    assert(spark.read.parquet(out).count() == expected,
+      "replay must overwrite, not duplicate")
+  }
+
   test("stream-stream interval join matches the batch equivalent") {
     import graft.streaming.StreamJoins
     val dir = Files.createTempDirectory("ss_join")
