@@ -12,13 +12,23 @@ object PipelineJobs {
 
   /** IngestJob (K1): article records → date-partitioned columnar lake.
     * partitionBy(ingest_date) gives O1 partition pruning to every downstream
-    * date-ranged reader. */
-  def ingest(articles: DataFrame, lakePath: String): Unit =
+    * date-ranged reader. Returns observed job metrics (row count, null-url
+    * count, distinct dates) collected DURING the write via the Observation
+    * API — no second scan, the production answer to "how much did this run
+    * ingest". */
+  def ingest(articles: DataFrame, lakePath: String): Map[String, Any] = {
+    val obs = new org.apache.spark.sql.Observation("ingest_metrics")
     articles
       .withColumn("ingest_date", to_date(col("scraped_at")))
+      .observe(obs,
+        count(lit(1)).as("rows_written"),
+        sum(when(col("url").isNull, 1).otherwise(0)).as("null_urls"),
+        approx_count_distinct(col("ingest_date")).as("approx_dates"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("ingest_date")
       .parquet(lakePath)
+    obs.get
+  }
 
   /** IndexJob (L1+K5/D3): embed new articles, upsert into the embeddings
     * index table by id (delete-before-insert ≡ anti-join + union). */

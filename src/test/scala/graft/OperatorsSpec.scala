@@ -79,9 +79,11 @@ class OperatorsSpec extends AnyFunSuite {
       ("http://b", "Title B", "pitching struggles continue again", "2024-03-29 11:00:00"))
       .toDF("url", "title", "body", "scraped_at")
       .withColumn("scraped_at", to_timestamp(col("scraped_at")))
-    PipelineJobs.ingest(articles, s"$dir/lake")
+    val metrics = PipelineJobs.ingest(articles, s"$dir/lake")
     // partition layout exists (O1 pruning)
     assert(new java.io.File(s"$dir/lake/ingest_date=2024-03-28").exists())
+    // observed metrics collected during the write, no second scan
+    assert(metrics("rows_written") == 2L && metrics("null_urls") == 0L)
 
     PipelineJobs.buildOrUpdateIndex(spark, s"$dir/lake", s"$dir/index", embedder)
     assert(spark.read.parquet(s"$dir/index").count() == 2)
