@@ -18,4 +18,23 @@ object Warehouse {
     df.write.mode(SaveMode.Overwrite).saveAsTable(name)
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Incremental mart refresh (dbt's `materialized: incremental` semantics
+    * over a date-partitioned lake): recompute ONLY the partitions whose
+    * `partCol` value appears in `freshSource`, and replace exactly those
+    * partitions in the mart via dynamic partition overwrite. At 100 TB this
+    * is the difference between reprocessing one day and reprocessing the
+    * table; untouched partitions are never read or written.
+    *
+    * `transform` maps the fresh slice of the source to mart rows and must
+    * carry `partCol` through. Idempotent: re-running with the same source
+    * rewrites the same partitions. */
+  def refreshIncremental(spark: SparkSession, martPath: String,
+      freshSource: DataFrame, partCol: String,
+      transform: DataFrame => DataFrame): Unit =
+    transform(freshSource)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(martPath)
 }

@@ -432,6 +432,34 @@ object ScaleQueries {
       |      FROM range(0, 5000))
       |GROUP BY event_type""".stripMargin
 
+  /** q82: math scalar surface (SURVEY §2.8) in exact space — floor/ceil/
+    * abs/sign/mod/greatest/least over prices and keys produce integers, so
+    * the comparison needs no rounding tolerance at all. */
+  private def q82(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .filter(col("l_orderkey") < 200)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        abs(col("l_quantity") - lit(25.0)).cast("long").as("qty_dev"),
+        signum(col("l_quantity") - lit(25.0)).cast("int").as("qty_sign"),
+        (col("l_partkey") % 97).as("pk_mod"),
+        greatest(col("l_quantity"), col("l_linenumber").cast("double"))
+          .cast("long").as("g"),
+        least(col("l_quantity"), col("l_linenumber").cast("double"))
+          .cast("long").as("l"))
+
+  private val q82Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+      |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+      |  CAST(abs(l_quantity - 25.0) AS BIGINT) AS qty_dev,
+      |  CAST(sign(l_quantity - 25.0) AS INTEGER) AS qty_sign,
+      |  l_partkey % 97 AS pk_mod,
+      |  CAST(greatest(l_quantity, CAST(l_linenumber AS DOUBLE)) AS BIGINT) AS g,
+      |  CAST(least(l_quantity, CAST(l_linenumber AS DOUBLE)) AS BIGINT) AS l
+      |FROM lineitem WHERE l_orderkey < 200""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q52_asof_join", q52, Some(q52Sql), bench = true),
     QueryDef("q53_deciles", q53, Some(q53Sql)),
@@ -450,5 +478,6 @@ object ScaleQueries {
     QueryDef("q78_supplier_cnt", q78, Some(q78Sql)),
     QueryDef("q79_approx_quantile", q79, Some(q79Sql)),
     QueryDef("q80_rank_family", q80, Some(q80Sql)),
-    QueryDef("q81_dsv2_source", q81, Some(q81Sql)))
+    QueryDef("q81_dsv2_source", q81, Some(q81Sql)),
+    QueryDef("q82_math_funcs", q82, Some(q82Sql)))
 }

@@ -101,6 +101,29 @@ class ParsersSpec extends AnyFunSuite {
     assert(graft.jobs.Warehouse.table(spark, "mart_test").count() == 2)
   }
 
+  test("K6+: incremental mart refresh touches only fresh partitions") {
+    import spark.implicits._
+    val mart = java.nio.file.Files.createTempDirectory("mart_inc").toString
+    def agg(src: org.apache.spark.sql.DataFrame) =
+      src.groupBy(col("d"), col("k")).agg(sum(col("v")).cast("long").as("total"))
+    // initial build: days 1 and 2
+    val v1 = Seq(("d1", "a", 1L), ("d1", "a", 2L), ("d2", "b", 5L))
+      .toDF("d", "k", "v")
+    graft.jobs.Warehouse.refreshIncremental(spark, mart, v1, "d", agg)
+    // incremental: day 2 restated, day 3 new — day 1 must not be rewritten
+    val day1FileBefore = new java.io.File(s"$mart/d=d1").listFiles
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSeq
+    val fresh = Seq(("d2", "b", 7L), ("d3", "c", 9L)).toDF("d", "k", "v")
+    graft.jobs.Warehouse.refreshIncremental(spark, mart, fresh, "d", agg)
+    val got = spark.read.parquet(mart).collect()
+      .map(r => (r.getAs[String]("d"), r.getAs[String]("k"), r.getAs[Long]("total")))
+      .toSet
+    assert(got == Set(("d1", "a", 3L), ("d2", "b", 7L), ("d3", "c", 9L)))
+    val day1FileAfter = new java.io.File(s"$mart/d=d1").listFiles
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSeq
+    assert(day1FileAfter == day1FileBefore, "untouched partition must not be rewritten")
+  }
+
   test("U7: plan→markdown") {
     import spark.implicits._
     val df = Seq(("T", "ds", "ag", "st", "no")).toDF("t", "d", "a", "s", "n")
