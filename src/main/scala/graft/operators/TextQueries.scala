@@ -102,8 +102,9 @@ object TextQueries {
       rowsPerBand = 2, threshold = 0.5)
 
   /** q36: SimHash near-dup pairs (hamming ≤ 3 via 16-bit banding) — no SQL
-    * oracle (xxhash64 isn't reproducible in DuckDB); unit-tested against the
-    * Jaccard ground truth instead. This corpus's 31-word vocabulary makes
+    * oracle (xxhash64 isn't reproducible in DuckDB; q69 runs the identical
+    * pipeline on the portable hash under the oracle gate); unit-tested
+    * against the Jaccard ground truth instead. This corpus's 31-word vocabulary makes
     * frequency-vector simhashes unusually close, so the tight hamming bound
     * trades some recall for precision (the Jaccard/MinHash ops are the
     * oracle-exact dedup path; simhash is the cheap screen). */
