@@ -460,6 +460,32 @@ object ScaleQueries {
       |  CAST(least(l_quantity, CAST(l_linenumber AS DOUBLE)) AS BIGINT) AS l
       |FROM lineitem WHERE l_orderkey < 200""".stripMargin
 
+  /** q83: banded range join — every view within the half hour before any
+    * purchase (cross-user, so no equi key exists and Catalyst would plan a
+    * nested-loop join; the band rewrite shuffles on the time bucket
+    * instead). Result must equal the naive range predicate, which is what
+    * the oracle states directly. */
+  private def q83(s: SparkSession, d: String): DataFrame = {
+    val p = ev(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withColumn("lo", col("p_ts") - expr("INTERVAL 30 MINUTE"))
+    val v = ev(s, d).filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts").as("v_ts"))
+    RangeJoin.bandedIntervalJoin(v, "v_ts", p, "lo", "p_ts",
+        bandUs = 30L * 60 * 1000000)
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_views"),
+        min(col("view_id")).as("first_view"))
+  }
+
+  private val q83Sql =
+    """SELECT p.event_id AS purchase_id, count(*) AS n_views,
+      |  min(v.event_id) AS first_view
+      |FROM events p JOIN events v
+      |  ON v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
+      |GROUP BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q52_asof_join", q52, Some(q52Sql), bench = true),
     QueryDef("q53_deciles", q53, Some(q53Sql)),
@@ -479,5 +505,6 @@ object ScaleQueries {
     QueryDef("q79_approx_quantile", q79, Some(q79Sql)),
     QueryDef("q80_rank_family", q80, Some(q80Sql)),
     QueryDef("q81_dsv2_source", q81, Some(q81Sql)),
-    QueryDef("q82_math_funcs", q82, Some(q82Sql)))
+    QueryDef("q82_math_funcs", q82, Some(q82Sql)),
+    QueryDef("q83_range_join", q83, Some(q83Sql)))
 }

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.RangeJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Banded range join must equal the naive theta join and must plan as an
+  * equi-join on the band (shuffle/broadcast hash), not a nested loop. */
+class RangeJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def sides = {
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withColumn("lo", col("p_ts") - expr("INTERVAL 30 MINUTE"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts").as("v_ts"))
+    (p, v)
+  }
+
+  test("banded join equals naive theta join for several band widths") {
+    val (p, v) = sides
+    val naive = v.join(p, col("v_ts") >= col("lo") && col("v_ts") <= col("p_ts"))
+      .select(col("view_id"), col("purchase_id"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(naive.nonEmpty)
+    Seq(600L * 1000000, 1800L * 1000000, 7200L * 1000000).foreach { band =>
+      val banded = RangeJoin.bandedIntervalJoin(v, "v_ts", p, "lo", "p_ts", band)
+        .select(col("view_id"), col("purchase_id"))
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      assert(banded == naive, s"band=$band")
+    }
+  }
+
+  test("banded join plans as an equi join, naive plans as nested loop") {
+    val (p, v) = sides
+    val bandedPlan = RangeJoin
+      .bandedIntervalJoin(v, "v_ts", p, "lo", "p_ts", 60L * 1000000)
+      .queryExecution.executedPlan.toString
+    assert(!bandedPlan.contains("NestedLoop"), s"unexpected BNLJ:\n$bandedPlan")
+    assert(bandedPlan.contains("Join") || bandedPlan.contains("HashJoin"))
+    val naivePlan = v.join(p,
+        col("v_ts") >= col("lo") && col("v_ts") <= col("p_ts"))
+      .queryExecution.executedPlan.toString
+    assert(naivePlan.contains("NestedLoop"),
+      "naive range predicate should be the nested-loop baseline")
+  }
+}
