@@ -1,6 +1,7 @@
 package graft.jobs
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Warehouse materialization semantics (SURVEY.md §2.2 K6; reference:
   * dbt staging models materialize as VIEWS, marts as TABLES —
@@ -18,6 +19,29 @@ object Warehouse {
     df.write.mode(SaveMode.Overwrite).saveAsTable(name)
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Lake maintenance: compact a partitioned parquet directory's small
+    * files (the debris a micro-batch sink leaves — one file per batch per
+    * partition) into one file per partition directory, preserving both data
+    * and partition layout (hash-repartitioning on the partition column puts
+    * each partition value in exactly one task, so partitionBy emits one
+    * file per directory). Write-to-temp + swap keeps the path readable
+    * throughout, the same atomic-publish pattern as the index builder. At
+    * 100 TB small files are a real planner/NN cost: compaction bounds file
+    * counts without touching row data. */
+  def compact(spark: SparkSession, path: String, partCol: String): Unit = {
+    val tmp = path + "_compact_tmp"
+    spark.read.parquet(path)
+      .repartition(col(partCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partCol)
+      .parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
 
   /** Incremental mart refresh (dbt's `materialized: incremental` semantics
     * over a date-partitioned lake): recompute ONLY the partitions whose

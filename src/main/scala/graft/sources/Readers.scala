@@ -25,6 +25,25 @@ object Readers {
   def teams(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(Schemas.teams).option("header", "false").csv(path)
 
+  /** Corrupt-tolerant CSV scan (ingestion robustness at scale: a bad row
+    * among billions must quarantine, not kill the job): PERMISSIVE mode
+    * routes unparseable lines into `_corrupt_record`; callers split the
+    * frame into clean rows and a quarantine side. */
+  def csvWithQuarantine(spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
+      path: String, header: Boolean = false): (DataFrame, DataFrame) = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    val raw = spark.read.schema(withCorrupt)
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+      .cache() // Spark requires materializing before filtering _corrupt_record
+    val clean = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val quarantine = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (clean, quarantine)
+  }
+
   /** Statcast player stats with the string-decimal cleanup casts
     * (".349" → 0.349; FIXTURES.md §2): split name, decimal/double casts. */
   def playerStats(spark: SparkSession, path: String): DataFrame = {

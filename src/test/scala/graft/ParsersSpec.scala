@@ -124,6 +124,40 @@ class ParsersSpec extends AnyFunSuite {
     assert(day1FileAfter == day1FileBefore, "untouched partition must not be rewritten")
   }
 
+  test("K6+: compaction collapses small files, preserves data and layout") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    // simulate micro-batch debris: many small files per partition
+    (1 to 5).foreach { b =>
+      Seq(("d1", b.toLong), ("d2", b.toLong)).toDF("d", "v")
+        .repartition(4)
+        .write.mode("append").partitionBy("d").parquet(dir)
+    }
+    def files(p: String) = new java.io.File(p).listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files(s"$dir/d=d1").length > 1, "debris expected before compaction")
+    val before = spark.read.parquet(dir).collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    graft.jobs.Warehouse.compact(spark, dir, "d")
+    assert(files(s"$dir/d=d1").length == 1 && files(s"$dir/d=d2").length == 1)
+    val after = spark.read.parquet(dir).collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(after == before)
+  }
+
+  test("S-robust: PERMISSIVE CSV quarantines bad rows instead of failing") {
+    val dir = java.nio.file.Files.createTempDirectory("quarantine")
+    java.nio.file.Files.write(dir.resolve("in.csv"),
+      "1,alpha\nnot_a_number,beta\n3,gamma\n".getBytes)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id INT, name STRING")
+    val (clean, quarantine) =
+      graft.sources.Readers.csvWithQuarantine(spark, schema, dir.toString)
+    assert(clean.count() == 2)
+    assert(clean.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+    val bad = quarantine.collect().map(_.getString(0))
+    assert(bad.toSeq == Seq("not_a_number,beta"))
+  }
+
   test("U7: plan→markdown") {
     import spark.implicits._
     val df = Seq(("T", "ds", "ag", "st", "no")).toDF("t", "d", "a", "s", "n")
