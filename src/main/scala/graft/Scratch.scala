@@ -12,44 +12,38 @@ object Scratch {
   }
 
   def main(args: Array[String]): Unit = {
-    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.configure(
-      SparkSession.builder().master("local[32]"), "32", "graft-scratch").getOrCreate()
+      SparkSession.builder().master("local[8]"), "8", "graft-scratch").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = Tables.documents(spark, d)
-    val sg = time("shingleSets count") {
-      val x = Dedup.shingleSets(docs).cache(); x.count(); x
+    // q84 vs q45 parity at sf0.01 (the driver's verify SF)
+    val d01 = "/root/testdata/sf0.01"
+    val e01 = Tables.embeddings(spark, d01)
+    val brute = time("q45 brute sf0.01") {
+      graft.operators.AdvancedQueries.all.find(_.name == "q45_embedding_neardup").get
+        .run(spark, d01).collect().map(_.toString).sorted.toSeq
     }
-    val sig = time("signatures") {
-      val x = Dedup.minhashSignatures(sg, 32).cache(); x.count(); x
+    val lsh = time("q84 lsh sf0.01") {
+      Dedup.embeddingDupPairs(e01, "embedding", "vec_id").collect().map(_.toString).sorted.toSeq
     }
-    val numBands = 16
-    val rowsPerBand = 2
-    val bandCols = (0 until numBands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-          .map(i => col(s"h$i")): _*).as("bh"))
+    println(s"sf0.01 brute=${brute.size} lsh=${lsh.size} equal=${brute == lsh}")
+
+    // recall stress: threshold 0.4 at sf0.001 → 66 true pairs near threshold
+    val d001 = "/root/testdata/sf0.001"
+    val e001 = Tables.embeddings(spark, d001)
+    val a = e001.select(col("vec_id").as("da"), col("embedding").as("ea"))
+    val b = e001.select(col("vec_id").as("db"), col("embedding").as("eb"))
+    val sim = graft.functions.CosineSimilarity(col("ea"), col("eb"))
+    val brute04 = a.join(b, col("da") < col("db")).filter(sim >= 0.4)
+      .select(round(sim, 4).as("simr"), col("da"), col("db"))
+      .collect().map(_.toString).sorted.toSeq
+    for (chunks <- Seq(8, 16)) {
+      val l = Dedup.embeddingDupPairs(e001, "embedding", "vec_id",
+        threshold = 0.4, numPlanes = 16, numChunks = chunks)
+        .collect().map(_.toString).sorted.toSeq
+      println(s"sf0.001 t=0.4 chunks=$chunks brute=${brute04.size} lsh=${l.size} equal=${brute04 == l}")
     }
-    val bands = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      .cache()
-    time("bands count")(println("bands=" + bands.count()))
-    val x = bands.toDF("da", "band", "bh")
-    val y = bands.toDF("db", "band_y", "bh_y")
-    val joined = x.join(y,
-      col("band") === col("band_y") && col("bh") === col("bh_y") && col("da") < col("db"))
-    joined.explain("formatted")
-    time("join count")(println("joined=" + joined.count()))
-    val xu = bands.toDF("da", "band", "bh")
-    val yu = bands.toDF("db", "band", "bh")
-    val usingJoined = xu.join(yu, Seq("band", "bh")).filter(col("da") < col("db"))
-    time("using-join count")(println("ujoined=" + usingJoined.count()))
-    spark.sparkContext.setLogLevel("INFO")
-    time("using distinct count")(
-      println("ucands=" + usingJoined.select("da", "db").distinct().count()))
-    spark.sparkContext.setLogLevel("WARN")
+    // candidate-count selectivity report at defaults
     spark.stop()
   }
 }

@@ -126,6 +126,14 @@ object AdvancedQueries {
       |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
       |SELECT round(sim, 4) AS simr, da, db FROM p WHERE sim >= 0.5""".stripMargin
 
+  /** q84: embedding-cosine near-dup via LSH-bucketed candidates — the scale
+    * path for q45's brute-force baseline ([[Dedup.embeddingDupPairs]]:
+    * hyperplane sign-bit signature, chunk-band bucket join, exact-cosine
+    * verify). Same oracle as q45: the bucketed path must reproduce the
+    * brute result bit-for-bit, the q34/q35 contract. */
+  private def q84(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingDupPairs(Tables.embeddings(s, d), "embedding", "vec_id")
+
   /** q46: full-text-search inverted postings (SURVEY §2.9 L13): term →
     * document-frequency + sorted posting list. explode → groupBy(term) is
     * the classic distributed index build (one shuffle on term). */
@@ -394,6 +402,7 @@ object AdvancedQueries {
     QueryDef("q29_json_extract", q29, Some(q29Sql)),
     QueryDef("q44_approx_distinct", q44, Some(q44Sql)),
     QueryDef("q45_embedding_neardup", q45, Some(q45Sql)),
+    QueryDef("q84_embedding_neardup_lsh", q84, Some(q45Sql)),
     QueryDef("q46_fts_postings", q46, Some(q46Sql)),
     QueryDef("q47_media_features", q47, None),
     QueryDef("q48_langid", q48, Some(q48Sql)),

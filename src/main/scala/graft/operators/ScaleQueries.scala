@@ -62,6 +62,50 @@ object ScaleQueries {
       |      FROM orders)
       |GROUP BY decile""".stripMargin
 
+  /** q85: the scale path for q53 — IDENTICAL output (same oracle), no
+    * global sort of the fact table. ntile's global row position is
+    * decomposed into
+    *   pos = (# rows with a strictly smaller value) + (rank within the
+    *          value's tie group, ordered by the unique key),
+    * computed as (1) a per-value histogram — one map-side-combinable
+    * shuffle on the value — (2) a running sum over the HISTOGRAM, whose
+    * single-partition window is over the compressed value domain (bounded
+    * by distinct prices: ~10⁶-10⁷ rows at 100 TB, versus ~10¹¹ fact rows
+    * for q53's global sort), and (3) a row_number window partitioned by
+    * value — distributed across the key space, co-partitioned with the
+    * histogram join so the exchange is reused. The ntile bucket is then
+    * pure integer arithmetic on pos (first N%k buckets get ⌈N/k⌉ rows):
+    * exact, no rounding boundary. QueriesSpec asserts the only
+    * single-partition window sits above an aggregate, not the scan. */
+  private def q85(s: SparkSession, d: String): DataFrame = {
+    val o = ord(s, d).select(col("o_orderkey"), col("o_totalprice"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val hist = o.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.select(col("cents"),
+      coalesce(sum(col("cnt")).over(wCum), lit(0L)).as("cum_before"))
+    val wTie = Window.partitionBy(col("cents")).orderBy(col("o_orderkey"))
+    val nDf = o.agg(count(lit(1)).as("n_rows"))
+    val pos = (col("cum_before") + col("rk")).as("pos")
+    // doubles are exact for counts < 2^53, so floor(a / b) IS integer div
+    val q = floor(col("n_rows") / 10).cast("long")  // base bucket size
+    val r = col("n_rows") % 10                      // # buckets of size q+1
+    val cut = r * (q + 1)                           // last pos in big buckets
+    val decile = when(col("pos") <= cut,
+        floor((col("pos") - 1) / (q + 1)).cast("long") + 1)
+      .otherwise(r + floor((col("pos") - cut - 1) / q).cast("long") + 1)
+    o.withColumn("rk", row_number().over(wTie))
+      .join(cum, "cents")
+      .crossJoin(broadcast(nDf))
+      .select(col("o_totalprice"), pos, col("n_rows"))
+      .withColumn("decile", decile)
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+  }
+
   /** q54: bounded window frame — 4-order moving spend sum per customer
     * (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), the classic incremental
     * frame the reference's dashboards imply. One shuffle on o_custkey.
@@ -489,6 +533,7 @@ object ScaleQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("q52_asof_join", q52, Some(q52Sql), bench = true),
     QueryDef("q53_deciles", q53, Some(q53Sql)),
+    QueryDef("q85_deciles_scalable", q85, Some(q53Sql)),
     QueryDef("q54_moving_avg", q54, Some(q54Sql), bench = true),
     QueryDef("q55_value_windows", q55, Some(q55Sql)),
     QueryDef("q56_cube", q56, Some(q56Sql)),

@@ -33,6 +33,56 @@ class QueriesSpec extends AnyFunSuite {
     assert(lsh == brute)
   }
 
+  test("embedding LSH dup pairs equal brute-force cosine pairs (sf0.01)") {
+    val brute = SparkEntry.queries("q45_embedding_neardup")(spark, TestSpark.sf001)
+      .collect().map(_.toSeq).toSet
+    val lsh = SparkEntry.queries("q84_embedding_neardup_lsh")(spark, TestSpark.sf001)
+      .collect().map(_.toSeq).toSet
+    assert(brute.nonEmpty)
+    assert(lsh == brute)
+  }
+
+  test("embedding LSH recall at a near-threshold stress (sf0.001, t=0.4)") {
+    import org.apache.spark.sql.functions._
+    // 66 true pairs sit in [0.4, 0.48) — right at the LSH-hostile regime
+    // (per-plane agreement ≈ 0.63). 1-bit bands (numChunks = numPlanes)
+    // drive per-pair miss to (1-p)^16 ≈ 1e-7: bit-identical to brute.
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val a = e.select(col("vec_id").as("da"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("db"), col("embedding").as("eb"))
+    val sim = graft.functions.CosineSimilarity(col("ea"), col("eb"))
+    val brute = a.join(b, col("da") < col("db")).filter(sim >= 0.4)
+      .select(round(sim, 4).as("simr"), col("da"), col("db"))
+      .collect().map(_.toSeq).toSet
+    val lsh = graft.operators.Dedup.embeddingDupPairs(
+        e, "embedding", "vec_id", threshold = 0.4, numPlanes = 16, numChunks = 16)
+      .collect().map(_.toSeq).toSet
+    assert(brute.size >= 50)
+    assert(lsh == brute)
+  }
+
+  test("scalable deciles equal ntile deciles, without a global fact sort") {
+    for (sf <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+      val ntile = SparkEntry.queries("q53_deciles")(spark, sf)
+        .collect().map(_.toSeq).toSet
+      val scalable = SparkEntry.queries("q85_deciles_scalable")(spark, sf)
+      assert(scalable.collect().map(_.toSeq).toSet == ntile, s"mismatch at $sf")
+      // every single-partition (global) window must sit above an aggregate —
+      // the compressed histogram — never directly above the fact scan
+      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      import org.apache.spark.sql.execution.window.WindowExec
+      // sparkPlan (pre-AQE) keeps WindowExec children traversable
+      val globalWindows = scalable.queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.nonEmpty)
+      globalWindows.foreach { w =>
+        assert(w.collect { case a: BaseAggregateExec => a }.nonEmpty,
+          "global window not above an aggregate:\n" + w)
+      }
+    }
+  }
+
   test("simhash finds the near-dup pairs with high recall (sf0.01)") {
     val truth = SparkEntry.queries("q34_jaccard_dupes")(spark, TestSpark.sf001)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
