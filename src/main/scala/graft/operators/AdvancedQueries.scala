@@ -263,6 +263,33 @@ object AdvancedQueries {
       |GROUP BY 1, 2, max_ts
       |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= max_ts - INTERVAL 1 DAY""".stripMargin
 
+  /** q88: the stream-stream interval join drained under the oracle (ST7
+    * follow-through from q67/q76): view→purchase attribution within a
+    * 1-hour horizon, both sides watermarked. INNER stream-stream joins emit
+    * eagerly — the watermark governs state EVICTION, not emission — and the
+    * single-file source drains in one micro-batch, so the drained result
+    * equals the batch interval join exactly: no window-close boundary to
+    * dodge, unlike append-mode aggregation (q76). Timestamps leave as epoch
+    * micros (exact long round-trip; java.sql.Timestamp is ms-granular). */
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.streaming.EventsStream.readEventsDir(s, d)
+    val joined = graft.streaming.StreamJoins.viewPurchaseAttribution(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"))
+      .select(col("purchase_id"), col("view_id"), col("user_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"))
+    graft.streaming.EventsStream.runToMemory(s, joined, "q88_attr")
+  }
+
+  private val q88Sql =
+    """SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+      |  epoch_us(v.ts) AS view_us, epoch_us(p.ts) AS purchase_us
+      |FROM events v JOIN events p
+      |  ON v.user_id = p.user_id
+      | AND v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""".stripMargin
+
   /** q47: multimodal feature extraction — synthetic binary media (decode is
     * a documented stub; the Spark-side schema/batching/shape is real).
     * Output: per-kind feature aggregates. Rows-only. */
@@ -309,21 +336,27 @@ object AdvancedQueries {
 
   /** q50: bilateral trade volume (TPC-H Q7 shape): supplier nation ×
     * customer nation pairs, yearly revenue — two broadcast dim joins feeding
-    * a fact join chain, group on (supp_nation, cust_nation, year). */
+    * a fact join chain, group on (supp_nation, cust_nation, year). The
+    * nation-set predicate is applied to the dims BEFORE broadcasting (not
+    * post-join) so the two inner dim joins shrink the fact stream at the
+    * earliest point — at 100 TB that is the difference between joining
+    * every lineitem row and only the target nations' rows. The residual
+    * supp ≠ cust filter still needs both sides, so it stays post-join. */
   private def q50(s: SparkSession, d: String): DataFrame = {
+    val target = Seq("NATION_1", "NATION_2")
     val sn = Tables.nation(s, d).select(col("n_nationkey").as("s_nk"),
       col("n_name").as("supp_nation"))
+      .filter(col("supp_nation").isin(target: _*))
     val cn = Tables.nation(s, d).select(col("n_nationkey").as("c_nk"),
       col("n_name").as("cust_nation"))
+      .filter(col("cust_nation").isin(target: _*))
     li(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
       .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
-      .filter(col("supp_nation").isin("NATION_1", "NATION_2") &&
-        col("cust_nation").isin("NATION_1", "NATION_2") &&
-        col("supp_nation") =!= col("cust_nation"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("yr"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
@@ -413,5 +446,6 @@ object AdvancedQueries {
     QueryDef("q70_binary_digest", q70, Some(q70Sql)),
     QueryDef("q71_lake_roundtrip", q71, Some(q71Sql)),
     QueryDef("q75_media_extract", q75, Some(q75Sql)),
-    QueryDef("q76_stream_hourly", q76, Some(q76Sql)))
+    QueryDef("q76_stream_hourly", q76, Some(q76Sql)),
+    QueryDef("q88_stream_attribution", q88, Some(q88Sql)))
 }

@@ -54,15 +54,21 @@ object MlbAnalytics {
       .select("rank", "team", "prev_rank", "delta", "win_pct")
   }
 
-  /** Game-statistics mart: per (park, day/night) attendance + scoring,
-    * derived from typed game_date (F15). */
+  /** Game-statistics mart: per (park, day/night) attendance + scoring.
+    * Exact integer totals carry the oracle gate (q87); the avg columns are
+    * UI conveniences whose round() sits on .xx5 boundaries for two parks in
+    * the 2024 logs (7.8125 runs, 25283.75 attendance) — exactly the
+    * binary-vs-shortest-decimal rounding split QueryDef documents, so they
+    * are spec-tested rather than hash-compared. */
   def gameStatistics(gamelogs: DataFrame): DataFrame =
     gamelogs.groupBy(col("park_id"), col("day_night"))
       .agg(
         count(lit(1)).as("games"),
+        sum(col("attendance")).cast("long").as("total_attendance"),
+        sum(col("v_score") + col("h_score")).cast("long").as("total_runs"),
+        max(col("duration_min")).as("longest_game_min"),
         round(avg(col("attendance")), 1).as("avg_attendance"),
-        round(avg(col("v_score") + col("h_score")), 3).as("avg_total_runs"),
-        max(col("duration_min")).as("longest_game_min"))
+        round(avg(col("v_score") + col("h_score")), 3).as("avg_total_runs"))
 
   /** Rate-stat derivation over player stats (marts-layer math: K/PA etc.,
     * SURVEY §2.8 math note). */

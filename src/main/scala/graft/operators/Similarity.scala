@@ -92,6 +92,11 @@ object Similarity {
     * assign+average jobs over the index, never a collect of the data. */
   def ivfCentroids(index: DataFrame, embCol: String, idCol: String,
       nLists: Int, nIters: Int = 2): Array[Array[Double]] = {
+    // both collects below are bounded at nLists×dim rows (the centroid
+    // matrix, held driver-side by design like any broadcast dim) — cap
+    // nLists so a caller can't turn them into a data-sized collect
+    require(nLists > 0 && nLists <= 65536,
+      s"nLists=$nLists out of range (driver holds nLists x dim doubles)")
     val dim = index.select(size(col(embCol))).head.getInt(0)
     var cents: Array[Array[Double]] = index
       .orderBy(col(idCol)).limit(nLists)

@@ -73,6 +73,39 @@ class LlmLayerSpec extends AnyFunSuite {
     assert(rag.answer(index.filter(col("id") === "nope"), "q") == "No data available.")
   }
 
+  test("L12 dispatch: plan-named agents run by name, unknown names skipped") {
+    val planText =
+      """Topic: Trade deadline fallout
+        |Data Sources: game logs
+        |Agents:
+        |- FanReactionAgent
+        |- MascotAgent
+        |- NewsGatheringAgent
+        |- FanReactionAgent
+        |Storylines:
+        |- Dodgers win streak
+        |- Bullpen collapse
+        |Notes: keep it under ten minutes""".stripMargin
+    val llm = new StubLlm
+    val out = AgentDispatch.executePlan(planText, llm)
+    // exactly the known plan-named agents, in plan order, each once —
+    // MascotAgent (unknown) skipped, the duplicate FanReactionAgent deduped,
+    // GameAnalysisAgent (known but unnamed) NOT run: elif semantics
+    assert(out.results.map(_._1) == Seq("fan_reactions", "news"))
+    // the storyline list flows into the agents (two sentiment outputs)
+    assert(out.results.toMap.apply("fan_reactions").linesIterator
+      .count(_.startsWith("[sentiment:")) == 2)
+    assert(out.results.toMap.apply("news").contains("News about: Dodgers win streak")
+      || out.results.toMap.apply("news").startsWith("[summarize:"))
+    assert(out.initialScript.startsWith("[generate:"))
+    assert(out.finalScript.startsWith("[refine:"))
+    // pure function of the plan text
+    assert(AgentDispatch.executePlan(planText, llm) == out)
+    // empty Agents section -> no agent runs, script still generates
+    val bare = AgentDispatch.executePlan("Topic: quiet week\nAgents:\nNotes: n/a", llm)
+    assert(bare.results.isEmpty && bare.finalScript.startsWith("[refine:"))
+  }
+
   test("RAG upsert: same-id row replaced, new id appended (D2/D3)") {
     import spark.implicits._
     val rag = new RagPipeline(embedder, new StubLlm)
