@@ -158,6 +158,48 @@ object Dedup {
       .select(col("da"), col("db"), col("hamming"))
   }
 
+  /** Connected components over a dup-pair graph — the step that turns
+    * near-dup PAIRS (q34/q35/q84) into a dedup DECISION: every document in
+    * a component keeps exactly one survivor (the min doc_id). Iterative
+    * min-label propagation: each round joins labels across the symmetrized
+    * edge list and takes the per-vertex minimum — one hash join plus one
+    * map-side-combinable agg per round, both keyed on doc id. Rounds needed
+    * = graph diameter; near-dup components are near-cliques (every similar
+    * pair is its own edge), so 2-3 rounds converge — maxIters bounds
+    * pathological chains. Each round materializes (cache + count) both to
+    * detect convergence and to truncate lineage; at 100 TB you would
+    * checkpoint every few rounds instead. Returns (v, comp). */
+  def dupComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .union(pairs.select(col("db").as("src"), col("da").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("comp", col("v")).cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val viaEdges = edges.join(labels, edges("src") === labels("v"))
+        .select(col("dst").as("v"), col("comp"))
+      val updated = labels.select(col("v"), col("comp")).union(viaEdges)
+        .groupBy(col("v")).agg(min(col("comp")).as("comp"))
+        .cache()
+      converged = updated.join(labels.withColumnRenamed("comp", "prev"), "v")
+        .filter(col("comp") =!= col("prev")).isEmpty
+      labels.unpersist()
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
+  /** Dup groups: component id (= surviving doc), member count, sorted
+    * member list. Docs with no dup pair are absent (they survive as-is). */
+  def dupGroups(pairs: DataFrame): DataFrame =
+    dupComponents(pairs)
+      .groupBy(col("comp").as("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",", sort_array(collect_list(col("v")))).as("members"))
+
   /** Embedding-cosine near-dup pairs at scale — the bucketed path for the
     * one dedup family that previously had only the O(n²) baseline (q45).
     * Construction: Charikar sign-bit SimHash over `numPlanes` seeded random

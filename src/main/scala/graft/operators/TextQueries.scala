@@ -101,6 +101,36 @@ object TextQueries {
     Dedup.minhashDupPairs(docs(s, d), n = 3, numHashes = 32,
       rowsPerBand = 2, threshold = 0.5)
 
+  /** q89: near-dup pairs → connected components → survivor groups
+    * ([[Dedup.dupComponents]]: iterative min-label propagation — the dedup
+    * DECISION step). Oracle: DuckDB recursive-CTE transitive closure over
+    * the same verified pair set; the corpus plants a 3-member chain, so
+    * transitivity (not just pair mirroring) is exercised. */
+  private def q89(s: SparkSession, d: String): DataFrame =
+    Dedup.dupGroups(Dedup.minhashDupPairs(docs(s, d), n = 3, numHashes = 32,
+      rowsPerBand = 2, threshold = 0.5))
+
+  private val q89Sql =
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(ws) >= 3
+      |         THEN list_transform(generate_series(1, len(ws) - 2),
+      |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |         ELSE [] END) AS sg FROM w),
+      |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+      |        CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+      |          / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j
+      |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      |d AS (SELECT da, db FROM p WHERE j >= 0.5),
+      |e AS (SELECT da AS a, db AS b FROM d UNION SELECT db, da FROM d),
+      |r AS (SELECT a, b FROM e
+      |      UNION
+      |      SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+      |lab AS (SELECT a AS v, least(a, min(b)) AS comp FROM r GROUP BY a)
+      |SELECT comp AS component, count(*) AS n_docs,
+      |  array_to_string(list_sort(list(v)), ',') AS members
+      |FROM lab GROUP BY comp""".stripMargin
+
   /** q36: SimHash near-dup pairs (hamming ≤ 3 via 16-bit banding) — no SQL
     * oracle (xxhash64 isn't reproducible in DuckDB; q69 runs the identical
     * pipeline on the portable hash under the oracle gate); unit-tested
@@ -211,6 +241,7 @@ object TextQueries {
     QueryDef("q33_quality_score", q33, Some(q33Sql)),
     QueryDef("q34_jaccard_dupes", q34, Some(dupPairsSql)),
     QueryDef("q35_minhash_dupes", q35, Some(dupPairsSql), bench = true),
+    QueryDef("q89_dup_components", q89, Some(q89Sql)),
     QueryDef("q36_simhash_dupes", q36, None),
     QueryDef("q65_tfidf", q65, Some(q65Sql)),
     QueryDef("q69_simhash_portable", q69, Some(q69Sql)),

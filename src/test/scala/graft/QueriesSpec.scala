@@ -83,6 +83,21 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("dup components converge on a chain graph (diameter > 1)") {
+    import spark.implicits._
+    // 1-2-3-4 is a path, not a clique: the min label needs 3 propagation
+    // rounds to reach vertex 4, exercising the iteration + convergence
+    // logic that q89's near-clique corpus doesn't
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("da", "db")
+    val comp = graft.operators.Dedup.dupComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    val groups = graft.operators.Dedup.dupGroups(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(groups == Set((1L, 4L, "1,2,3,4"), (10L, 2L, "10,11")))
+  }
+
   test("simhash finds the near-dup pairs with high recall (sf0.01)") {
     val truth = SparkEntry.queries("q34_jaccard_dupes")(spark, TestSpark.sf001)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
