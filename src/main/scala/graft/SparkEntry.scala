@@ -13,7 +13,8 @@ object SparkEntry {
     * in the test suite). */
   def defs: Seq[QueryDef] =
     RelationalQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
-      AdvancedQueries.all ++ ScaleQueries.all ++ MlbQueries.all
+      AdvancedQueries.all ++ ScaleQueries.all ++ MlbQueries.all ++
+      CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

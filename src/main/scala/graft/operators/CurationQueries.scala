@@ -1,0 +1,269 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.{TextFunctions, WordNgrams}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data CURATION operators — the steps between "raw corpus" and
+  * "training mix" that a 100 TB pretraining pipeline runs after dedup
+  * (north-star additions beyond the reference's own query surface):
+  * benchmark-contamination screening, deterministic stratified sampling /
+  * source mixing, PII redaction, within-document repetition scoring,
+  * sequence packing, incremental dedup of a fresh batch against the indexed
+  * corpus, and int8 embedding quantization for index storage.
+  *
+  * All queries follow the repo's determinism rules (QueryDef scaladoc):
+  * integer-derived doubles only, BIGINT casts on sums, truncation (never
+  * round-half) where a float hits an integer space.
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  /** q90: benchmark-contamination check — the doc_id%10==0 slice plays the
+    * held-out eval set; every training doc is scored by the fraction of its
+    * 5-gram shingles that appear anywhere in the eval set. 5-grams (not the
+    * dedup 3-grams) push random-collision overlap on this 31-word vocabulary
+    * to ~4% so the planted near-dups separate cleanly at ≥0.5.
+    *
+    * Scale shape: eval shingles are distinct-reduced before the join
+    * (map-side combinable), then a shuffle equi-join on the shingle string
+    * keyed by high-cardinality text — at 100 TB you'd join on xxhash64(s) to
+    * shrink the shuffle payload (byte-identical result modulo 2^-64
+    * collisions); the string form is kept here for cross-engine oracle
+    * exactness. The count(hit)/count(*) agg is one map-side-combinable
+    * shuffle on doc_id. */
+  private def q90(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.shingleSets(docs(s, d), n = 5)
+    val ev = sh.filter(col("doc_id") % 10 === 0)
+      .select(explode(col("sg")).as("s")).distinct()
+      .withColumn("hit", lit(1))
+    val tr = sh.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), explode(col("sg")).as("s"))
+    tr.join(ev, Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_contam"))
+      .filter(col("n_contam").cast("double") / col("n_sh") >= 0.5)
+      .select(col("doc_id"), col("n_sh"), col("n_contam"),
+        round(col("n_contam").cast("double") / col("n_sh"), 4).as("contam_ratio"))
+  }
+
+  private val q90Sql =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws)>=5
+      |  THEN list_transform(generate_series(1,len(ws)-4),
+      |       i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])
+      |  ELSE [] END) AS sg FROM w),
+      |ev AS (SELECT DISTINCT unnest(sg) AS s FROM sh WHERE doc_id % 10 = 0),
+      |tr AS (SELECT doc_id, unnest(sg) AS s FROM sh WHERE doc_id % 10 != 0),
+      |ov AS (SELECT tr.doc_id, count(*) AS n_sh, count(ev.s) AS n_contam
+      |       FROM tr LEFT JOIN ev ON tr.s = ev.s GROUP BY 1)
+      |SELECT doc_id, n_sh, n_contam,
+      |  round(CAST(n_contam AS DOUBLE)/n_sh, 4) AS contam_ratio
+      |FROM ov WHERE CAST(n_contam AS DOUBLE)/n_sh >= 0.5""".stripMargin
+
+  /** q91: deterministic stratified sampling / source mixing — per-stratum
+    * target rates live in a tiny broadcast dim; membership is a pure
+    * arithmetic hash of the row key (`(doc_id*2654435761) mod 100`, a
+    * Knuth-multiplicative permutation), so the sample is REPRODUCIBLE across
+    * runs, engines, and partitionings — no rand(), no sample(), no seed
+    * plumbing. This is both the stratified-sample and the mix-weighting
+    * operator: rates are the per-stratum (here per-lang) mix weights.
+    * One broadcast join + one map-side-combinable agg; the row-level
+    * `h < rate` filter is the actual sampling operator and runs
+    * shuffle-free at any scale. */
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rates = Seq(("en", 20), ("de", 50), ("es", 50), ("fr", 50), ("zh", 50))
+      .toDF("lang", "rate")
+    docs(s, d).join(broadcast(rates), "lang")
+      .withColumn("h", (col("doc_id") * lit(2654435761L)) % 100)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("h") < col("rate"), 1).otherwise(0)).cast("long").as("n_sampled"))
+  }
+
+  private val q91Sql =
+    """WITH rates(lang, rate) AS (VALUES ('en', 20), ('de', 50), ('es', 50), ('fr', 50), ('zh', 50)),
+      |s AS (SELECT d.lang, (d.doc_id * 2654435761) % 100 AS h, r.rate
+      |      FROM documents d JOIN rates r USING (lang))
+      |SELECT lang, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |FROM s GROUP BY lang""".stripMargin
+
+  /** q92: PII redaction — the corpus is synthetic-clean, so deterministic
+    * PII (an email + a phone derived from doc_id) is appended first, then
+    * scrubbed back out with regex redaction; emitting the scrubbed-text md5
+    * under the oracle proves the FULL redacted string matches DuckDB
+    * byte-for-byte, not just the match counts. Patterns stay in the
+    * Java∩RE2 subset (character classes + bounded repeats, no lookaround).
+    * Pure per-row narrow ops: whole-stage codegen, shuffle-free. */
+  private[graft] val emailPattern = "[a-z0-9.]+@[a-z][a-z.]+"
+  private[graft] val phonePattern = "[0-9]{3}-[0-9]{4}"
+
+  /** Deterministic synthetic PII appended to a clean corpus row (test rig
+    * for the scrubber — the corpus itself contains none). */
+  private[graft] def withSyntheticPii(text: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(text, lit(" contact user"), id.cast("string"),
+      lit("@mail.example.com or 555-"),
+      lpad((id % 10000).cast("string"), 4, "0"))
+
+  /** The redaction operator: replace every email/phone match. */
+  private[graft] def piiScrub(raw: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(raw, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
+  private def q92(s: SparkSession, d: String): DataFrame = {
+    val raw = withSyntheticPii(col("text"), col("doc_id"))
+    docs(s, d).select(col("doc_id"),
+      size(regexp_extract_all(raw, lit(emailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(raw, lit(phonePattern), lit(0))).as("n_phones"),
+      md5(piiScrub(raw)).as("scrubbed_fp"))
+  }
+
+  private val q92Sql =
+    """WITH t AS (SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |    '@mail.example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(raw, '[a-z0-9.]+@[a-z][a-z.]+')) AS n_emails,
+      |  len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}')) AS n_phones,
+      |  md5(regexp_replace(regexp_replace(raw, '[a-z0-9.]+@[a-z][a-z.]+', '<EMAIL>', 'g'),
+      |      '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_fp
+      |FROM t""".stripMargin
+
+  /** q93: within-document repetition score — 1 − distinct/total over 3-gram
+    * occurrences, the standard boilerplate/loop-detection signal (a doc that
+    * repeats a paragraph scores high even when no OTHER doc duplicates it).
+    * Single-pass per-row array math via the native [[WordNgrams]]
+    * expression; no explode, no shuffle. */
+  private def q93(s: SparkSession, d: String): DataFrame = {
+    val sg = WordNgrams(col("text"), 3)
+    docs(s, d)
+      .select(col("doc_id"), size(sg).as("n_total"),
+        size(array_distinct(sg)).as("n_distinct"))
+      .filter(col("n_total") > 0)
+      .select(col("doc_id"), col("n_total"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_total"), 4)
+          .as("rep_ratio"))
+  }
+
+  private val q93Sql =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, CASE WHEN len(ws)>=3
+      |  THEN list_transform(generate_series(1,len(ws)-2),
+      |       i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])
+      |  ELSE [] END AS sg FROM w)
+      |SELECT doc_id, len(sg) AS n_total, len(list_distinct(sg)) AS n_distinct,
+      |  round(1.0 - CAST(len(list_distinct(sg)) AS DOUBLE)/len(sg), 4) AS rep_ratio
+      |FROM g WHERE len(sg) > 0""".stripMargin
+
+  /** q94: sequence packing — the "concat then chunk" packing GPT-style
+    * pretraining uses: per SOURCE, docs are concatenated in doc_id order and
+    * chunked into 256-token context windows; a doc belongs to the pack its
+    * first token lands in. Per-pack doc counts / token totals / fill ratios
+    * are the packing-efficiency report.
+    *
+    * Scale shape: the window is PARTITIONED by source — each source's
+    * running sum sorts only its own partition (parallel across sources), not
+    * a global single-partition sort (the q53→q85 lesson). The agg is
+    * map-side combinable on (source, pack). */
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, d)
+      .select(col("source"), col("doc_id"), tokenCount(col("text")).as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("pack", expr("(cum - toks) div 256"))
+      .groupBy(col("source"), col("pack"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).cast("long").as("toks"))
+      .withColumn("fill", round(col("toks").cast("double") / 256.0, 4))
+  }
+
+  private val q94Sql =
+    """WITH t AS (SELECT source, doc_id, len(string_split(text,' ')) AS toks FROM documents),
+      |c AS (SELECT source, doc_id, toks,
+      |        sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+      |                        ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+      |SELECT source, CAST((cum - toks) // 256 AS BIGINT) AS pack,
+      |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS toks,
+      |  round(CAST(sum(toks) AS DOUBLE) / 256.0, 4) AS fill
+      |FROM c GROUP BY 1, 2""".stripMargin
+
+  /** q95: incremental dedup — the doc_id%5==4 slice plays a freshly
+    * scraped batch arriving against the already-indexed corpus (the rest);
+    * [[Dedup.incrementalDupPairs]] joins batch minhash bands against corpus
+    * bands (never corpus×corpus) and exact-verifies. The oracle brute-forces
+    * the cross-split Jaccard, so band recall is checked end-to-end: the
+    * planted pairs that straddle the split must all surface. */
+  private def q95(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    Dedup.incrementalDupPairs(
+      corpus = all.filter(col("doc_id") % 5 =!= 4),
+      batch = all.filter(col("doc_id") % 5 === 4),
+      n = 3, numHashes = 32, rowsPerBand = 2, threshold = 0.5)
+  }
+
+  private val q95Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+      |  THEN list_transform(generate_series(1, len(ws) - 2),
+      |       i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])
+      |  ELSE [] END) AS sg FROM w),
+      |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+      |        CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+      |          / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j
+      |      FROM sh a JOIN sh b
+      |        ON a.doc_id % 5 != 4 AND b.doc_id % 5 = 4 AND a.doc_id != b.doc_id)
+      |SELECT round(j, 4) AS jr, da, db FROM p WHERE j >= 0.5""".stripMargin
+
+  /** q96: int8 embedding quantization — the storage format a 100 TB vector
+    * index actually persists (4× smaller than float32, SIMD-dot-product
+    * friendly): per-vector max-abs scale, symmetric linear map to [-127,127],
+    * TRUNCATED toward zero (round-half semantics differ between engines —
+    * the repo determinism rule). The checksum (Σ qᵢ·i over 1-based
+    * positions) pins every quantized component under the oracle without 64
+    * output columns. Per-row array math only; the zip_with/transform HOFs
+    * are CodegenFallback, so a hot-path deployment would lower this to a
+    * native expression exactly as CosineSimilarityExpr does for the dot
+    * product. */
+  private def q96(s: SparkSession, d: String): DataFrame =
+    emb(s, d)
+      .withColumn("scale",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .filter(col("scale") > 0)
+      .withColumn("qv", transform(col("embedding"),
+        x => (x.cast("double") * 127.0 / col("scale")).cast("long")))
+      .select(col("vec_id"), size(col("qv")).as("dim"),
+        aggregate(zip_with(col("qv"), sequence(lit(1), size(col("qv"))),
+          (q, i) => q * i), lit(0L), (a, x) => a + x).as("checksum"),
+        array_max(col("qv")).as("qmax"), array_min(col("qv")).as("qmin"))
+
+  private val q96Sql =
+    """WITH s AS (SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+      |  FROM embeddings),
+      |q AS (SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(trunc(CAST(x AS DOUBLE) * 127.0 / scale) AS BIGINT)) AS qv
+      |  FROM s WHERE scale > 0)
+      |SELECT vec_id, len(qv) AS dim,
+      |  CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * i)) AS BIGINT) AS checksum,
+      |  CAST(list_max(qv) AS BIGINT) AS qmax, CAST(list_min(qv) AS BIGINT) AS qmin
+      |FROM q""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q90_contamination", q90, Some(q90Sql)),
+    QueryDef("q91_stratified_sample", q91, Some(q91Sql)),
+    QueryDef("q92_pii_scrub", q92, Some(q92Sql)),
+    QueryDef("q93_repetition", q93, Some(q93Sql)),
+    QueryDef("q94_seq_packing", q94, Some(q94Sql)),
+    QueryDef("q95_incremental_dedup", q95, Some(q95Sql)),
+    QueryDef("q96_embed_quantize", q96, Some(q96Sql)))
+}

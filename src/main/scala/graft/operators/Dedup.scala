@@ -49,18 +49,26 @@ object Dedup {
     exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs: split the signature into bands of `rowsPerBand`
-    * hashes, bucket-join on (band, band-hash). */
-  def lshCandidates(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+  /** Band rows (doc_id, band, bh) for a signature frame: the signature split
+    * into bands of `rowsPerBand` hashes, each band reduced to one hash. This
+    * is the unit the LSH self-join AND the incremental corpus-vs-batch join
+    * share — and the thing a persisted dedup index would store. */
+  def signatureBands(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bandCols = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
           .map(i => col(s"h$i")): _*).as("bh"))
     }
-    val bands = sig
+    sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** LSH candidate pairs: split the signature into bands of `rowsPerBand`
+    * hashes, bucket-join on (band, band-hash). */
+  def lshCandidates(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val bands = signatureBands(sig, numHashes, rowsPerBand)
     // using-columns self-join: joining by NAME on renamed frames guarantees
     // both (band, bh) become hash-join equi keys — alias-qualified self-join
     // conditions can degrade to residual filters over a band-only join
@@ -86,6 +94,38 @@ object Dedup {
     cands
       .join(sg.select(col("doc_id").as("da"), col("sg").as("sga")), "da")
       .join(sg.select(col("doc_id").as("db"), col("sg").as("sgb")), "db")
+      .filter(j >= threshold)
+      .select(round(j, 4).as("jr"), col("da"), col("db"))
+  }
+
+  /** Incremental near-dup detection: a fresh BATCH of documents checked
+    * against an existing CORPUS — the index-hygiene shape (reference
+    * semantics: delete-before-insert upsert at scripts/scrape_store_embed
+    * .py:79-86, generalized): before inserting a new batch, find which new
+    * docs duplicate something already indexed. Unlike [[minhashDupPairs]]
+    * this never self-joins the corpus: corpus bands join ONLY the (much
+    * smaller) batch bands, so per-ingest cost is O(|batch| + matching
+    * buckets), not O(|corpus|²). At 100 TB the corpus side of this join is a
+    * PERSISTED band table ([[signatureBands]] output bucketed on (band, bh))
+    * maintained by the upsert job; here both sides are derived inline.
+    * Output (jr, da=corpus doc, db=batch doc) — exact-Jaccard verified, so
+    * precision is exact; recall follows the minhash band bound. */
+  def incrementalDupPairs(corpus: DataFrame, batch: DataFrame, n: Int = 3,
+      numHashes: Int = 32, rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val csg = shingleSets(corpus, n).cache()
+    val bsg = shingleSets(batch, n).cache()
+    val cb = signatureBands(minhashSignatures(csg, numHashes), numHashes, rowsPerBand)
+      .toDF("da", "band", "bh")
+    val bb = signatureBands(minhashSignatures(bsg, numHashes), numHashes, rowsPerBand)
+      .toDF("db", "band", "bh")
+    val cand = cb.join(bb, Seq("band", "bh"))
+      .select(col("da"), col("db"))
+      .distinct()
+    val j = TextFunctions.jaccard(col("sga"), col("sgb"))
+    cand
+      .join(csg.select(col("doc_id").as("da"), col("sg").as("sga")), "da")
+      .join(bsg.select(col("doc_id").as("db"), col("sg").as("sgb")), "db")
       .filter(j >= threshold)
       .select(round(j, 4).as("jr"), col("da"), col("db"))
   }

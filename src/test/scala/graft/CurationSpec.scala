@@ -1,0 +1,117 @@
+package graft
+
+import graft.operators.{CurationQueries, Dedup}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the training-data curation operators (q90–q96); exact
+  * value correctness is the DuckDB oracle gate. */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def q(name: String) = SparkEntry.queries(name)(spark, TestSpark.sf001)
+
+  test("contamination: eval docs never appear; ratios within (0,1]") {
+    val rows = q("q90_contamination").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 10 != 0)
+      val ratio = r.getAs[Double]("contam_ratio")
+      assert(ratio >= 0.5 && ratio <= 1.0)
+      assert(r.getAs[Long]("n_contam") <= r.getAs[Long]("n_sh"))
+    }
+  }
+
+  test("stratified sample: deterministic across partitionings, rates bounded") {
+    val a = q("q91_stratified_sample").collect().map(_.toSeq).toSet
+    val b = q("q91_stratified_sample").collect().map(_.toSeq).toSet
+    assert(a == b && a.size == 5)
+    a.foreach { r =>
+      val (total, sampled) = (r(1).asInstanceOf[Long], r(2).asInstanceOf[Long])
+      assert(sampled <= total && sampled > 0)
+    }
+  }
+
+  test("pii scrub: no email/phone pattern survives redaction") {
+    val docs = Tables.documents(spark, TestSpark.sf001)
+    val raw = CurationQueries.withSyntheticPii(col("text"), col("doc_id"))
+    val residual = docs.select(
+      (size(regexp_extract_all(CurationQueries.piiScrub(raw),
+        lit(CurationQueries.emailPattern), lit(0))) +
+        size(regexp_extract_all(CurationQueries.piiScrub(raw),
+          lit(CurationQueries.phonePattern), lit(0)))).as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(residual == 0L)
+    // and the pre-scrub text really contained both kinds
+    val found = q("q92_pii_scrub")
+      .filter(col("n_emails") >= 1 && col("n_phones") >= 1).count()
+    assert(found == docs.count())
+  }
+
+  test("repetition: distinct <= total; a forced repeat scores high") {
+    import spark.implicits._
+    q("q93_repetition").collect().foreach { r =>
+      assert(r.getAs[Int]("n_distinct") <= r.getAs[Int]("n_total"))
+    }
+    val forced = Seq((1L, Array.fill(20)("spam ham eggs").mkString(" ")))
+      .toDF("doc_id", "text")
+    // 20 copies of a 3-word phrase: nearly all 3-grams repeat
+    val rep = CurationQueries.all.find(_.name == "q93_repetition").get
+    // run the same expression shape directly on the forced frame
+    val sg = graft.functions.WordNgrams(col("text"), 3)
+    val ratio = forced.select(
+      (lit(1.0) - size(array_distinct(sg)).cast("double") / size(sg)).as("r"))
+      .head.getDouble(0)
+    assert(ratio > 0.8, s"forced repetition ratio $ratio; query present: ${rep.name}")
+  }
+
+  test("seq packing: every doc in exactly one pack; token totals preserved") {
+    val packed = q("q94_seq_packing")
+    val docs = Tables.documents(spark, TestSpark.sf001)
+    val nDocs = packed.agg(sum("n_docs")).head.getLong(0)
+    assert(nDocs == docs.count())
+    val pt = packed.agg(sum("toks")).head.getLong(0)
+    val dt = docs.select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    assert(pt == dt)
+    // packs start at 0 per source and fill ≈ capacity except possibly the tail
+    packed.groupBy("source").agg(min("pack").as("p0")).collect()
+      .foreach(r => assert(r.getAs[Long]("p0") == 0L))
+  }
+
+  test("incremental dedup equals brute cross-split pairs and stays one-sided") {
+    val all = Tables.documents(spark, TestSpark.sf001)
+    val inc = q("q95_incremental_dedup").collect().map(_.toSeq).toSet
+    val sgA = Dedup.shingleSets(all.filter(col("doc_id") % 5 =!= 4), 3)
+      .toDF("da", "sga")
+    val sgB = Dedup.shingleSets(all.filter(col("doc_id") % 5 === 4), 3)
+      .toDF("db", "sgb")
+    val j = graft.functions.TextFunctions.jaccard(col("sga"), col("sgb"))
+    val brute = sgA.crossJoin(sgB).filter(j >= 0.5)
+      .select(round(j, 4), col("da"), col("db"))
+      .collect().map(_.toSeq).toSet
+    assert(inc == brute)
+    inc.foreach { r =>
+      assert(r(1).asInstanceOf[Long] % 5 != 4) // da from corpus
+      assert(r(2).asInstanceOf[Long] % 5 == 4) // db from batch
+    }
+  }
+
+  test("quantization: int8 range respected, extreme hit, checksum reproducible") {
+    val rows = q("q96_embed_quantize").collect()
+    assert(rows.length == Tables.embeddings(spark, TestSpark.sf001).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("qmax") <= 127 && r.getAs[Long]("qmin") >= -127)
+      // the max-abs component quantizes to exactly ±127
+      assert(r.getAs[Long]("qmax") == 127 || r.getAs[Long]("qmin") == -127)
+    }
+    // manual checksum for one vector
+    val first = Tables.embeddings(spark, TestSpark.sf001)
+      .orderBy("vec_id").select("vec_id", "embedding").head
+    val v = first.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble)
+    val scale = v.map(math.abs).max
+    val qv = v.map(x => (x * 127.0 / scale).toLong)
+    val expect = qv.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum
+    val got = rows.find(_.getAs[Long]("vec_id") == first.getLong(0)).get
+      .getAs[Long]("checksum")
+    assert(got == expect)
+  }
+}
