@@ -259,11 +259,11 @@ object CurationQueries {
       |FROM q""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
-    QueryDef("q90_contamination", q90, Some(q90Sql)),
+    QueryDef("q90_contamination", q90, Some(q90Sql), bench = true),
     QueryDef("q91_stratified_sample", q91, Some(q91Sql)),
     QueryDef("q92_pii_scrub", q92, Some(q92Sql)),
     QueryDef("q93_repetition", q93, Some(q93Sql)),
     QueryDef("q94_seq_packing", q94, Some(q94Sql)),
-    QueryDef("q95_incremental_dedup", q95, Some(q95Sql)),
+    QueryDef("q95_incremental_dedup", q95, Some(q95Sql), bench = true),
     QueryDef("q96_embed_quantize", q96, Some(q96Sql)))
 }
