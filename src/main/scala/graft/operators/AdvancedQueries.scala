@@ -290,6 +290,44 @@ object AdvancedQueries {
       | AND v.event_type = 'view' AND p.event_type = 'purchase'
       | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""".stripMargin
 
+  /** q98: native gap-based session windows under the streaming oracle —
+    * Spark's `session_window` (dynamic merge-on-overlap state, a DIFFERENT
+    * engine surface than the flatMapGroupsWithState sessionizer of q27/q67)
+    * run as a real watermarked append-mode drain. Append emits exactly the
+    * sessions the final watermark closed: `session_end <= max_ts - 1 day`,
+    * where session_end = last event + gap (checked tie-free on this corpus;
+    * micros-granular ends make a boundary tie measure-zero). Sessions merge
+    * when an event lands within the 30-minute gap of the running session —
+    * the same convention as the lag-based SQL sessionization. State is
+    * per-user and watermark-evicted; the shuffle key (user_id) is the
+    * natural partitioning at scale. Timestamps leave as epoch micros. */
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.streaming.EventsStream.readEventsDir(s, d)
+      .withWatermark("ts", "1 day")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("user_id"), col("n"))
+    graft.streaming.EventsStream.runToMemory(s, sess, "q98_sessions")
+  }
+
+  private val q98Sql =
+    """WITH l AS (SELECT user_id, ts,
+      |        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |               > INTERVAL 30 MINUTE
+      |             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM events),
+      |s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |        ROWS UNBOUNDED PRECEDING) AS sid FROM l),
+      |g AS (SELECT user_id, sid, min(ts) AS st,
+      |        max(ts) + INTERVAL 30 MINUTE AS en, count(*) AS n
+      |      FROM s GROUP BY 1, 2),
+      |mx AS (SELECT max(ts) AS max_ts FROM events)
+      |SELECT epoch_us(st) AS start_us, epoch_us(en) AS end_us, user_id, n
+      |FROM g, mx WHERE en <= max_ts - INTERVAL 1 DAY""".stripMargin
+
   /** q47: multimodal feature extraction — synthetic binary media (decode is
     * a documented stub; the Spark-side schema/batching/shape is real).
     * Output: per-kind feature aggregates. Rows-only. */
@@ -447,5 +485,6 @@ object AdvancedQueries {
     QueryDef("q71_lake_roundtrip", q71, Some(q71Sql)),
     QueryDef("q75_media_extract", q75, Some(q75Sql)),
     QueryDef("q76_stream_hourly", q76, Some(q76Sql)),
-    QueryDef("q88_stream_attribution", q88, Some(q88Sql)))
+    QueryDef("q88_stream_attribution", q88, Some(q88Sql)),
+    QueryDef("q98_stream_session_window", q98, Some(q98Sql)))
 }

@@ -258,6 +258,36 @@ object CurationQueries {
       |  CAST(list_max(qv) AS BIGINT) AS qmax, CAST(list_min(qv) AS BIGINT) AS qmin
       |FROM q""".stripMargin
 
+  /** q97: document chunking with overlap — the RAG / pretraining window
+    * splitter: 64-token chunks on a 48-token stride (16-token overlap), so
+    * every token is covered and boundary context is preserved. A doc of n
+    * tokens yields ⌊(n−1)/48⌋+1 chunks; chunk k covers tokens
+    * [48k+1, 48k+64] (the tail chunk is short, never dropped). md5 of each
+    * chunk pins the exact text under the oracle. Per-row generate+explode —
+    * one narrow Generate, no shuffle; chunk provenance (doc_id, chunk_id)
+    * is what the downstream embed/index steps key on. */
+  private def q97(s: SparkSession, d: String): DataFrame = {
+    val ws = words(col("text"))
+    val chunks = transform(
+      sequence(lit(0), ((size(ws) - 1) / lit(48)).cast("int")),
+      k => struct(k.as("chunk_id"),
+        concat_ws(" ", slice(ws, k * 48 + 1, lit(64))).as("chunk_text")))
+    docs(s, d)
+      .select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        size(split(col("c.chunk_text"), " ")).as("n_toks"),
+        md5(col("c.chunk_text")).as("fp"))
+  }
+
+  private val q97Sql =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |k AS (SELECT doc_id, ws,
+      |        unnest(generate_series(0, (len(ws)-1)//48)) AS chunk_id FROM w)
+      |SELECT doc_id, chunk_id,
+      |  len(list_slice(ws, chunk_id*48+1, chunk_id*48+64)) AS n_toks,
+      |  md5(array_to_string(list_slice(ws, chunk_id*48+1, chunk_id*48+64), ' ')) AS fp
+      |FROM k""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q90_contamination", q90, Some(q90Sql), bench = true),
     QueryDef("q91_stratified_sample", q91, Some(q91Sql)),
@@ -265,5 +295,6 @@ object CurationQueries {
     QueryDef("q93_repetition", q93, Some(q93Sql)),
     QueryDef("q94_seq_packing", q94, Some(q94Sql)),
     QueryDef("q95_incremental_dedup", q95, Some(q95Sql), bench = true),
-    QueryDef("q96_embed_quantize", q96, Some(q96Sql)))
+    QueryDef("q96_embed_quantize", q96, Some(q96Sql)),
+    QueryDef("q97_doc_chunks", q97, Some(q97Sql)))
 }

@@ -95,6 +95,25 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("chunking: full coverage, stride-64/48 lengths, stable ids") {
+    val chunks = q("q97_doc_chunks").collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val docs = Tables.documents(spark, TestSpark.sf001)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
+    assert(chunks.size == docs.length)
+    docs.foreach { d =>
+      val n = d.getAs[Int]("n")
+      val cs = chunks(d.getAs[Long]("doc_id")).sortBy(_.getAs[Int]("chunk_id"))
+      assert(cs.length == (n - 1) / 48 + 1)
+      assert(cs.map(_.getAs[Int]("chunk_id")).toSeq == cs.indices.toSeq)
+      // chunk k covers tokens [48k+1, min(48k+64, n)] — full coverage, 16 overlap
+      cs.foreach { c =>
+        val k = c.getAs[Int]("chunk_id")
+        assert(c.getAs[Int]("n_toks") == math.min(48 * k + 64, n) - 48 * k)
+      }
+    }
+  }
+
   test("quantization: int8 range respected, extreme hit, checksum reproducible") {
     val rows = q("q96_embed_quantize").collect()
     assert(rows.length == Tables.embeddings(spark, TestSpark.sf001).count())

@@ -37,6 +37,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(g == canon(expected))
   }
 
+  test("streaming session_window drain equals batch session_window minus open tail") {
+    val streamed = EventsStream.runToMemory(spark,
+      EventsStream.readEvents(spark, eventsDir)
+        .withWatermark("ts", "1 day")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("session_window.start").as("st"),
+          col("session_window.end").as("en"), col("user_id"), col("n")),
+      "session_window_test", "append")
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val horizon = ev.agg(max(col("ts"))).head.getTimestamp(0).toInstant
+      .minusSeconds(86400)
+    val batch = ev
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("st"),
+        col("session_window.end").as("en"), col("user_id"), col("n"))
+      .filter(col("en") <= lit(java.sql.Timestamp.from(horizon)))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val g = canon(streamed)
+    assert(g.nonEmpty)
+    assert(g == canon(batch))
+  }
+
   test("watermarked dedup drops duplicate event_ids") {
     val deduped = EventsStream.dedup(EventsStream.readEvents(spark, eventsDir))
     val got = EventsStream.runToMemory(spark, deduped, "dedup_test", "append")
