@@ -24,5 +24,8 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // interval-only theta joins auto-rewrite to banded equi joins
+      // (plans.BandedIntervalJoinRule); 0 disables
+      .config("spark.graft.rangeJoin.bandSeconds", "86400")
       .config("spark.ui.enabled", "false")
 }

@@ -288,6 +288,52 @@ object CurationQueries {
       |  md5(array_to_string(list_slice(ws, chunk_id*48+1, chunk_id*48+64), ' ')) AS fp
       |FROM k""".stripMargin
 
+  /** q99: curation funnel — the per-source survivor report a curation stack
+    * emits at the end of a run: total docs → length gate (20–80 tokens) →
+    * repetition gate (<5% repeated 3-grams) → exact-dedup survivor (min
+    * doc_id of its content-hash group). Stages are CUMULATIVE conjunctions,
+    * so the report reads as a funnel. One window keyed on the content
+    * fingerprint (the dedup decision) + one map-side-combinable agg on
+    * source; conditional counts stay in whole-stage codegen. */
+  private def q99(s: SparkSession, d: String): DataFrame = {
+    val sg = WordNgrams(col("text"), 3)
+    val keepW = Window.partitionBy(md5(col("text")))
+    val staged = docs(s, d)
+      .withColumn("n_toks", tokenCount(col("text")))
+      .withColumn("p_len", col("n_toks").between(20, 80))
+      .withColumn("p_rep",
+        size(sg) > 0 &&
+        (lit(1.0) - size(array_distinct(sg)).cast("double") / size(sg)) < 0.05)
+      .withColumn("p_dedup", col("doc_id") === min(col("doc_id")).over(keepW))
+    staged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("p_len"), 1).otherwise(0)).cast("long").as("n_len"),
+        sum(when(col("p_len") && col("p_rep"), 1).otherwise(0)).cast("long").as("n_rep"),
+        sum(when(col("p_len") && col("p_rep") && col("p_dedup"), 1).otherwise(0))
+          .cast("long").as("n_kept"))
+  }
+
+  private val q99Sql =
+    """WITH g AS (SELECT doc_id, source, len(string_split(text,' ')) AS n_toks,
+      |    CASE WHEN len(string_split(text,' ')) >= 3
+      |         THEN list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+      |                i -> string_split(text,' ')[i] || ' ' ||
+      |                     string_split(text,' ')[i+1] || ' ' ||
+      |                     string_split(text,' ')[i+2])
+      |         ELSE [] END AS sg,
+      |    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      |  FROM documents),
+      |p AS (SELECT source,
+      |    n_toks BETWEEN 20 AND 80 AS p_len,
+      |    len(sg) > 0 AND (1.0 - CAST(len(list_distinct(sg)) AS DOUBLE)/len(sg)) < 0.05 AS p_rep,
+      |    doc_id = keeper AS p_dedup
+      |  FROM g)
+      |SELECT source, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN p_len THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+      |  CAST(sum(CASE WHEN p_len AND p_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
+      |  CAST(sum(CASE WHEN p_len AND p_rep AND p_dedup THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM p GROUP BY source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q90_contamination", q90, Some(q90Sql), bench = true),
     QueryDef("q91_stratified_sample", q91, Some(q91Sql)),
@@ -296,5 +342,6 @@ object CurationQueries {
     QueryDef("q94_seq_packing", q94, Some(q94Sql)),
     QueryDef("q95_incremental_dedup", q95, Some(q95Sql), bench = true),
     QueryDef("q96_embed_quantize", q96, Some(q96Sql)),
-    QueryDef("q97_doc_chunks", q97, Some(q97Sql)))
+    QueryDef("q97_doc_chunks", q97, Some(q97Sql)),
+    QueryDef("q99_quality_funnel", q99, Some(q99Sql)))
 }

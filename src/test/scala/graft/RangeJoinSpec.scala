@@ -33,6 +33,15 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  /** Run `f` with the auto-band rule set to `seconds` (0 = off), restoring
+    * the session default afterwards. */
+  private def withBandConf[T](seconds: Long)(f: => T): T = {
+    val key = "spark.graft.rangeJoin.bandSeconds"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, seconds.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   test("banded join plans as an equi join, naive plans as nested loop") {
     val (p, v) = sides
     val bandedPlan = RangeJoin
@@ -40,10 +49,44 @@ class RangeJoinSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!bandedPlan.contains("NestedLoop"), s"unexpected BNLJ:\n$bandedPlan")
     assert(bandedPlan.contains("Join") || bandedPlan.contains("HashJoin"))
-    val naivePlan = v.join(p,
+    withBandConf(0) {
+      val naivePlan = v.join(p,
+          col("v_ts") >= col("lo") && col("v_ts") <= col("p_ts"))
+        .queryExecution.executedPlan.toString
+      assert(naivePlan.contains("NestedLoop"),
+        "naive range predicate with the rule off should be the nested-loop baseline")
+    }
+  }
+
+  test("optimizer rule rewrites the naive interval join to a banded equi join") {
+    val (p, v) = sides
+    def naive = v.join(p,
         col("v_ts") >= col("lo") && col("v_ts") <= col("p_ts"))
-      .queryExecution.executedPlan.toString
-    assert(naivePlan.contains("NestedLoop"),
-      "naive range predicate should be the nested-loop baseline")
+      .select(col("view_id"), col("purchase_id"))
+    val baseline = withBandConf(0) {
+      naive.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    }
+    // default session conf (86400 s): the SAME naive query plans banded
+    val qe = naive.queryExecution
+    assert(qe.optimizedPlan.toString.contains("__band"),
+      s"rule did not fire:\n${qe.optimizedPlan}")
+    assert(!qe.executedPlan.toString.contains("NestedLoop"),
+      s"still a BNLJ:\n${qe.executedPlan}")
+    val got = naive.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(got == baseline)
+    assert(got.nonEmpty)
+  }
+
+  test("optimizer rule leaves equi-conjunct and open-interval joins alone") {
+    val (p, v) = sides
+    // equi conjunct present (the q23 shape): no rewrite
+    val equi = v.withColumn("k", col("view_id") % 10)
+      .join(p.withColumn("k", col("purchase_id") % 10),
+        Seq("k"))
+      .filter(col("v_ts") >= col("lo") && col("v_ts") <= col("p_ts"))
+    assert(!equi.queryExecution.optimizedPlan.toString.contains("__band"))
+    // single open bound: no rewrite
+    val open = v.join(p, col("v_ts") <= col("p_ts"))
+    assert(!open.queryExecution.optimizedPlan.toString.contains("__band"))
   }
 }
