@@ -101,6 +101,34 @@ object AdvancedQueries {
       |  1 AS approx_within_5pct
       |FROM lineitem""".stripMargin
 
+  /** q101: MERGEABLE sketches — the pattern that makes approximate distinct
+    * re-aggregable at 100 TB: per-group partial HLL sketches (one shuffle,
+    * map-side combinable), then `hll_union_agg` merges the group sketches
+    * into a global estimate WITHOUT rescanning the fact — the same sketch
+    * column could be persisted in a daily mart and unioned across days.
+    * Naively summing per-group distincts would double-count keys that
+    * appear in several groups; the union is the correct algebra. Contract
+    * oracle like q44: the estimate is engine-specific but deterministic, so
+    * "merged estimate within 5% of exact" + the exact count gate it. */
+  private def q101(s: SparkSession, d: String): DataFrame = {
+    val partial = li(s, d).groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_partkey"), lit(14)).as("sk"))
+    val merged = partial.agg(
+      count(lit(1)).as("n_groups"),
+      hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("approx"))
+    val exact = li(s, d).agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    merged.crossJoin(broadcast(exact))
+      .select(col("exact_parts"), col("n_groups"),
+        (abs(col("approx") - col("exact_parts")).cast("double") /
+          col("exact_parts") <= 0.05).cast("int").as("merged_within_5pct"))
+  }
+
+  private val q101Sql =
+    """SELECT count(DISTINCT l_partkey) AS exact_parts,
+      |  count(DISTINCT l_returnflag) AS n_groups,
+      |  1 AS merged_within_5pct
+      |FROM lineitem""".stripMargin
+
   /** q45: embedding-cosine near-dup pairs (north-star dedup family) —
     * brute-force oracle baseline; the scale path reuses Similarity's LSH
     * buckets as the candidate generator. Integer ids + identical double
@@ -486,5 +514,6 @@ object AdvancedQueries {
     QueryDef("q75_media_extract", q75, Some(q75Sql)),
     QueryDef("q76_stream_hourly", q76, Some(q76Sql)),
     QueryDef("q88_stream_attribution", q88, Some(q88Sql)),
-    QueryDef("q98_stream_session_window", q98, Some(q98Sql)))
+    QueryDef("q98_stream_session_window", q98, Some(q98Sql)),
+    QueryDef("q101_sketch_merge", q101, Some(q101Sql)))
 }

@@ -229,21 +229,20 @@ object CurationQueries {
     * TRUNCATED toward zero (round-half semantics differ between engines —
     * the repo determinism rule). The checksum (Σ qᵢ·i over 1-based
     * positions) pins every quantized component under the oracle without 64
-    * output columns. Per-row array math only; the zip_with/transform HOFs
-    * are CodegenFallback, so a hot-path deployment would lower this to a
-    * native expression exactly as CosineSimilarityExpr does for the dot
-    * product. */
+    * output columns. The quantization itself runs through the native
+    * [[graft.functions.Int8Quantize]] codegen expression (one fused pass;
+    * NULL on all-zero vectors replaces the composed form's scale>0 guard),
+    * so the oracle gates the hot-path code — the checksum HOFs are
+    * verification-only scaffolding. */
   private def q96(s: SparkSession, d: String): DataFrame =
     emb(s, d)
-      .withColumn("scale",
-        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
-      .filter(col("scale") > 0)
-      .withColumn("qv", transform(col("embedding"),
-        x => (x.cast("double") * 127.0 / col("scale")).cast("long")))
+      .withColumn("qv", graft.functions.Int8Quantize(col("embedding")))
+      .filter(col("qv").isNotNull)
       .select(col("vec_id"), size(col("qv")).as("dim"),
         aggregate(zip_with(col("qv"), sequence(lit(1), size(col("qv"))),
-          (q, i) => q * i), lit(0L), (a, x) => a + x).as("checksum"),
-        array_max(col("qv")).as("qmax"), array_min(col("qv")).as("qmin"))
+          (q, i) => q.cast("long") * i), lit(0L), (a, x) => a + x).as("checksum"),
+        array_max(col("qv")).cast("long").as("qmax"),
+        array_min(col("qv")).cast("long").as("qmin"))
 
   private val q96Sql =
     """WITH s AS (SELECT vec_id, embedding,

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSimilarity, WordNgrams}
+import graft.functions.{CosineSimilarity, Int8Quantize, WordNgrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("cosine_sim"),
         new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
         (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    e.injectFunction(
+      (FunctionIdentifier("int8_quantize"),
+        new ExpressionInfo(classOf[Int8Quantize].getName, "int8_quantize"),
+        (args: Seq[Expression]) => Int8Quantize(args(0))))
     e.injectFunction(
       (FunctionIdentifier("word_ngrams"),
         new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),

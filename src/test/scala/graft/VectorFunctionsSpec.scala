@@ -60,6 +60,48 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(interp == null)
   }
 
+  test("int8_quantize native expression matches the composed HOF form") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val composed = e
+      .withColumn("scale",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .filter(col("scale") > 0)
+      .withColumn("qv", transform(col("embedding"),
+        x => (x.cast("double") * 127.0 / col("scale")).cast("long")))
+      .select(col("vec_id"), col("qv"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Long](1)).toMap
+    val native = e
+      .withColumn("qv", graft.functions.Int8Quantize(col("embedding")))
+      .filter(col("qv").isNotNull)
+      .select(col("vec_id"), col("qv"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Byte](1).map(_.toLong)).toMap
+    assert(native.nonEmpty && native.keySet == composed.keySet)
+    native.foreach { case (id, qv) => assert(qv == composed(id), s"vec $id") }
+    // zero vector → NULL (interpreted path)
+    val interp = graft.functions.Int8Quantize(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(0f, 0f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+      .eval(null)
+    assert(interp == null)
+  }
+
+  test("int8_quantize registered for SQL via GraftExtensions injector") {
+    new graft.plans.GraftExtensions()
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "int8_quantize",
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.Int8Quantize(args(0)),
+      "built-in")
+    val r = spark.sql(
+      "SELECT int8_quantize(array(CAST(0.5 AS FLOAT), CAST(-1.0 AS FLOAT))) AS q")
+      .head.getSeq[Byte](0)
+    assert(r == Seq(63.toByte, -127.toByte))
+  }
+
   test("cosine_sim registered for SQL via GraftExtensions injector") {
     // function injection happens at session build; register directly here to
     // exercise the same builder on the shared session
