@@ -476,6 +476,34 @@ object ScaleQueries {
       |      FROM range(0, 5000))
       |GROUP BY event_type""".stripMargin
 
+  /** q102: the DSv2 connector with an id-range predicate PUSHED INTO THE
+    * SOURCE (SupportsPushDownFilters): partition planning narrows to
+    * [1000, 4000) before any row is generated — the connector-level
+    * analogue of partition pruning, plan-asserted in Dsv2Spec. The oracle
+    * states the same range directly. */
+  private def q102(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.v2.SyntheticEventsProvider")
+      .option("rows", "5000").option("partitions", "8").load()
+      .filter(col("id") >= 1000 && col("id") < 4000)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("user_id")).cast("long").as("sum_user"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"),
+        round(sum(col("value")), 1).as("val_sum"))
+
+  private val q102Sql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(user_id) AS BIGINT) AS sum_user,
+      |  min(id) AS min_id, max(id) AS max_id,
+      |  round(sum(value), 1) AS val_sum
+      |FROM (SELECT range AS id, range % 150 AS user_id,
+      |        ['view', 'click', 'purchase', 'signup', 'error']
+      |          [CAST((range * 7) % 5 AS INTEGER) + 1] AS event_type,
+      |        CAST(((range % 9973) * 31 + 7) % 1000 AS DOUBLE) / 10.0 AS value
+      |      FROM range(1000, 4000))
+      |GROUP BY event_type""".stripMargin
+
   /** q82: math scalar surface (SURVEY §2.8) in exact space — floor/ceil/
     * abs/sign/mod/greatest/least over prices and keys produce integers, so
     * the comparison needs no rounding tolerance at all. */
@@ -571,5 +599,6 @@ object ScaleQueries {
     QueryDef("q81_dsv2_source", q81, Some(q81Sql)),
     QueryDef("q82_math_funcs", q82, Some(q82Sql)),
     QueryDef("q83_range_join", q83, Some(q83Sql)),
-    QueryDef("q100_auto_range_join", q100, Some(q83Sql)))
+    QueryDef("q100_auto_range_join", q100, Some(q83Sql)),
+    QueryDef("q102_dsv2_pushdown", q102, Some(q102Sql)))
 }

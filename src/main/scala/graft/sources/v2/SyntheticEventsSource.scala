@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -65,24 +66,69 @@ class SyntheticEventsTable extends Table with SupportsRead {
       options.getInt("partitions", 4))
 }
 
+/** Filter pushdown (SupportsPushDownFilters): comparisons on the `id`
+  * column tighten the generated [lo, hi) range BEFORE partition planning —
+  * the connector-level analogue of parquet row-group pruning or a JDBC
+  * WHERE clause: pushed rows are never materialized, never shipped. Pushed
+  * id-filters are fully absorbed (not re-evaluated by Spark); every other
+  * filter is returned as a residual. */
 class SyntheticScanBuilder(rows: Long, partitions: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = SyntheticEvents.schema
+  private var lo: Long = 0L
+  private var hi: Long = rows // exclusive
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new SyntheticScan(rows, partitions, required)
+
+  private def bound(v: Any): Option[Long] = v match {
+    case n: Number => Some(n.longValue())
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case EqualTo("id", v) => bound(v).isDefined
+      case GreaterThan("id", v) => bound(v).isDefined
+      case GreaterThanOrEqual("id", v) => bound(v).isDefined
+      case LessThan("id", v) => bound(v).isDefined
+      case LessThanOrEqual("id", v) => bound(v).isDefined
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo(_, v) =>
+        lo = math.max(lo, bound(v).get); hi = math.min(hi, bound(v).get + 1)
+      case GreaterThan(_, v) => lo = math.max(lo, bound(v).get + 1)
+      case GreaterThanOrEqual(_, v) => lo = math.max(lo, bound(v).get)
+      case LessThan(_, v) => hi = math.min(hi, bound(v).get)
+      case LessThanOrEqual(_, v) => hi = math.min(hi, bound(v).get + 1)
+      case _ => ()
+    }
+    pushed = accepted
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new SyntheticScan(lo, math.max(lo, hi), partitions, required, pushed)
 }
 
 final case class IdRangePartition(start: Long, end: Long) extends InputPartition
 
-class SyntheticScan(rows: Long, partitions: Int, required: StructType)
-    extends Scan with Batch {
+class SyntheticScan(lo: Long, hi: Long, partitions: Int, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_synthetic_events range=[$lo,$hi) pushed=[${pushed.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] = {
+    val rows = hi - lo
     val per = math.max(1L, (rows + partitions - 1) / partitions)
-    (0L until rows by per)
-      .map(s => IdRangePartition(s, math.min(rows, s + per)): InputPartition)
+    (lo until hi by per)
+      .map(s => IdRangePartition(s, math.min(hi, s + per)): InputPartition)
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

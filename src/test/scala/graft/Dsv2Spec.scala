@@ -44,6 +44,28 @@ class Dsv2Spec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("id-range filters push into partition planning; others stay residual") {
+    val df = synth(1000, 4).filter(col("id") >= 990 && col("id") < 996)
+    assert(df.count() == 6)
+    // the pushed range narrows the generated partitions themselves
+    val scanDesc = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }.getOrElse("")
+    assert(scanDesc.contains("range=[990,996)"), s"scan: $scanDesc")
+    // only 6 ids exist at the RDD level — nothing was generated then dropped
+    assert(df.select(col("id")).rdd.count() == 6)
+    // a non-id filter is NOT absorbed: range stays full, filter applied above
+    val resid = synth(1000, 4).filter(col("event_type") === "view")
+    val residDesc = resid.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }.getOrElse("")
+    assert(residDesc.contains("range=[0,1000)"), s"scan: $residDesc")
+    assert(resid.count() == synth(1000, 4).collect()
+      .count(_.getString(3) == "view"))
+    // contradictory bounds produce an empty, not negative, range
+    assert(synth(100, 2).filter(col("id") > 50 && col("id") < 10).count() == 0)
+  }
+
   test("uneven division still covers exactly the row range") {
     val df = synth(10, 3)
     assert(df.count() == 10)
