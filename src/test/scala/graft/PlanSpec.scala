@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-property regression tests: the physical-plan shapes the 100 TB
+  * design depends on, asserted so a refactor can't silently lose them.
+  * Values are checked by the oracle gate; THESE tests pin how the work is
+  * done — pushdown reaching scans, top-k without global sorts, dimension
+  * broadcasts, and the absence of cross products in every declared query.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def plan(name: String, d: String = TestSpark.sf0001): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("filter pushdown reaches the parquet scans") {
+    assert(plan("q01_pricing_summary").contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(plan("q03_top_orders").contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"))
+    assert(plan("q05_nation_revenue").contains("EqualTo(r_name,ASIA)"))
+  }
+
+  test("top-k queries use TakeOrderedAndProject, never a global sort") {
+    Seq("q03_top_orders", "q31_word_freq", "q40_knn_cosine").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
+    }
+  }
+
+  test("star-join dimensions broadcast") {
+    val p = plan("q05_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("aggregations are partial+final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    // one partial and one final HashAggregate pass around the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Exchange"), p)
+  }
+
+  test("windows are partitioned, not single-partition, in scale paths") {
+    // q94 packing: window partitioned by source
+    val p = plan("q94_seq_packing")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"global window sort crept into q94:\n$p")
+  }
+
+  test("no declared query plans a cartesian product (except documented brute baselines)") {
+    // brute-force oracle baselines are deliberately O(n²); everything else
+    // must stay cross-product-free
+    val bruteBaselines = Set(
+      "q34_jaccard_dupes", "q45_embedding_neardup", "q53_deciles")
+    val streamingOrSideEffect = Set(
+      // streaming drains + sink round trips can't be planned statically here
+      "q67_stream_sessions", "q76_stream_hourly", "q88_stream_attribution",
+      "q98_stream_session_window", "q71_lake_roundtrip", "q43_rag_retrieve",
+      "q73_rag_portable")
+    SparkEntry.defs
+      .filterNot(q => bruteBaselines(q.name) || streamingOrSideEffect(q.name))
+      .foreach { q =>
+        val p = try plan(q.name) catch { case _: Throwable => "" }
+        assert(!p.contains("CartesianProduct"),
+          s"${q.name} plans a CartesianProduct")
+      }
+  }
+}
