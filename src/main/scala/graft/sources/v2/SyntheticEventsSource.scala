@@ -7,7 +7,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -74,14 +76,43 @@ class SyntheticEventsTable extends Table with SupportsRead {
   * filter is returned as a residual. */
 class SyntheticScanBuilder(rows: Long, partitions: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = SyntheticEvents.schema
   private var lo: Long = 0L
   private var hi: Long = rows // exclusive
   private var pushed: Array[Filter] = Array.empty
+  private var aggFuncs: Array[AggregateFunc] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Aggregate pushdown (SupportsPushDownAggregates): ungrouped COUNT(*),
+    * MIN(id), MAX(id) are answerable ANALYTICALLY from the pushed [lo, hi)
+    * range — the scan emits one pre-aggregated row and generates nothing.
+    * This is the connector-capability a warehouse source (or a parquet
+    * footer reader) uses to turn a full scan into metadata math. Complete
+    * pushdown only: anything else (group-bys, sums over generated values)
+    * is declined and planned as a normal aggregate over the scan. */
+  private def isIdRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: NamedReference => nr.fieldNames.toSeq == Seq("id")
+      case _ => false
+    }
+
+  private def handled(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => isIdRef(m.column)
+        case m: Max => isIdRef(m.column)
+        case _ => false
+      }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = handled(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (handled(agg)) { aggFuncs = agg.aggregateExpressions; true }
+    else false
 
   private def bound(v: Any): Option[Long] = v match {
     case n: Number => Some(n.longValue())
@@ -113,7 +144,47 @@ class SyntheticScanBuilder(rows: Long, partitions: Int)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new SyntheticScan(lo, math.max(lo, hi), partitions, required, pushed)
+    if (aggFuncs.nonEmpty)
+      new SyntheticAggScan(lo, math.max(lo, hi), aggFuncs, pushed)
+    else new SyntheticScan(lo, math.max(lo, hi), partitions, required, pushed)
+}
+
+/** Pre-aggregated scan: one row answering the pushed aggregates from range
+  * arithmetic (count = hi-lo, min = lo, max = hi-1; NULL min/max on an
+  * empty range, matching SQL aggregate semantics). */
+class SyntheticAggScan(lo: Long, hi: Long, aggs: Array[AggregateFunc],
+    pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(aggs.zipWithIndex.map {
+    case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_synthetic_events AGG-PUSHED range=[$lo,$hi) aggs=[${aggs.mkString(", ")}] pushed=[${pushed.mkString(", ")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(IdRangePartition(lo, hi))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // resolve the answers on the driver; the factory ships only primitives
+    val empty = hi <= lo
+    val values: Array[Any] = aggs.map {
+      case _: CountStar => math.max(0L, hi - lo)
+      case _: Min => if (empty) null else lo
+      case _: Max => if (empty) null else hi - 1
+      case other => throw new IllegalStateException(s"unpushable agg $other")
+    }
+    new SyntheticAggReaderFactory(values)
+  }
+}
+
+class SyntheticAggReaderFactory(values: Array[Any])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(values.toIndexedSeq)
+      override def close(): Unit = ()
+    }
 }
 
 final case class IdRangePartition(start: Long, end: Long) extends InputPartition

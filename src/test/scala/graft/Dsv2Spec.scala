@@ -66,6 +66,37 @@ class Dsv2Spec extends AnyFunSuite {
     assert(synth(100, 2).filter(col("id") > 50 && col("id") < 10).count() == 0)
   }
 
+  test("ungrouped count/min/max push to the source as range arithmetic") {
+    val df = synth(5000, 8).agg(
+      count(lit(1)).as("n"), min(col("id")).as("lo"), max(col("id")).as("hi"))
+    val desc = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }.getOrElse("")
+    assert(desc.contains("AGG-PUSHED"), s"aggregate not pushed: $desc")
+    assert(df.head.toSeq == Seq(5000L, 0L, 4999L))
+    // composes with filter pushdown: the range narrows first
+    val filtered = synth(5000, 8).filter(col("id") >= 1000 && col("id") < 4000)
+      .agg(count(lit(1)), min(col("id")), max(col("id")))
+    val fdesc = filtered.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }.getOrElse("")
+    assert(fdesc.contains("AGG-PUSHED") && fdesc.contains("range=[1000,4000)"), fdesc)
+    assert(filtered.head.toSeq == Seq(3000L, 1000L, 3999L))
+  }
+
+  test("non-pushable aggregates fall back to a normal scan and stay correct") {
+    // group-by and sum-over-generated-values are declined by the source
+    val grouped = synth(1000, 4).groupBy(col("event_type")).count()
+    val gdesc = grouped.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.description()
+    }.getOrElse("")
+    assert(!gdesc.contains("AGG-PUSHED"), gdesc)
+    assert(grouped.agg(sum("count")).head.getLong(0) == 1000L)
+    val summed = synth(1000, 4).agg(sum(col("user_id")))
+    assert(summed.head.getLong(0) ==
+      (0L until 1000L).map(_ % 150).sum)
+  }
+
   test("uneven division still covers exactly the row range") {
     val df = synth(10, 3)
     assert(df.count() == 10)
