@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.functions.{TextFunctions, WordNgrams}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable training-data curation operators (the library surface behind
+  * the q90–q99 oracle queries — each function is a DataFrame transform a
+  * pipeline composes directly). Scale notes live on each op; all of them
+  * keep the work in one or two map-side-combinable shuffles and none
+  * collects to the driver.
+  */
+object Curation {
+
+  /** Per-doc contamination scores against an eval/benchmark corpus: the
+    * fraction of each training doc's n-gram shingles that appear anywhere
+    * in `eval`. Returns (doc_id, n_sh, n_contam). Shuffle equi-join on the
+    * shingle string; at 100 TB join on xxhash64(shingle) to shrink the
+    * payload (byte-identical modulo 2^-64 collisions). */
+  def contaminationCounts(train: DataFrame, eval: DataFrame, n: Int = 5): DataFrame = {
+    val evalSh = Dedup.shingleSets(eval, n)
+      .select(explode(col("sg")).as("s")).distinct()
+      .withColumn("hit", lit(1))
+    Dedup.shingleSets(train, n)
+      .select(col("doc_id"), explode(col("sg")).as("s"))
+      .join(evalSh, Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_contam"))
+  }
+
+  /** Deterministic hash membership for sampling/mixing: true iff the row
+    * survives at `rate` percent. A Knuth-multiplicative permutation of the
+    * key — reproducible across runs, engines, and partitionings; no rand(),
+    * no seed plumbing; shuffle-free. */
+  def hashSampled(key: Column, rate: Column): Column =
+    (key * lit(2654435761L)) % 100 < rate
+
+  /** Stratified sample / source-mix report: per-stratum totals and
+    * surviving counts under per-stratum rates (a tiny broadcast dim).
+    * `rates` columns: (stratumCol, "rate"). */
+  def stratifiedSampleReport(docs: DataFrame, rates: DataFrame,
+      stratumCol: String, keyCol: String = "doc_id"): DataFrame =
+    docs.join(broadcast(rates), stratumCol)
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(hashSampled(col(keyCol), col("rate")), 1).otherwise(0))
+          .cast("long").as("n_sampled"))
+
+  /** Within-document repetition ratio over n-gram occurrences:
+    * 1 − distinct/total (boilerplate/loop signal). Per-row, no shuffle. */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val sg = WordNgrams(text, n)
+    when(size(sg) > 0,
+      lit(1.0) - size(array_distinct(sg)).cast("double") / size(sg))
+  }
+
+  /** Concat-and-chunk sequence packing: per `sourceCol`, docs concatenated
+    * in `orderCol` order and chunked into `capacity`-token windows; a doc
+    * belongs to the pack its first token lands in. Adds (toks, pack).
+    * The window is PARTITIONED — parallel across sources, never a global
+    * sort. */
+  def packSequences(docs: DataFrame, capacity: Int, sourceCol: String = "source",
+      orderCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("toks", TextFunctions.tokenCount(col(textCol)))
+      .withColumn("__cum", sum(col("toks")).over(w))
+      .withColumn("pack", expr(s"(__cum - toks) div $capacity"))
+      .drop("__cum")
+  }
+
+  /** Overlapping chunker (RAG / pretraining window splitter): `size`-token
+    * chunks every `stride` tokens; chunk k of a doc covers tokens
+    * [stride·k+1, stride·k+size], the tail chunk is short but never
+    * dropped, every token is covered when stride ≤ size. Returns one row
+    * per chunk: (all doc columns, chunk_id, chunk_text). Narrow
+    * generate+explode, no shuffle. */
+  def chunk(docs: DataFrame, size: Int = 64, stride: Int = 48,
+      textCol: String = "text"): DataFrame = {
+    require(stride > 0 && size >= stride, "need 0 < stride <= size")
+    val ws = TextFunctions.words(col(textCol))
+    val chunks = transform(
+      sequence(lit(0), ((org.apache.spark.sql.functions.size(ws) - 1) / lit(stride)).cast("int")),
+      k => struct(k.as("chunk_id"),
+        concat_ws(" ", slice(ws, k * stride + 1, lit(size))).as("chunk_text")))
+    docs.withColumn("__c", explode(chunks))
+      .withColumn("chunk_id", col("__c.chunk_id"))
+      .withColumn("chunk_text", col("__c.chunk_text"))
+      .drop("__c")
+  }
+
+  /** Cumulative curation funnel flags: length gate, repetition gate, and
+    * exact-dedup survivorship (min key per content hash). Adds boolean
+    * p_len / p_rep / p_dedup columns for funnel aggregation. */
+  def funnelFlags(docs: DataFrame, minToks: Int, maxToks: Int,
+      maxRepetition: Double, keyCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("p_len",
+        TextFunctions.tokenCount(col(textCol)).between(minToks, maxToks))
+      .withColumn("p_rep",
+        coalesce(repetitionRatio(col(textCol)) < maxRepetition, lit(false)))
+      .withColumn("p_dedup", col(keyCol) ===
+        min(col(keyCol)).over(Window.partitionBy(md5(col(textCol)))))
+}

@@ -38,15 +38,10 @@ object CurationQueries {
     * exactness. The count(hit)/count(*) agg is one map-side-combinable
     * shuffle on doc_id. */
   private def q90(s: SparkSession, d: String): DataFrame = {
-    val sh = Dedup.shingleSets(docs(s, d), n = 5)
-    val ev = sh.filter(col("doc_id") % 10 === 0)
-      .select(explode(col("sg")).as("s")).distinct()
-      .withColumn("hit", lit(1))
-    val tr = sh.filter(col("doc_id") % 10 =!= 0)
-      .select(col("doc_id"), explode(col("sg")).as("s"))
-    tr.join(ev, Seq("s"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_contam"))
+    val all = docs(s, d)
+    Curation.contaminationCounts(
+        train = all.filter(col("doc_id") % 10 =!= 0),
+        eval = all.filter(col("doc_id") % 10 === 0), n = 5)
       .filter(col("n_contam").cast("double") / col("n_sh") >= 0.5)
       .select(col("doc_id"), col("n_sh"), col("n_contam"),
         round(col("n_contam").cast("double") / col("n_sh"), 4).as("contam_ratio"))
@@ -80,11 +75,7 @@ object CurationQueries {
     import s.implicits._
     val rates = Seq(("en", 20), ("de", 50), ("es", 50), ("fr", 50), ("zh", 50))
       .toDF("lang", "rate")
-    docs(s, d).join(broadcast(rates), "lang")
-      .withColumn("h", (col("doc_id") * lit(2654435761L)) % 100)
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_total"),
-        sum(when(col("h") < col("rate"), 1).otherwise(0)).cast("long").as("n_sampled"))
+    Curation.stratifiedSampleReport(docs(s, d), rates, "lang")
   }
 
   private val q91Sql =
@@ -147,11 +138,9 @@ object CurationQueries {
     val sg = WordNgrams(col("text"), 3)
     docs(s, d)
       .select(col("doc_id"), size(sg).as("n_total"),
-        size(array_distinct(sg)).as("n_distinct"))
+        size(array_distinct(sg)).as("n_distinct"),
+        round(Curation.repetitionRatio(col("text"), 3), 4).as("rep_ratio"))
       .filter(col("n_total") > 0)
-      .select(col("doc_id"), col("n_total"), col("n_distinct"),
-        round(lit(1.0) - col("n_distinct").cast("double") / col("n_total"), 4)
-          .as("rep_ratio"))
   }
 
   private val q93Sql =
@@ -174,17 +163,11 @@ object CurationQueries {
     * running sum sorts only its own partition (parallel across sources), not
     * a global single-partition sort (the q53→q85 lesson). The agg is
     * map-side combinable on (source, pack). */
-  private def q94(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs(s, d)
-      .select(col("source"), col("doc_id"), tokenCount(col("text")).as("toks"))
-      .withColumn("cum", sum(col("toks")).over(w))
-      .withColumn("pack", expr("(cum - toks) div 256"))
+  private def q94(s: SparkSession, d: String): DataFrame =
+    Curation.packSequences(docs(s, d), capacity = 256)
       .groupBy(col("source"), col("pack"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).cast("long").as("toks"))
       .withColumn("fill", round(col("toks").cast("double") / 256.0, 4))
-  }
 
   private val q94Sql =
     """WITH t AS (SELECT source, doc_id, len(string_split(text,' ')) AS toks FROM documents),
@@ -265,18 +248,11 @@ object CurationQueries {
     * chunk pins the exact text under the oracle. Per-row generate+explode —
     * one narrow Generate, no shuffle; chunk provenance (doc_id, chunk_id)
     * is what the downstream embed/index steps key on. */
-  private def q97(s: SparkSession, d: String): DataFrame = {
-    val ws = words(col("text"))
-    val chunks = transform(
-      sequence(lit(0), ((size(ws) - 1) / lit(48)).cast("int")),
-      k => struct(k.as("chunk_id"),
-        concat_ws(" ", slice(ws, k * 48 + 1, lit(64))).as("chunk_text")))
-    docs(s, d)
-      .select(col("doc_id"), explode(chunks).as("c"))
-      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
-        size(split(col("c.chunk_text"), " ")).as("n_toks"),
-        md5(col("c.chunk_text")).as("fp"))
-  }
+  private def q97(s: SparkSession, d: String): DataFrame =
+    Curation.chunk(docs(s, d), size = 64, stride = 48)
+      .select(col("doc_id"), col("chunk_id"),
+        size(split(col("chunk_text"), " ")).as("n_toks"),
+        md5(col("chunk_text")).as("fp"))
 
   private val q97Sql =
     """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
@@ -294,23 +270,15 @@ object CurationQueries {
     * so the report reads as a funnel. One window keyed on the content
     * fingerprint (the dedup decision) + one map-side-combinable agg on
     * source; conditional counts stay in whole-stage codegen. */
-  private def q99(s: SparkSession, d: String): DataFrame = {
-    val sg = WordNgrams(col("text"), 3)
-    val keepW = Window.partitionBy(md5(col("text")))
-    val staged = docs(s, d)
-      .withColumn("n_toks", tokenCount(col("text")))
-      .withColumn("p_len", col("n_toks").between(20, 80))
-      .withColumn("p_rep",
-        size(sg) > 0 &&
-        (lit(1.0) - size(array_distinct(sg)).cast("double") / size(sg)) < 0.05)
-      .withColumn("p_dedup", col("doc_id") === min(col("doc_id")).over(keepW))
-    staged.groupBy(col("source"))
+  private def q99(s: SparkSession, d: String): DataFrame =
+    Curation.funnelFlags(docs(s, d), minToks = 20, maxToks = 80,
+        maxRepetition = 0.05)
+      .groupBy(col("source"))
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("p_len"), 1).otherwise(0)).cast("long").as("n_len"),
         sum(when(col("p_len") && col("p_rep"), 1).otherwise(0)).cast("long").as("n_rep"),
         sum(when(col("p_len") && col("p_rep") && col("p_dedup"), 1).otherwise(0))
           .cast("long").as("n_kept"))
-  }
 
   private val q99Sql =
     """WITH g AS (SELECT doc_id, source, len(string_split(text,' ')) AS n_toks,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CurationQueries, Dedup}
+import graft.operators.{Curation, CurationQueries, Dedup}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -112,6 +112,44 @@ class CurationSpec extends AnyFunSuite {
         assert(c.getAs[Int]("n_toks") == math.min(48 * k + 64, n) - 48 * k)
       }
     }
+  }
+
+  test("Curation API: chunker covers every token at other size/stride configs") {
+    val docs = Tables.documents(spark, TestSpark.sf001)
+    Seq((32, 32), (100, 70), (16, 8)).foreach { case (sz, st) =>
+      val chunks = Curation.chunk(docs, size = sz, stride = st)
+      // per doc: chunk count formula and total coverage
+      val byDoc = chunks.groupBy("doc_id")
+        .agg(count(lit(1)).as("c"), max(col("chunk_id")).as("maxid"))
+        .join(docs.select(col("doc_id"),
+          size(split(col("text"), " ")).as("n")), "doc_id")
+        .collect()
+      byDoc.foreach { r =>
+        val (c, maxid, n) = (r.getAs[Long]("c"), r.getAs[Int]("maxid"), r.getAs[Int]("n"))
+        assert(c == (n - 1) / st + 1, s"size=$sz stride=$st n=$n")
+        assert(maxid == c - 1)
+      }
+    }
+  }
+
+  test("Curation API: packSequences respects custom capacity and order column") {
+    val packed = Curation.packSequences(
+      Tables.documents(spark, TestSpark.sf001), capacity = 100)
+    // a doc's pack is its predecessor-cumsum div capacity: monotone per source
+    val bad = packed
+      .withColumn("prev_pack", lag(col("pack"), 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")))
+      .filter(col("prev_pack").isNotNull && col("pack") < col("prev_pack"))
+    assert(bad.count() == 0)
+  }
+
+  test("Curation API: hashSampled is a fixed permutation (rate bounds hold)") {
+    import spark.implicits._
+    val keys = (0L until 1000L).toDF("k")
+    val kept = keys.filter(Curation.hashSampled(col("k"), lit(30))).count()
+    // (k*2654435761)%100 over 1000 consecutive keys hits each residue 10x
+    assert(kept == 300, s"expected exactly 300 of 1000 at rate 30, got $kept")
   }
 
   test("quality funnel: stages monotone, totals cover the corpus") {

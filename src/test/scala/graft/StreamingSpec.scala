@@ -64,6 +64,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(g == canon(batch))
   }
 
+  test("streaming curation drain: content dedup + quality gate equals batch") {
+    // the curation stack run AS A STREAM: documents arrive as files, exact
+    // content dedup keeps one doc per fingerprint (stateful), the length
+    // gate drops the rest — the shape of a continuously-ingesting corpus
+    val docSchema = Tables.documents(spark, TestSpark.sf0001).schema
+    val stream = spark.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(TestSpark.sf0001)
+      .withColumn("fp", md5(col("text")))
+      .dropDuplicates("fp")
+      .filter(size(split(col("text"), " ")).between(20, 80))
+      .select(col("fp"))
+    val got = EventsStream.runToMemory(spark, stream, "stream_curation", "append")
+      .collect().map(_.getString(0)).toSeq
+    // which doc_id survives per fingerprint is read-order-dependent; the
+    // surviving fingerprint SET is deterministic
+    val expected = Tables.documents(spark, TestSpark.sf0001)
+      .filter(size(split(col("text"), " ")).between(20, 80))
+      .select(md5(col("text")).as("fp")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(got.nonEmpty)
+    assert(got.length == got.distinct.length, "stream emitted a duplicate fp")
+    assert(got.sorted == expected.sorted)
+  }
+
   test("watermarked dedup drops duplicate event_ids") {
     val deduped = EventsStream.dedup(EventsStream.readEvents(spark, eventsDir))
     val got = EventsStream.runToMemory(spark, deduped, "dedup_test", "append")
