@@ -91,6 +91,16 @@ object Curation {
       .drop("__c")
   }
 
+  /** Deterministic corpus shuffle for training order: a reproducible
+    * pseudo-random position per row (the same Knuth-multiplicative
+    * permutation as [[hashSampled]], full 31-bit range) — identical across
+    * runs, engines, and partitionings, unlike rand(). At scale the consumer
+    * writes with `repartitionByRange(col("shuffle_pos"))` +
+    * `sortWithinPartitions` so the global order materializes without a
+    * single-partition sort. */
+  def shufflePosition(key: Column): Column =
+    (key * lit(2654435761L)) % 2147483647L
+
   /** Cumulative curation funnel flags: length gate, repetition gate, and
     * exact-dedup survivorship (min key per content hash). Adds boolean
     * p_len / p_rep / p_dedup columns for funnel aggregation. */

@@ -301,6 +301,24 @@ object CurationQueries {
       |  CAST(sum(CASE WHEN p_len AND p_rep AND p_dedup THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |FROM p GROUP BY source""".stripMargin
 
+  /** q103: deterministic training-order shuffle — the step between "curated
+    * corpus" and "training shards": every doc gets a reproducible
+    * pseudo-random position ([[Curation.shufflePosition]]); the first 20
+    * positions are pinned under the oracle (unique positions ⇒ total
+    * order). rand()-based shuffles can't be oracle-checked or re-run
+    * reproducibly; this can, and at scale it shards via
+    * repartitionByRange(shuffle_pos) with no global sort. */
+  private def q103(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+        Curation.shufflePosition(col("doc_id")).as("shuffle_pos"))
+      .orderBy(col("shuffle_pos"), col("doc_id"))
+      .limit(20)
+
+  private val q103Sql =
+    """SELECT doc_id, source, (doc_id * 2654435761) % 2147483647 AS shuffle_pos
+      |FROM documents ORDER BY shuffle_pos, doc_id LIMIT 20""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q90_contamination", q90, Some(q90Sql), bench = true),
     QueryDef("q91_stratified_sample", q91, Some(q91Sql)),
@@ -310,5 +328,6 @@ object CurationQueries {
     QueryDef("q95_incremental_dedup", q95, Some(q95Sql), bench = true),
     QueryDef("q96_embed_quantize", q96, Some(q96Sql)),
     QueryDef("q97_doc_chunks", q97, Some(q97Sql)),
-    QueryDef("q99_quality_funnel", q99, Some(q99Sql)))
+    QueryDef("q99_quality_funnel", q99, Some(q99Sql)),
+    QueryDef("q103_train_shuffle", q103, Some(q103Sql)))
 }
