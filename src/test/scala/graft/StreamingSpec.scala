@@ -64,6 +64,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(g == canon(batch))
   }
 
+  test("checkpointed restart: watermark + dedup + window state survive, sink stays exactly-once") {
+    // stage the corpus as two time-ordered file arrivals: run the watermarked
+    // dedup+window pipeline over file 1 with a checkpoint, STOP the query,
+    // stage file 2, and restart a fresh query object from the same
+    // checkpoint — the recovered state must make the final sink equal the
+    // single-run batch result (ST5: restart is invisible in the output)
+    val batchEv = Tables.events(spark, TestSpark.sf0001)
+    val cut = batchEv.agg(
+      expr("percentile_approx(unix_micros(ts), 0.5, 10000)")).head.getLong(0)
+    val srcDir = Files.createTempDirectory("restart_src")
+    val ckpt = Files.createTempDirectory("restart_ckpt").toString
+    val outPath = Files.createTempDirectory("restart_out").toString + "/out"
+    // file1 = older half, file2 = newer half → file2 never carries data
+    // older than file1's watermark (no late-drop asymmetry vs batch)
+    batchEv.filter(unix_micros(col("ts")) <= cut)
+      .withColumn("ts", unix_micros(col("ts"))) // raw long like the source file
+      .coalesce(1).write.mode("overwrite").parquet(srcDir.toString + "/batch1")
+    def stage(n: Int): Unit = {
+      val part = Files.list(Paths.get(srcDir.toString + s"/batch$n"))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+      Files.copy(part, Paths.get(srcDir.toString, s"events$n.parquet"))
+    }
+    stage(1)
+    def run(): Unit = {
+      val hourly = EventsStream.hourlyCounts(
+          spark.readStream.schema(EventsStream.eventsRawSchema)
+            .option("pathGlobFilter", "events*.parquet")
+            .parquet(srcDir.toString)
+            // staged files carry epoch MICROS (unix_micros below), not the
+            // source table's nanos — convert directly
+            .withColumn("ts", timestamp_micros(col("ts"))))
+        .select(col("h"), col("event_type"), col("n"))
+      val q = hourly.writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", outPath)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    run() // first run: older half, then query STOPS
+    batchEv.filter(unix_micros(col("ts")) > cut)
+      .withColumn("ts", unix_micros(col("ts")))
+      .coalesce(1).write.mode("overwrite").parquet(srcDir.toString + "/batch2")
+    stage(2)
+    run() // restart from checkpoint: state + watermark recovered
+    val got = spark.read.parquet(outPath)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+    // exactly-once: no window/event_type emitted twice across the restart
+    assert(got.length == got.distinct.length, "duplicate emission after restart")
+    // equals the single-run batch computation under the append-mode rule
+    val horizon = batchEv.agg(max(col("ts"))).head.getTimestamp(0).toInstant
+      .minusSeconds(86400)
+    val expected = batchEv.dropDuplicates("event_id")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("h") + expr("INTERVAL 1 HOUR") <=
+        lit(java.sql.Timestamp.from(horizon)))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+    assert(got.toSet == expected.toSet)
+  }
+
   test("streaming curation drain: content dedup + quality gate equals batch") {
     // the curation stack run AS A STREAM: documents arrive as files, exact
     // content dedup keeps one doc per fingerprint (stateful), the length
