@@ -14,7 +14,7 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     RelationalQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
       AdvancedQueries.all ++ ScaleQueries.all ++ MlbQueries.all ++
-      CurationQueries.all
+      CurationQueries.all ++ LakehouseQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -101,6 +101,55 @@ object Curation {
   def shufflePosition(key: Column): Column =
     (key * lit(2654435761L)) % 2147483647L
 
+  /** Cross-document paragraph-level dedup (the C4 recipe at block
+    * granularity): each doc splits into non-overlapping `blockWords`-word
+    * blocks; every block that textually duplicates an earlier occurrence
+    * anywhere in the corpus (first = smallest (doc_id, position)) is
+    * removed; the survivors reassemble in position order. Returns one row
+    * per doc: (idCol, n_blocks, n_removed, scrubbed_fp = md5 of the
+    * reassembled text).
+    *
+    * Scale shape: one narrow generate (blocks), ONE shuffle — the window
+    * partitioned by block text (high-cardinality key, no skew beyond true
+    * duplication), then a map-side-combinable agg back to doc_id. The
+    * reassembly is an ordered collect_list per doc — bounded by doc length,
+    * never corpus-sized. At 100 TB you'd key the window on xxhash64(block)
+    * instead of the text to shrink the shuffle payload (same result modulo
+    * 2^-64 collisions); the text key is kept for cross-engine oracle
+    * exactness. */
+  def dedupParagraphs(docs: DataFrame, blockWords: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ws = TextFunctions.words(col(textCol))
+    val blocks = transform(
+      sequence(lit(0), ((size(ws) - 1) / lit(blockWords)).cast("int")),
+      k => concat_ws(" ", slice(ws, k * blockWords + 1, lit(blockWords))))
+    val w = Window.partitionBy(col("block")).orderBy(col(idCol), col("pos"))
+    docs
+      .select(col(idCol), posexplode(blocks).as(Seq("pos", "block")))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("rn") > 1, 1).otherwise(0)).cast("long").as("n_removed"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("pos"), col("block"))))),
+          s => s.getField("block")))).as("scrubbed_fp"))
+  }
+
+  /** Leakage-safe train/val/test split: the split is a deterministic
+    * function of the GROUP key (source/domain/url-host), never the row, so
+    * near-duplicate docs from one source can never straddle splits and
+    * contaminate eval. Uses the cross-engine 31-bit polynomial string hash
+    * (same as the q69 simhash oracle path) — reproducible across runs,
+    * engines, and partitionings. Pure per-row expression, shuffle-free. */
+  def groupSplit(groupKey: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val h = Dedup.portableWordHash(groupKey) % 100
+    when(h < trainPct, "train")
+      .when(h < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
   /** Cumulative curation funnel flags: length gate, repetition gate, and
     * exact-dedup survivorship (min key per content hash). Adds boolean
     * p_len / p_rep / p_dedup columns for funnel aggregation. */

@@ -301,6 +301,66 @@ object CurationQueries {
       |  CAST(sum(CASE WHEN p_len AND p_rep AND p_dedup THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |FROM p GROUP BY source""".stripMargin
 
+  /** q105: cross-document paragraph dedup — the C4 recipe at 8-word-block
+    * granularity: any block whose text appears earlier in the corpus
+    * (first occurrence = smallest (doc_id, position)) is removed; survivors
+    * reassemble in position order. The md5 of every reassembled doc is
+    * pinned under the oracle, so the full scrubbed TEXT (not just counts)
+    * matches DuckDB byte-for-byte — including docs scrubbed to empty (their
+    * fingerprint is md5('')). Finer-grained than doc-level dedup (q32–q36):
+    * it removes boilerplate shared across otherwise-distinct docs.
+    *
+    * Scale shape: one narrow generate + ONE shuffle (window keyed by block
+    * text — high-cardinality, skew bounded by true duplication) + a
+    * map-side-combinable agg back to doc_id; reassembly is per-doc-bounded.
+    * At 100 TB key the window on xxhash64(block) to shrink the shuffle
+    * (same output modulo 2^-64 collisions). */
+  private def q105(s: SparkSession, d: String): DataFrame =
+    Curation.dedupParagraphs(docs(s, d), blockWords = 8)
+
+  private val q105Sql =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |b AS (SELECT doc_id, k AS pos,
+      |        array_to_string(list_slice(ws, k*8+1, k*8+8), ' ') AS block
+      |      FROM w, unnest(generate_series(0, (len(ws)-1)//8)) AS t(k)),
+      |r AS (SELECT doc_id, pos, block,
+      |        row_number() OVER (PARTITION BY block ORDER BY doc_id, pos) AS rn
+      |      FROM b)
+      |SELECT doc_id, count(*) AS n_blocks,
+      |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN block END, ' ' ORDER BY pos), ''))
+      |    AS scrubbed_fp
+      |FROM r GROUP BY doc_id""".stripMargin
+
+  /** q106: leakage-safe train/val/test split — the split is a function of
+    * the SOURCE (the group key), never the row, so near-duplicate docs from
+    * one source can never straddle train and eval (the contamination mode
+    * q90 screens for is prevented structurally). Membership is the
+    * cross-engine 31-bit polynomial hash of the source string — no rand(),
+    * reproducible across engines and partitionings. The report: per-split
+    * source/doc/token totals. Per-row expression + one map-side-combinable
+    * agg; countDistinct over sources is bounded by the source vocabulary. */
+  private def q106(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("split", Curation.groupSplit(col("source")))
+      .groupBy(col("split"))
+      .agg(countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text"))).cast("long").as("n_toks"))
+
+  private val q106Sql =
+    """WITH h AS (SELECT source, text,
+      |    list_reduce(list_transform(string_split(source, ''),
+      |      c -> CAST(ascii(c) AS BIGINT)),
+      |      (a, c) -> (a * 31 + c) % 2147483647) % 100 AS hv FROM documents),
+      |a AS (SELECT CASE WHEN hv < 80 THEN 'train'
+      |                  WHEN hv < 90 THEN 'val'
+      |                  ELSE 'test' END AS split,
+      |             source, len(string_split(text,' ')) AS toks FROM h)
+      |SELECT split, count(DISTINCT source) AS n_sources, count(*) AS n_docs,
+      |  CAST(sum(toks) AS BIGINT) AS n_toks
+      |FROM a GROUP BY split""".stripMargin
+
   /** q103: deterministic training-order shuffle — the step between "curated
     * corpus" and "training shards": every doc gets a reproducible
     * pseudo-random position ([[Curation.shufflePosition]]); the first 20
@@ -329,5 +389,7 @@ object CurationQueries {
     QueryDef("q96_embed_quantize", q96, Some(q96Sql)),
     QueryDef("q97_doc_chunks", q97, Some(q97Sql)),
     QueryDef("q99_quality_funnel", q99, Some(q99Sql)),
-    QueryDef("q103_train_shuffle", q103, Some(q103Sql)))
+    QueryDef("q103_train_shuffle", q103, Some(q103Sql)),
+    QueryDef("q105_paragraph_dedup", q105, Some(q105Sql)),
+    QueryDef("q106_leakage_split", q106, Some(q106Sql)))
 }

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lakehouse-scale operator queries: broadcast-Bloom semi-join pushdown
+  * ([[BloomJoin]]), SCD Type-2 dimension versioning and Z-order layout
+  * ([[Lakehouse]]) — the table-maintenance / join-pruning surface a 100 TB
+  * warehouse runs around the analytical queries.
+  */
+object LakehouseQueries {
+
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+
+  /** q104: Bloom-prefiltered fact join — urgent-order revenue by return flag,
+    * with lineitem pruned through a broadcast Bloom filter of the filtered
+    * order keys BEFORE the join shuffle. The oracle is the PLAIN join SQL:
+    * Bloom false positives die in the exact join, false negatives are
+    * impossible, so the operator must be bit-identical to the naive plan —
+    * the same equivalence-under-oracle pattern as the salted/hot-key joins
+    * (q63/q64). At 100 TB the filter (≈12 MB for 10M keys at 1% fpp)
+    * replaces a full fact-table shuffle with a scan-side prune. */
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    val dim = ord(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"))
+    BloomJoin.prefilteredJoin(li(s, d), dim, "l_orderkey",
+        expectedItems = 1L << 16)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+  }
+
+  private val q104Sql =
+    """SELECT l_returnflag, count(*) AS n_items,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** q107: SCD Type-2 dimension versioning — orders replayed as a per-
+    * customer change log: each change carries its validity interval
+    * ([valid_from, valid_to), NULL = current). The window is PARTITIONED by
+    * the dimension key — parallel across customers, no global sort; the
+    * output is the standard CDC-merge target an as-of lookup (q52) or
+    * banded range join (q83) consumes. */
+  private def q107(s: SparkSession, d: String): DataFrame =
+    Lakehouse.scd2(ord(s, d), key = "o_custkey", orderCol = "o_orderdate",
+        tiebreak = "o_orderkey")
+      .select(col("o_custkey"), col("version"), col("o_orderkey"),
+        col("o_totalprice"), col("valid_from"), col("valid_to"),
+        col("is_current"))
+
+  private val q107Sql =
+    """SELECT o_custkey, row_number() OVER w AS version, o_orderkey,
+      |  o_totalprice, o_orderdate AS valid_from,
+      |  lead(o_orderdate) OVER w AS valid_to,
+      |  lead(o_orderdate) OVER w IS NULL AS is_current
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
+  /** q108: Z-order clustering key — the Morton interleave of
+    * (o_custkey mod 1024, order-date epoch-day mod 1024) that
+    * `Lakehouse.zOrderBy` lays files out by, pinned bit-for-bit under the
+    * oracle (the DuckDB side reconstructs the interleave arithmetically).
+    * Sorting by z co-clusters rows close in BOTH dimensions, so row-group
+    * min/max stats prune predicates on either column — the multi-column
+    * generalization of the single-column layout q71's partitioned sink
+    * gives. First 20 rows by (z, key) pin the math; ties in z are real
+    * (same customer bucket + day) and broken by the unique key. */
+  private def q108(s: SparkSession, d: String): DataFrame = {
+    val x = col("o_custkey") % 1024
+    val y = datediff(col("o_orderdate"), to_date(lit("1970-01-01"))) % 1024
+    ord(s, d)
+      .select(col("o_orderkey"),
+        x.cast("long").as("x"), y.cast("long").as("y"),
+        Lakehouse.zValue(x, y, bits = 10).cast("long").as("z"))
+      .orderBy(col("z"), col("o_orderkey"))
+      .limit(20)
+  }
+
+  private val q108Sql: String = {
+    val terms = (0 until 10).flatMap { i =>
+      Seq(s"((x // ${1L << i}) % 2) * ${1L << (2 * i)}",
+        s"((y // ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+    }.mkString(" + ")
+    s"""WITH d AS (SELECT o_orderkey,
+      |    o_custkey % 1024 AS x,
+      |    datediff('day', DATE '1970-01-01', o_orderdate) % 1024 AS y
+      |  FROM orders)
+      |SELECT o_orderkey, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+      |  CAST($terms AS BIGINT) AS z
+      |FROM d ORDER BY z, o_orderkey LIMIT 20""".stripMargin
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q104_bloom_join", q104, Some(q104Sql)),
+    QueryDef("q107_scd2", q107, Some(q107Sql)),
+    QueryDef("q108_zorder", q108, Some(q108Sql)))
+}

@@ -165,6 +165,63 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.map(r => r.getAs[Long]("n_rep") - r.getAs[Long]("n_kept")).sum >= 0)
   }
 
+  test("paragraph dedup: first occurrence kept, later copies scrubbed, exact dup empties") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f g h x1 x2 x3 x4 x5 x6 x7 x8"), // two blocks, both first
+      (2L, "a b c d e f g h y1 y2 y3 y4 y5 y6 y7 y8"), // block 0 dups doc 1
+      (3L, "a b c d e f g h x1 x2 x3 x4 x5 x6 x7 x8")  // exact dup of doc 1
+    ).toDF("doc_id", "text")
+    val out = Curation.dedupParagraphs(corpus, blockWords = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    assert(out(1L).getAs[Long]("n_removed") == 0)
+    assert(out(1L).getAs[String]("scrubbed_fp") ==
+      md5hex("a b c d e f g h x1 x2 x3 x4 x5 x6 x7 x8"))
+    assert(out(2L).getAs[Long]("n_removed") == 1)
+    assert(out(2L).getAs[String]("scrubbed_fp") ==
+      md5hex("y1 y2 y3 y4 y5 y6 y7 y8"))
+    assert(out(3L).getAs[Long]("n_removed") == 2)
+    assert(out(3L).getAs[String]("scrubbed_fp") == md5hex(""))
+  }
+
+  test("paragraph dedup: corpus block counts add up; planted dups scrub") {
+    val docs = Tables.documents(spark, TestSpark.sf001)
+    val out = q("q105_paragraph_dedup")
+    assert(out.count() == docs.count())
+    val expected = docs.select(
+      (((size(split(col("text"), " ")) - 1) / 8) + 1).cast("long").as("b"))
+      .agg(sum("b")).head.getLong(0)
+    assert(out.agg(sum("n_blocks")).head.getLong(0) == expected)
+    // the corpus plants exact duplicates, so something must scrub
+    assert(out.agg(sum("n_removed")).head.getLong(0) > 0)
+  }
+
+  test("leakage split: a source never straddles splits; all splits populated") {
+    val docs = Tables.documents(spark, TestSpark.sf001)
+      .withColumn("split", Curation.groupSplit(col("source")))
+    val straddlers = docs.groupBy("source")
+      .agg(countDistinct("split").as("k")).filter(col("k") =!= 1).count()
+    assert(straddlers == 0)
+    // deterministic: same assignment on re-run
+    val a = docs.select("source", "split").distinct().collect().map(_.toSeq).toSet
+    val b = Tables.documents(spark, TestSpark.sf001)
+      .withColumn("split", Curation.groupSplit(col("source")))
+      .select("source", "split").distinct().collect().map(_.toSeq).toSet
+    assert(a == b)
+    // over a wide synthetic key space the three labels all appear and the
+    // proportions respect the 80/10/10 target within noise
+    import spark.implicits._
+    val wide = (0 until 3000).map(i => s"host$i.example").toDF("g")
+      .select(Curation.groupSplit(col("g")).as("split"))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide.keySet == Set("train", "val", "test"))
+    assert(wide("train") > 2000 && wide("val") > 100 && wide("test") > 100)
+  }
+
   test("quantization: int8 range respected, extreme hit, checksum reproducible") {
     val rows = q("q96_embed_quantize").collect()
     assert(rows.length == Tables.embeddings(spark, TestSpark.sf001).count())
