@@ -379,6 +379,80 @@ object CurationQueries {
     """SELECT doc_id, source, (doc_id * 2654435761) % 2147483647 AS shuffle_pos
       |FROM documents ORDER BY shuffle_pos, doc_id LIMIT 20""".stripMargin
 
+  /** q109: Count-Min-Sketch heavy-hitter counts under a contract oracle —
+    * the second mergeable-sketch family next to q101's HLL: CMS is a LINEAR
+    * sketch, so per-partition sketches merged by counter addition are
+    * IDENTICAL to one global build (asserted byte-for-byte in CurationSpec).
+    * Here per-lang sketches (`count_min_sketch` partial agg, one map-side-
+    * combinable shuffle) merge on the driver (bounded: one sketch per lang)
+    * and every token's estimate is checked against its exact count: CMS
+    * never underestimates (hard guarantee), and overshoot stays within
+    * eps·N (holds deterministically for seed 42; like q44's 5% HLL
+    * contract, the oracle pins the booleans + exact corpus stats — DuckDB
+    * can't build the sketch itself). At 100 TB the exact groupBy is what
+    * you CAN'T afford on a heavy-tailed token space — the sketch is the
+    * fixed-memory (eps⁻¹·ln δ⁻¹ counters) answer, and mergeability is what
+    * lets every executor sketch its partition independently. */
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val toks = docs(s, d).select(col("lang"),
+      explode(TextFunctions.words(col("text"))).as("w"))
+    val perLang = toks.groupBy(col("lang"))
+      .agg(expr("count_min_sketch(w, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)").as("sk"))
+      .collect()
+    val merged = perLang.map(r => CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("sk"))))
+      .reduceLeft { (a, b) => a.mergeInPlace(b); a }
+    val bc = s.sparkContext.broadcast(merged)
+    val est = udf((w: String) => bc.value.estimateCount(w))
+    val epsBound = math.ceil(0.001 * merged.totalCount()).toLong
+    toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("est", est(col("w")))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("cnt")).cast("long").as("n_tokens"),
+        (sum(when(col("est") >= col("cnt"), 1)) === count(lit(1)))
+          .as("never_underestimates"),
+        (sum(when(col("est") <= col("cnt") + lit(epsBound), 1)) === count(lit(1)))
+          .as("within_eps"))
+  }
+
+  private val q109Sql =
+    """WITH t AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+      |c AS (SELECT w, count(*) AS cnt FROM t GROUP BY w)
+      |SELECT count(*) AS n_distinct, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+      |  TRUE AS never_underestimates, TRUE AS within_eps
+      |FROM c""".stripMargin
+
+  /** q110: BPE vocab induction, first-merge statistic — corpus-wide
+    * frequencies of adjacent CHARACTER pairs within words (the statistic a
+    * byte-pair-encoding tokenizer trainer maximizes each merge round),
+    * top-20 with a total order. Two narrow explodes (word, then pair — no
+    * per-row state) into one map-side-combinable count and a
+    * TakeOrderedAndProject; the iteration loop of a real trainer re-runs
+    * this with merged symbols substituted, so the per-round shape is what
+    * matters at 100 TB. */
+  private def q110(s: SparkSession, d: String): DataFrame = {
+    val cs = split(col("w"), "")
+    val pairs = when(size(cs) >= 2,
+      transform(sequence(lit(1), size(cs) - 1),
+        i => concat(element_at(cs, i), element_at(cs, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    docs(s, d)
+      .select(explode(TextFunctions.words(col("text"))).as("w"))
+      .select(explode(pairs).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  }
+
+  private val q110Sql =
+    """WITH w AS (SELECT unnest(string_split(text,' ')) AS word FROM documents),
+      |c AS (SELECT string_split(word,'') AS cs FROM w),
+      |p AS (SELECT cs[i] || cs[i+1] AS pair
+      |      FROM c, unnest(generate_series(1, len(cs)-1)) AS t(i)),
+      |g AS (SELECT pair, count(*) AS n FROM p GROUP BY pair)
+      |SELECT pair, CAST(n AS BIGINT) AS n FROM g ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q90_contamination", q90, Some(q90Sql), bench = true),
     QueryDef("q91_stratified_sample", q91, Some(q91Sql)),
@@ -390,6 +464,8 @@ object CurationQueries {
     QueryDef("q97_doc_chunks", q97, Some(q97Sql)),
     QueryDef("q99_quality_funnel", q99, Some(q99Sql)),
     QueryDef("q103_train_shuffle", q103, Some(q103Sql)),
-    QueryDef("q105_paragraph_dedup", q105, Some(q105Sql)),
-    QueryDef("q106_leakage_split", q106, Some(q106Sql)))
+    QueryDef("q105_paragraph_dedup", q105, Some(q105Sql), bench = true),
+    QueryDef("q106_leakage_split", q106, Some(q106Sql)),
+    QueryDef("q109_cms_contract", q109, Some(q109Sql)),
+    QueryDef("q110_vocab_pairs", q110, Some(q110Sql)))
 }

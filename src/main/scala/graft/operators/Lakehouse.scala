@@ -33,6 +33,61 @@ object Lakehouse {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Incremental SCD2 merge: fold a batch of new changes into an existing
+    * versioned dimension. Only keys PRESENT IN THE BATCH are recomputed
+    * (their full change history replays through [[scd2]] — version numbers
+    * and validity intervals need the key's whole chain); untouched keys
+    * pass through via an anti join. `existing` must be a previous
+    * [[scd2]]/[[scd2Merge]] output over the same (key, orderCol, tiebreak).
+    *
+    * Scale shape: the affected-key set is one side of a semi/anti join —
+    * batch-sized, broadcastable; the recompute window runs only over
+    * affected chains. The pass-through is a plan, not a copy — pair it
+    * with a bucket-partitioned sink ([[scd2MergeIntoBuckets]]) so untouched
+    * buckets are never rewritten at all. */
+  def scd2Merge(existing: DataFrame, batch: DataFrame, key: String,
+      orderCol: String, tiebreak: String): DataFrame = {
+    val affected = batch.select(col(key)).distinct()
+    val untouched = existing.join(affected, Seq(key), "left_anti")
+    val replay = existing.join(affected, Seq(key), "left_semi")
+      .drop("version", "valid_from", "valid_to", "is_current")
+      .unionByName(batch)
+    untouched.unionByName(scd2(replay, key, orderCol, tiebreak))
+  }
+
+  /** CDC-merge sink for a streaming change feed: maintain an SCD2 dimension
+    * as a parquet table hash-bucketed on the key, rewriting ONLY the buckets
+    * a batch touches (dynamic partition overwrite). Per batch: read the
+    * affected buckets (partition-pruned scan), replay those chains through
+    * [[scd2Merge]], overwrite those partitions. Untouched buckets are never
+    * read or written — per-batch cost scales with the batch's key spread,
+    * not the dimension size. Drive it from `foreachBatch`; replayed batches
+    * (ST5 retries) rewrite the same partitions idempotently. */
+  def scd2MergeIntoBuckets(batch: DataFrame, dimPath: String, key: String,
+      orderCol: String, tiebreak: String, nBuckets: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val bucketed = batch.withColumn("kb", pmod(col(key), lit(nBuckets)))
+    val existingAffected =
+      if (fs.exists(new org.apache.hadoop.fs.Path(dimPath))) {
+        val affB = bucketed.select(col("kb")).distinct()
+          .collect().map(_.get(0)) // ≤ nBuckets values, driver-bounded
+        spark.read.parquet(dimPath).filter(col("kb").isin(affB: _*))
+      } else
+        bucketed.filter(lit(false)) // empty, batch-shaped + kb
+          .withColumns(Map(
+            "version" -> lit(1), "valid_from" -> col(orderCol),
+            "valid_to" -> col(orderCol), "is_current" -> lit(true)))
+    val merged = scd2Merge(existingAffected.drop("kb"), bucketed.drop("kb"),
+        key, orderCol, tiebreak)
+      .withColumn("kb", pmod(col(key), lit(nBuckets)))
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("kb")
+      .parquet(dimPath)
+  }
+
   /** Z-value (Morton code) of two non-negative dimensions, `bits` low bits
     * each, x in even positions, y in odd. Rows close in BOTH dimensions get
     * close z-values, so sorting by z co-clusters 2-D ranges — the layout

@@ -96,8 +96,50 @@ object LakehouseQueries {
       |FROM d ORDER BY z, o_orderkey LIMIT 20""".stripMargin
   }
 
+  /** q111: streaming CDC → SCD2 — the change log arrives as a 3-file stream
+    * (slices by o_orderkey mod 3, one file per micro-batch via
+    * maxFilesPerTrigger=1) and `foreachBatch` folds each batch into a
+    * key-bucketed parquet dimension with [[Lakehouse.scd2MergeIntoBuckets]]:
+    * only the buckets a batch touches are read (partition-pruned) and
+    * rewritten (dynamic partition overwrite). The drained dimension must
+    * equal the one-shot batch recompute — q107's oracle SQL verbatim, the
+    * stream==batch equivalence pattern of q67/q76/q88/q98. Arrival order
+    * can't matter: the merge replays full per-key chains. */
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val ordDf = ord(s, d)
+    val base = java.nio.file.Files.createTempDirectory("scd2_cdc")
+    val srcDir = base.resolve("in")
+    java.nio.file.Files.createDirectories(srcDir)
+    val dimPath = base.resolve("dim").toString
+    (0 to 2).foreach { i =>
+      val staging = base.resolve(s"stage$i")
+      ordDf.filter(pmod(col("o_orderkey"), lit(3)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = java.nio.file.Files.list(staging).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part, srcDir.resolve(s"slice$i.parquet"))
+    }
+    val stream = s.readStream.schema(ordDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    val q = stream.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        Lakehouse.scd2MergeIntoBuckets(batch, dimPath, key = "o_custkey",
+          orderCol = "o_orderdate", tiebreak = "o_orderkey"))
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(dimPath)
+      .select(col("o_custkey"), col("version"), col("o_orderkey"),
+        col("o_totalprice"), col("valid_from"), col("valid_to"),
+        col("is_current"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    QueryDef("q104_bloom_join", q104, Some(q104Sql)),
+    QueryDef("q104_bloom_join", q104, Some(q104Sql), bench = true),
     QueryDef("q107_scd2", q107, Some(q107Sql)),
-    QueryDef("q108_zorder", q108, Some(q108Sql)))
+    QueryDef("q108_zorder", q108, Some(q108Sql)),
+    QueryDef("q111_stream_scd2", q111, Some(q107Sql)))
 }

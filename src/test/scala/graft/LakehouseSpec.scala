@@ -59,6 +59,75 @@ class LakehouseSpec extends AnyFunSuite {
     assert(currents == 0)
   }
 
+  test("scd2Merge: incremental fold equals the one-shot recompute") {
+    val ord = Tables.orders(spark, TestSpark.sf0001)
+    val cols = ord.columns.toSeq ++ Seq("version", "valid_from", "valid_to", "is_current")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val full = Lakehouse.scd2(ord, "o_custkey", "o_orderdate", "o_orderkey")
+    val merged = Lakehouse.scd2Merge(
+      Lakehouse.scd2(ord.filter(col("o_orderkey") % 2 === 0),
+        "o_custkey", "o_orderdate", "o_orderkey"),
+      ord.filter(col("o_orderkey") % 2 === 1),
+      "o_custkey", "o_orderdate", "o_orderkey")
+    assert(canon(merged) == canon(full))
+  }
+
+  test("scd2MergeIntoBuckets: a narrow batch rewrites only its buckets") {
+    val ord = Tables.orders(spark, TestSpark.sf0001)
+    val base = java.nio.file.Files.createTempDirectory("scd2_buckets")
+    val dimPath = base.resolve("dim").toString
+    // seed the dimension with most customers, then a batch touching ONE key
+    Lakehouse.scd2MergeIntoBuckets(ord.filter(col("o_custkey") =!= 7),
+      dimPath, "o_custkey", "o_orderdate", "o_orderkey")
+    def filesByBucket: Map[String, Set[String]] = {
+      val root = new java.io.File(dimPath)
+      root.listFiles().filter(_.getName.startsWith("kb=")).map { d =>
+        d.getName -> d.listFiles().map(_.getName).toSet
+      }.toMap
+    }
+    val before = filesByBucket
+    Lakehouse.scd2MergeIntoBuckets(ord.filter(col("o_custkey") === 7),
+      dimPath, "o_custkey", "o_orderdate", "o_orderkey")
+    val after = filesByBucket
+    // only bucket kb = 7 mod 16 gained new part files
+    assert(before.keySet.subsetOf(after.keySet))
+    before.keySet.foreach { kb =>
+      if (kb == "kb=7") assert(before(kb) != after(kb), "touched bucket unchanged")
+      else assert(before(kb) == after(kb), s"untouched bucket $kb rewritten")
+    }
+    // and the merged dimension equals the one-shot recompute
+    val cols = ord.columns.toSeq ++ Seq("version", "valid_from", "valid_to", "is_current")
+    val got = spark.read.parquet(dimPath)
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val want = Lakehouse.scd2(ord, "o_custkey", "o_orderdate", "o_orderkey")
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
+  test("count-min sketch is linear: per-lang merge equals the global build") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val toks = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+    def fromBytes(b: Array[Byte]) =
+      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b))
+    val agg = "count_min_sketch(w, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"
+    val global = fromBytes(toks.selectExpr(s"$agg AS sk").head.getAs[Array[Byte]]("sk"))
+    val merged = toks.groupBy("lang").agg(expr(agg).as("sk")).collect()
+      .map(r => fromBytes(r.getAs[Array[Byte]]("sk")))
+      .reduceLeft { (a, b) => a.mergeInPlace(b); a }
+    assert(merged.totalCount() == global.totalCount())
+    // identical estimates for the whole vocabulary
+    val vocab = toks.select("w").distinct().collect().map(_.getString(0))
+    vocab.foreach { w =>
+      assert(merged.estimateCount(w) == global.estimateCount(w))
+    }
+    // and exactness on this corpus-sized vocabulary: estimate == true count
+    val exact = toks.groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    vocab.foreach(w => assert(merged.estimateCount(w) >= exact(w)))
+  }
+
   test("zValue: matches a reference bit-interleave on a grid") {
     import spark.implicits._
     def ref(x: Long, y: Long, bits: Int): Long =
