@@ -91,6 +91,25 @@ object Curation {
       .drop("__c")
   }
 
+  /** Snapshot diff between two crawls of a corpus: full outer join on the
+    * doc key comparing content fingerprints → status ∈ {added, removed,
+    * changed, unchanged}. This is what makes the rest of the pipeline
+    * INCREMENTAL: only added/changed docs re-enter dedup/embed/index (the
+    * [[Dedup.incrementalDupPairs]] batch is exactly `added ∪ changed`).
+    * One shuffle (the key join); fingerprints computed scan-side so the
+    * join payload is (key, 32-byte hash), never the text. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      key: String = "doc_id", textCol: String = "text"): DataFrame =
+    oldSnap.select(col(key), md5(col(textCol)).as("__old_fp"))
+      .join(newSnap.select(col(key), md5(col(textCol)).as("__new_fp")),
+        Seq(key), "full_outer")
+      .withColumn("status",
+        when(col("__old_fp").isNull, "added")
+          .when(col("__new_fp").isNull, "removed")
+          .when(col("__old_fp") === col("__new_fp"), "unchanged")
+          .otherwise("changed"))
+      .drop("__old_fp", "__new_fp")
+
   /** Deterministic corpus shuffle for training order: a reproducible
     * pseudo-random position per row (the same Knuth-multiplicative
     * permutation as [[hashSampled]], full 31-bit range) — identical across

@@ -453,6 +453,77 @@ object CurationQueries {
       |g AS (SELECT pair, count(*) AS n FROM p GROUP BY pair)
       |SELECT pair, CAST(n AS BIGINT) AS n FROM g ORDER BY n DESC, pair LIMIT 20""".stripMargin
 
+  /** q112: corpus snapshot diff — two simulated crawls (yesterday: ids
+    * ≢6 mod 7; today: ids ≢0 mod 7, with ids ≡3 mod 7 textually revised)
+    * diffed by content fingerprint into added/removed/changed/unchanged
+    * counts. The diff is what gates incremental processing: only
+    * added ∪ changed re-enter dedup/embed/index (q95's batch side).
+    * One key-join shuffle carrying (key, hash) — never the text — plus a
+    * map-side-combinable count. */
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val yesterday = all.filter(col("doc_id") % 7 =!= 6)
+    val today = all.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 7 === 3, " rev2").otherwise("")))
+    Curation.snapshotDiff(yesterday, today)
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+  }
+
+  private val q112Sql =
+    """WITH a AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 7 != 6),
+      |b AS (SELECT doc_id,
+      |        md5(text || CASE WHEN doc_id % 7 = 3 THEN ' rev2' ELSE '' END) AS fp
+      |      FROM documents WHERE doc_id % 7 != 0),
+      |d AS (SELECT CASE WHEN a.fp IS NULL THEN 'added'
+      |                  WHEN b.fp IS NULL THEN 'removed'
+      |                  WHEN a.fp = b.fp THEN 'unchanged'
+      |                  ELSE 'changed' END AS status
+      |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      |SELECT status, count(*) AS n FROM d GROUP BY status""".stripMargin
+
+  /** q113: source-mix rebalancing with DERIVED rates — temperature-style
+    * flattening toward the smallest source: rate_pct(source) =
+    * max(1, 100·min_toks ÷ n_toks), all in exact integer arithmetic
+    * (floating temperature exponents would put an engine-dependent ULP on
+    * the sampling boundary; integer division keeps the boundary exact on
+    * both engines). The rates come FROM corpus stats (unlike q91's given
+    * rates): one agg to a 1-row min, broadcast back over the 20-row source
+    * dim, then the same shuffle-free hash-membership sampling as q91.
+    * Per-source report: docs, tokens, derived rate, surviving docs. */
+  private def q113(s: SparkSession, d: String): DataFrame = {
+    val t = docs(s, d).select(col("source"), col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("toks"))
+    val perSource = t.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).cast("long").as("n_toks"))
+    val rates = perSource
+      .crossJoin(broadcast(perSource.agg(min(col("n_toks")).as("min_toks"))))
+      .withColumn("rate", greatest(lit(1L), expr("(100 * min_toks) div n_toks")))
+      .drop("min_toks")
+    val sampled = t
+      .join(broadcast(rates.select(col("source"), col("rate"))), "source")
+      .groupBy(col("source"))
+      .agg(sum(when(Curation.hashSampled(col("doc_id"), col("rate")), 1)
+        .otherwise(0)).cast("long").as("n_sampled"))
+    rates.join(sampled, "source")
+      .select(col("source"), col("n_docs"), col("n_toks"), col("rate"),
+        col("n_sampled"))
+  }
+
+  private val q113Sql =
+    """WITH t AS (SELECT source, doc_id, len(string_split(text,' ')) AS toks
+      |           FROM documents),
+      |s AS (SELECT source, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_toks
+      |      FROM t GROUP BY source),
+      |r AS (SELECT source, n_docs, n_toks,
+      |        greatest(1, (100 * (SELECT min(n_toks) FROM s)) // n_toks) AS rate
+      |      FROM s)
+      |SELECT r.source, r.n_docs, r.n_toks, r.rate,
+      |  CAST(sum(CASE WHEN (t.doc_id * 2654435761) % 100 < r.rate
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |FROM t JOIN r USING (source)
+      |GROUP BY r.source, r.n_docs, r.n_toks, r.rate""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q90_contamination", q90, Some(q90Sql), bench = true),
     QueryDef("q91_stratified_sample", q91, Some(q91Sql)),
@@ -467,5 +538,7 @@ object CurationQueries {
     QueryDef("q105_paragraph_dedup", q105, Some(q105Sql), bench = true),
     QueryDef("q106_leakage_split", q106, Some(q106Sql)),
     QueryDef("q109_cms_contract", q109, Some(q109Sql)),
-    QueryDef("q110_vocab_pairs", q110, Some(q110Sql)))
+    QueryDef("q110_vocab_pairs", q110, Some(q110Sql)),
+    QueryDef("q112_snapshot_diff", q112, Some(q112Sql)),
+    QueryDef("q113_mix_rebalance", q113, Some(q113Sql)))
 }

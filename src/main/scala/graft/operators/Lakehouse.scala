@@ -88,6 +88,21 @@ object Lakehouse {
       .parquet(dimPath)
   }
 
+  /** Parquet-native Bloom-indexed write: persist with per-column Bloom
+    * filters in the file footers (`parquet.bloom.filter.enabled#col`), so
+    * point-lookup predicates (`key = x`, `key IN (...)`) skip whole row
+    * groups at SCAN time — the storage-side complement of the runtime
+    * [[BloomJoin]]: that one prunes a join's shuffle, this one prunes the
+    * read itself, on high-cardinality columns where min/max stats are
+    * useless (uniformly distributed ids span every row group's min/max).
+    * Footer presence is asserted in LakehouseSpec. */
+  def bloomIndexedWrite(df: DataFrame, path: String,
+      bloomCols: Seq[String], ndv: Long = 1000000L): Unit =
+    bloomCols.foldLeft(df.write.mode("overwrite")) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }.parquet(path)
+
   /** Z-value (Morton code) of two non-negative dimensions, `bits` low bits
     * each, x in even positions, y in odd. Rows close in BOTH dimensions get
     * close z-values, so sorting by z co-clusters 2-D ranges — the layout

@@ -222,6 +222,38 @@ class CurationSpec extends AnyFunSuite {
     assert(wide("train") > 2000 && wide("val") > 100 && wide("test") > 100)
   }
 
+  test("snapshot diff: statuses partition the key union; incremental batch = added+changed") {
+    import spark.implicits._
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val neu = Seq((2L, "beta"), (3L, "gamma v2"), (4L, "delta")).toDF("doc_id", "text")
+    val d = Curation.snapshotDiff(old, neu).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("status")).toMap
+    assert(d == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+    // corpus-level: statuses cover old ∪ new exactly once
+    val rows = q("q112_snapshot_diff").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, TestSpark.sf001)
+    val nOld = docs.filter(col("doc_id") % 7 =!= 6).count()
+    val nNew = docs.filter(col("doc_id") % 7 =!= 0).count()
+    assert(rows.values.sum == nOld + rows("added"))
+    assert(rows.values.sum == nNew + rows("removed"))
+    assert(rows.keySet == Set("added", "removed", "changed", "unchanged"))
+  }
+
+  test("mix rebalance: smallest source keeps rate 100; sampled within bounds") {
+    val rows = q("q113_mix_rebalance").collect()
+    assert(rows.length == 20)
+    val minToks = rows.map(_.getAs[Long]("n_toks")).min
+    rows.foreach { r =>
+      val (toks, rate, docs, sampled) = (r.getAs[Long]("n_toks"),
+        r.getAs[Long]("rate"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_sampled"))
+      assert(rate == math.max(1L, 100L * minToks / toks))
+      assert(rate >= 1 && rate <= 100)
+      assert(sampled <= docs)
+      if (toks == minToks) assert(rate == 100 && sampled == docs)
+    }
+  }
+
   test("quantization: int8 range respected, extreme hit, checksum reproducible") {
     val rows = q("q96_embed_quantize").collect()
     assert(rows.length == Tables.embeddings(spark, TestSpark.sf001).count())

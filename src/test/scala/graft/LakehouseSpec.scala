@@ -128,6 +128,49 @@ class LakehouseSpec extends AnyFunSuite {
     vocab.foreach(w => assert(merged.estimateCount(w) >= exact(w)))
   }
 
+  test("bloomIndexedWrite: footers carry a bloom filter for the indexed column") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Files.createTempDirectory("bloom_idx")
+    val path = base.resolve("t").toString
+    Lakehouse.bloomIndexedWrite(
+      Tables.documents(spark, TestSpark.sf0001).coalesce(1),
+      path, bloomCols = Seq("doc_id"), ndv = 10000L)
+    val part = new java.io.File(path).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+      spark.sparkContext.hadoopConfiguration))
+    try {
+      val cols = reader.getFooter.getBlocks.asScala.head.getColumns.asScala
+      val idCol = cols.find(_.getPath.toDotString == "doc_id").get
+      assert(idCol.getBloomFilterOffset >= 0, "no bloom filter for doc_id")
+      val textCol = cols.find(_.getPath.toDotString == "text").get
+      assert(textCol.getBloomFilterOffset < 0, "unindexed column got a bloom")
+    } finally reader.close()
+    // the indexed file still round-trips
+    assert(spark.read.parquet(path).count() ==
+      Tables.documents(spark, TestSpark.sf0001).count())
+  }
+
+  test("lake schema evolution: mergeSchema unions batch schemas, old rows null-filled") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val base = java.nio.file.Files.createTempDirectory("evolve")
+    val path = base.resolve("t").toString
+    docs.select("doc_id", "text").write.parquet(path)
+    docs.select(col("doc_id") + 100000, col("text"),
+        (col("n_chars") / 100.0).as("quality"))
+      .toDF("doc_id", "text", "quality")
+      .write.mode("append").parquet(path)
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.toSet == Set("doc_id", "text", "quality"))
+    assert(merged.count() == 2 * docs.count())
+    // rows from the pre-evolution batch surface with a NULL quality
+    assert(merged.filter(col("quality").isNull).count() == docs.count())
+    assert(merged.filter(col("quality").isNotNull).count() == docs.count())
+  }
+
   test("zValue: matches a reference bit-interleave on a grid") {
     import spark.implicits._
     def ref(x: Long, y: Long, bits: Int): Long =
