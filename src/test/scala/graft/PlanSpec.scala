@@ -48,6 +48,30 @@ class PlanSpec extends AnyFunSuite {
       s"global window sort crept into q94:\n$p")
   }
 
+  test("lakehouse/curation batch keeps its scale shapes") {
+    // q104: the Bloom prefilter (a UDF filter) sits on the fact side
+    // before the join — the scan-side prune is the point of the operator
+    val p104 = plan("q104_bloom_join")
+    assert(p104.contains("UDF"), s"bloom prefilter missing:\n$p104")
+    assert(!p104.contains("CartesianProduct"), p104)
+    // q105: the block-dedup window is keyed on block text, never a
+    // single-partition sort
+    val p105 = plan("q105_paragraph_dedup")
+    assert(p105.contains("Window"), p105)
+    assert(!p105.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"global window sort crept into q105:\n$p105")
+    // q107: SCD2 window partitioned by the dimension key
+    val p107 = plan("q107_scd2")
+    assert(p107.contains("Window"), p107)
+    assert(!p107.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"global window sort crept into q107:\n$p107")
+    // q108: top-20 by z is TakeOrderedAndProject, not a global sort
+    assert(plan("q108_zorder").contains("TakeOrderedAndProject"))
+    // q113: the derived-rate dim joins broadcast, the doc side never shuffles
+    val p113 = plan("q113_mix_rebalance")
+    assert(p113.contains("BroadcastHashJoin"), p113)
+  }
+
   test("no declared query plans a cartesian product (except documented brute baselines)") {
     // brute-force oracle baselines are deliberately O(n²); everything else
     // must stay cross-product-free
