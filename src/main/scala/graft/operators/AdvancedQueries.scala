@@ -495,6 +495,32 @@ object AdvancedQueries {
       |      FROM agg a)
       |WHERE sid < max_sid""".stripMargin
 
+  /** q115: stream-STATIC enrichment join — the events stream joins a
+    * broadcast static dimension (customer → nation) row-by-row as batches
+    * arrive, then aggregates per nation; drained in complete mode, the
+    * memory sink's final table must equal the batch join+agg (the oracle).
+    * This is the remaining streaming-join surface next to q88's
+    * stream-stream interval join: no watermark needed on the static side,
+    * no state beyond the running agg, and the dim broadcast is rebuilt per
+    * micro-batch (so slowly-changing dims pick up changes between
+    * batches). At scale the stream side never shuffles for the join —
+    * only the (nation-keyed) agg exchanges. */
+  private def q115(s: SparkSession, d: String): DataFrame = {
+    val dim = graft.Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val enriched = graft.streaming.EventsStream.readEventsDir(s, d)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+    graft.streaming.EventsStream.runToMemory(s, enriched, "q115_enrich",
+      outputMode = "complete")
+  }
+
+  private val q115Sql =
+    """SELECT c_nationkey, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_nationkey""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q27_sessionize", q27, Some(q27Sql), bench = true),
     QueryDef("q28_stats_agg", q28, Some(q28Sql)),
@@ -515,5 +541,6 @@ object AdvancedQueries {
     QueryDef("q76_stream_hourly", q76, Some(q76Sql)),
     QueryDef("q88_stream_attribution", q88, Some(q88Sql)),
     QueryDef("q98_stream_session_window", q98, Some(q98Sql)),
-    QueryDef("q101_sketch_merge", q101, Some(q101Sql)))
+    QueryDef("q101_sketch_merge", q101, Some(q101Sql)),
+    QueryDef("q115_stream_enrich", q115, Some(q115Sql)))
 }

@@ -175,7 +175,7 @@ object RelationalQueries {
         round(col("c_acctbal"), 2).as("acctbal"), col("rn"))
   }
 
-  private val q07Sql =
+  private[operators] val q07Sql =
     """SELECT c_nationkey, c_custkey, c_name, round(c_acctbal, 2) AS acctbal, rn
       |FROM (SELECT *, row_number() OVER
       |        (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
@@ -426,6 +426,33 @@ object RelationalQueries {
       |  count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
       |FROM orders GROUP BY 1, 2""".stripMargin
 
+  /** q116: unpivot/melt — the wide→long reshape (inverse of q51's pivot):
+    * each lineitem's four numeric measures become (metric, value) rows.
+    * Spark plans this as a single narrow Expand (4 projections per input
+    * row, map-side, no shuffle, no UDF) — at 100 TB melt is a free
+    * pre-step for metric-keyed aggregation or storage. Oracle is the
+    * portable UNION-ALL formulation. */
+  private def q116(s: SparkSession, d: String): DataFrame =
+    li(s, d).filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "metric", valueColumnName = "value")
+
+  private val q116Sql =
+    """WITH t AS (SELECT * FROM lineitem WHERE l_orderkey < 100)
+      |SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+      |       CAST(l_quantity AS DOUBLE) AS value FROM t
+      |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+      |       CAST(l_extendedprice AS DOUBLE) FROM t
+      |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+      |       CAST(l_discount AS DOUBLE) FROM t
+      |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',
+      |       CAST(l_tax AS DOUBLE) FROM t""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql), bench = true),
     QueryDef("q02_selective_revenue", q02, Some(q02Sql), bench = true),
@@ -434,6 +461,7 @@ object RelationalQueries {
     QueryDef("q05_nation_revenue", q05, Some(q05Sql), bench = true),
     QueryDef("q06_region_revenue", q06, Some(q06Sql)),
     QueryDef("q07_topn_per_nation", q07, Some(q07Sql)),
+    QueryDef("q116_unpivot", q116, Some(q116Sql)),
     QueryDef("q08_running_total", q08, Some(q08Sql), bench = true),
     QueryDef("q09_order_delta", q09, Some(q09Sql)),
     QueryDef("q10_semi_join", q10, Some(q10Sql)),
