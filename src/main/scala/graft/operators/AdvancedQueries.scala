@@ -521,6 +521,30 @@ object AdvancedQueries {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY c_nationkey""".stripMargin
 
+  /** q118: watermark-TTL'd streaming dedup — `dropDuplicatesWithinWatermark`
+    * (the API `dropDuplicates` at scale actually needs: plain streaming
+    * dedup state grows FOREVER on an unbounded id space; this one evicts an
+    * id's state once the watermark passes it, bounding state by the
+    * watermark horizon × arrival rate). The corpus's duplicate event_ids
+    * are exact replays inside the horizon, so the drained first-occurrence
+    * set must equal batch DISTINCT — per-type row counts and distinct-id
+    * counts pinned by the oracle (n == n_ids also proves no duplicate
+    * survived the drain). Fourth ST4 surface next to q25 (batch first-pick),
+    * q76 (dropDuplicates), and the stateful curation stream. */
+  private def q118(s: SparkSession, d: String): DataFrame = {
+    val deduped = graft.streaming.EventsStream.readEventsDir(s, d)
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("event_id")
+    graft.streaming.EventsStream.runToMemory(s, deduped, "q118_dedup")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_ids"))
+  }
+
+  private val q118Sql =
+    """SELECT event_type, count(DISTINCT event_id) AS n,
+      |       count(DISTINCT event_id) AS n_ids
+      |FROM events GROUP BY event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q27_sessionize", q27, Some(q27Sql), bench = true),
     QueryDef("q28_stats_agg", q28, Some(q28Sql)),
@@ -542,5 +566,6 @@ object AdvancedQueries {
     QueryDef("q88_stream_attribution", q88, Some(q88Sql)),
     QueryDef("q98_stream_session_window", q98, Some(q98Sql)),
     QueryDef("q101_sketch_merge", q101, Some(q101Sql)),
-    QueryDef("q115_stream_enrich", q115, Some(q115Sql)))
+    QueryDef("q115_stream_enrich", q115, Some(q115Sql)),
+    QueryDef("q118_stream_dedup_ttl", q118, Some(q118Sql)))
 }

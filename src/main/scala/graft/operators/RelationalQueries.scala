@@ -453,6 +453,53 @@ object RelationalQueries {
       |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',
       |       CAST(l_tax AS DOUBLE) FROM t""".stripMargin
 
+  /** q117: TPC-H Q21 shape ("suppliers who kept orders waiting") — the
+    * hardest textbook relational pattern: a semi-join AND an anti-join of
+    * the same fact against itself (EXISTS another supplier on the order /
+    * NOT EXISTS another LATE supplier). The oracle runs that literal
+    * double-correlated-EXISTS form; the Spark side runs the SCALE
+    * formulation — one aggregation over (order, supplier) facts computing
+    * (suppliers, late-suppliers, the sole late supplier) per order, then a
+    * filter `n_supp >= 2 AND n_late = 1` — which replaces two fact-fact
+    * self-joins with one map-side-combinable shuffle on orderkey. The hash
+    * match proves the rewrite. Late = shipped >45 days after order date,
+    * 'F'-status orders only. */
+  private def q117(s: SparkSession, d: String): DataFrame = {
+    val f = li(s, d)
+      .join(ord(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"))
+    val perOrder = f.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
+        min(when(col("late"), col("l_suppkey"))).as("blame"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+    perOrder.groupBy(col("blame"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(sup(s, d)), col("blame") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
+  private val q117Sql =
+    """WITH f AS (SELECT l.l_orderkey, l.l_suppkey,
+      |    max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+      |        THEN 1 ELSE 0 END) AS late
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderstatus = 'F'
+      |  GROUP BY 1, 2)
+      |SELECT s_name, count(*) AS numwait
+      |FROM f l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE l1.late = 1
+      |  AND EXISTS (SELECT 1 FROM f l2 WHERE l2.l_orderkey = l1.l_orderkey
+      |              AND l2.l_suppkey != l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM f l3 WHERE l3.l_orderkey = l1.l_orderkey
+      |                  AND l3.l_suppkey != l1.l_suppkey AND l3.late = 1)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql), bench = true),
     QueryDef("q02_selective_revenue", q02, Some(q02Sql), bench = true),
@@ -462,6 +509,7 @@ object RelationalQueries {
     QueryDef("q06_region_revenue", q06, Some(q06Sql)),
     QueryDef("q07_topn_per_nation", q07, Some(q07Sql)),
     QueryDef("q116_unpivot", q116, Some(q116Sql)),
+    QueryDef("q117_exclusive_blame", q117, Some(q117Sql)),
     QueryDef("q08_running_total", q08, Some(q08Sql), bench = true),
     QueryDef("q09_order_delta", q09, Some(q09Sql)),
     QueryDef("q10_semi_join", q10, Some(q10Sql)),

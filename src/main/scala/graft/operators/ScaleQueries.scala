@@ -577,27 +577,8 @@ object ScaleQueries {
         min(col("view_id")).as("first_view"))
   }
 
-  /** q114: map-side-pruned group top-k ([[TopK.perGroupPruned]]) — q07's
-    * shape with the shuffle shrunk: bounded per-group heaps inside each
-    * input partition keep only candidate rows (≤ partitions·k per group)
-    * before the exchange, then the normal window ranks survivors. The
-    * oracle is q07's SQL verbatim — output must be bit-identical to the
-    * plain window form (the q63/q85/q104 equivalence pattern). At 100 TB
-    * this is the difference between shuffling the fact table and shuffling
-    * k rows per group per partition; Spark has this prune for GLOBAL top-k
-    * (TakeOrderedAndProject) but not per group. */
-  private def q114(s: SparkSession, d: String): DataFrame =
-    TopK.perGroupPruned(
-      cust(s, d).select(col("c_nationkey"), col("c_custkey"),
-        col("c_name"), col("c_acctbal")),
-      groupCols = Seq("c_nationkey"), orderCol = "c_acctbal",
-      tiebreak = "c_custkey", k = 3)
-      .select(col("c_nationkey"), col("c_custkey"), col("c_name"),
-        round(col("c_acctbal"), 2).as("acctbal"), col("rn"))
-
   val all: Seq[QueryDef] = Seq(
     QueryDef("q52_asof_join", q52, Some(q52Sql), bench = true),
-    QueryDef("q114_topk_pruned", q114, Some(RelationalQueries.q07Sql)),
     QueryDef("q53_deciles", q53, Some(q53Sql)),
     QueryDef("q85_deciles_scalable", q85, Some(q53Sql)),
     QueryDef("q54_moving_avg", q54, Some(q54Sql), bench = true),

@@ -70,6 +70,50 @@ class PlanSpec extends AnyFunSuite {
     // q113: the derived-rate dim joins broadcast, the doc side never shuffles
     val p113 = plan("q113_mix_rebalance")
     assert(p113.contains("BroadcastHashJoin"), p113)
+    // q117: the Q21 shape must run as the aggregation rewrite — one
+    // fact-order join, NO fact-fact self-join (the EXISTS form would add
+    // two more joins of lineitem against itself)
+    val p117 = plan("q117_exclusive_blame")
+    val factJoins = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p117).size
+    assert(factJoins <= 1, s"q117 self-joins the fact table:\n$p117")
+  }
+
+  test("group top-k prunes map-side: native WindowGroupLimit, measured") {
+    // The declarative window form (q07) must keep Catalyst's
+    // InferWindowGroupLimit rewrite: a PARTIAL WindowGroupLimit before the
+    // exchange keeps ≤ k rows per group per input partition, so the
+    // shuffle carries survivors, not the table. (Round-4 lesson: a
+    // hand-rolled mapPartitions prune measured IDENTICAL shuffle volume to
+    // this builtin — trust Catalyst, pin the plan property instead.)
+    val p07 = plan("q07_topn_per_nation")
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(p07).isDefined,
+      s"map-side group-limit prune missing from q07:\n$p07")
+    // quantitative: on a 4-partition 1500-row input, the window exchange
+    // carries ≤ partitions·k·groups = 300 records, not 1500
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    def nodes(p: SparkPlan): Seq[SparkPlan] = (p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case _ => p.children.flatMap(nodes)
+    }) :+ p
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val topk = Tables.customer(spark, TestSpark.sf001)
+      .select("c_nationkey", "c_custkey", "c_acctbal")
+      .repartition(4)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    topk.collect()
+    val written = nodes(topk.queryExecution.executedPlan).collect {
+      case s: ShuffleExchangeLike =>
+        s.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+    }.sorted
+    // exchanges: the repartition (1500) and the pruned window shuffle (≤300)
+    assert(written.nonEmpty && written.head <= 4L * 3 * 25,
+      s"window exchange not pruned: $written")
   }
 
   test("no declared query plans a cartesian product (except documented brute baselines)") {
