@@ -500,6 +500,69 @@ object RelationalQueries {
       |                  AND l3.l_suppkey != l1.l_suppkey AND l3.late = 1)
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
 
+  /** q120: ordered funnel conversion (view → click-after-view →
+    * purchase-after-click) — the product-analytics staple where step N
+    * only counts if it happens AFTER step N−1's first occurrence. Three
+    * conditional-min aggregations, each map-side combinable and keyed on
+    * user_id — the stages re-shuffle on the SAME key, so at scale AQE/
+    * co-partitioning keeps them exchange-free after the first; no window,
+    * no per-user collect. Single-row report. */
+  private def q120(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = e.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t1"))
+    val s2 = e.join(s1, "user_id").groupBy(col("user_id"), col("t1"))
+      .agg(min(when(col("event_type") === "click" && col("ts") >= col("t1"),
+        col("ts"))).as("t2"))
+    val s3 = e.join(s2, "user_id").groupBy(col("user_id"), col("t1"), col("t2"))
+      .agg(min(when(col("event_type") === "purchase" && col("ts") >= col("t2"),
+        col("ts"))).as("t3"))
+    s3.agg(count(lit(1)).as("n_users"),
+      count(col("t1")).as("n_view"),
+      count(col("t2")).as("n_click_after"),
+      count(col("t3")).as("n_purchase_after"))
+  }
+
+  private val q120Sql =
+    """WITH s1 AS (SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+      |  FROM events GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, s1.t1,
+      |    min(CASE WHEN e.event_type = 'click' AND e.ts >= s1.t1
+      |        THEN e.ts END) AS t2
+      |  FROM events e JOIN s1 USING (user_id) GROUP BY 1, 2),
+      |s3 AS (SELECT e.user_id, s2.t1, s2.t2,
+      |    min(CASE WHEN e.event_type = 'purchase' AND e.ts >= s2.t2
+      |        THEN e.ts END) AS t3
+      |  FROM events e JOIN s2 USING (user_id) GROUP BY 1, 2, 3)
+      |SELECT count(*) AS n_users, count(t1) AS n_view,
+      |  count(t2) AS n_click_after, count(t3) AS n_purchase_after
+      |FROM s3""".stripMargin
+
+  /** q121: cohort retention — users bucketed by first-seen day; cell
+    * (cohort, offset) counts distinct users from that cohort active
+    * `offset` days later (the warehouse retention triangle). Two
+    * map-side-combinable aggs + one key join; the matrix is bounded by
+    * days², never user-count. Dates truncate identically cross-engine
+    * (to_date == CAST(ts AS DATE)). */
+  private def q121(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val firstSeen = e.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("cohort"))
+    e.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .join(firstSeen, "user_id")
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val q121Sql =
+    """WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort
+      |           FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+      |SELECT cohort, datediff('day', cohort, day) AS offset,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql), bench = true),
     QueryDef("q02_selective_revenue", q02, Some(q02Sql), bench = true),
@@ -510,6 +573,8 @@ object RelationalQueries {
     QueryDef("q07_topn_per_nation", q07, Some(q07Sql)),
     QueryDef("q116_unpivot", q116, Some(q116Sql)),
     QueryDef("q117_exclusive_blame", q117, Some(q117Sql)),
+    QueryDef("q120_funnel", q120, Some(q120Sql)),
+    QueryDef("q121_cohort_retention", q121, Some(q121Sql)),
     QueryDef("q08_running_total", q08, Some(q08Sql), bench = true),
     QueryDef("q09_order_delta", q09, Some(q09Sql)),
     QueryDef("q10_semi_join", q10, Some(q10Sql)),

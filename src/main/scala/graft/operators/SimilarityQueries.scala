@@ -225,6 +225,55 @@ object SimilarityQueries {
       |ORDER BY simr DESC, doc_id LIMIT 3""".stripMargin
   }
 
+  /** q119: HYBRID retrieval — the modern RAG ranker: blend a lexical
+    * score (query-term hit rate over the doc's tokens — the degenerate
+    * single-doc-length BM25 term) with the semantic cosine to the query
+    * embedding, 50/50, and take the fused top-10. Composes the engine's
+    * existing pieces — native codegen cosine (q40) + HOF token filtering —
+    * in ONE pass: the query vector broadcasts as a 1-row dim, the lexical
+    * term is per-row arithmetic, the fusion is a projection, and the
+    * top-10 is TakeOrderedAndProject. Both component scores are
+    * order-stable double folds, so the fused score rounds identically
+    * cross-engine. At 100 TB the same plan holds: replace the brute cosine
+    * with the IVF/LSH candidate set (q62/q84) and fuse on candidates. */
+  private def q119(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("table", "join", "scan").map(lit(_))
+    val ws = graft.functions.TextFunctions.words(col("text"))
+    val lex = docs(s, d).select(col("doc_id"),
+      (size(filter(ws, w => w.isin(terms: _*))).cast("double") /
+        size(ws)).as("lex"))
+    val q = emb(s, d).filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val sem = emb(s, d).crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        graft.functions.CosineSimilarity(col("embedding"), col("qe")).as("sem"))
+    lex.join(sem, "doc_id")
+      .select(col("doc_id"), round(col("lex"), 4).as("lex"),
+        round(col("sem"), 4).as("sem"),
+        round(col("sem") * 0.5 + col("lex") * 0.5, 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  private val q119Sql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |sem AS (SELECT vec_id AS doc_id,
+      |    list_sum(list_transform(list_zip(embedding, qe),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(embedding,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(qe,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sem
+      |  FROM embeddings, q),
+      |lex AS (SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      w -> w IN ('table', 'join', 'scan'))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS lex
+      |  FROM documents)
+      |SELECT doc_id, round(lex, 4) AS lex, round(sem, 4) AS sem,
+      |  round(sem * 0.5 + lex * 0.5, 4) AS score
+      |FROM lex JOIN sem USING (doc_id)
+      |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q40_knn_cosine", q40, Some(q40Sql), bench = true),
     QueryDef("q41_label_centroids", q41, Some(q41Sql)),
@@ -233,5 +282,6 @@ object SimilarityQueries {
     QueryDef("q62_ivf_knn", q62, Some(q62Sql)),
     QueryDef("q66_sql_surface", q66, Some(q66Sql)),
     QueryDef("q72_embed_portable", q72, Some(q72Sql)),
-    QueryDef("q73_rag_portable", q73, Some(q73Sql)))
+    QueryDef("q73_rag_portable", q73, Some(q73Sql)),
+    QueryDef("q119_hybrid_rank", q119, Some(q119Sql)))
 }
