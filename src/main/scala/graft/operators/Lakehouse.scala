@@ -49,9 +49,15 @@ object Lakehouse {
       orderCol: String, tiebreak: String): DataFrame = {
     val affected = batch.select(col(key)).distinct()
     val untouched = existing.join(affected, Seq(key), "left_anti")
+    // (key, tiebreak) is the CHANGE IDENTITY: deduping the replay set on
+    // it makes re-delivery idempotent — a Spark retry or a restarted
+    // stream re-emitting its last uncommitted micro-batch collapses onto
+    // the copies already in the chain instead of doubling every version
+    // (LakehouseSpec's ST5 replay test).
     val replay = existing.join(affected, Seq(key), "left_semi")
       .drop("version", "valid_from", "valid_to", "is_current")
       .unionByName(batch)
+      .dropDuplicates(key, tiebreak)
     untouched.unionByName(scd2(replay, key, orderCol, tiebreak))
   }
 

@@ -563,6 +563,47 @@ object RelationalQueries {
       |  count(DISTINCT user_id) AS n_users
       |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin
 
+  /** q122: peak concurrency — the sweep-line/interval-overlap aggregation:
+    * user activity intervals (first→last event per user per day) become
+    * +1/−1 boundary events; a running sum ordered by (ts, delta, user)
+    * gives the number of simultaneously-active users at every instant; max
+    * per day is the report. The window is PARTITIONED BY DAY — the sweep
+    * sorts one day's boundaries at a time, never a global timeline (the
+    * q53→q85 lesson); day-partition cardinality bounds the state.
+    * Intervals are INCLUSIVE: starts (+1) sort before ends (−1) at the
+    * same instant, so a user whose day has a single event still counts
+    * and two users touching at an instant are both active there; user_id
+    * is the final unique tiebreak. */
+  private def q122(s: SparkSession, d: String): DataFrame = {
+    val spans = ev(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+    val bounds = spans.select(col("day"), col("user_id"), col("t0").as("ts"),
+        lit(1).as("delta"))
+      .unionByName(spans.select(col("day"), col("user_id"),
+        col("t1").as("ts"), lit(-1).as("delta")))
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("ts"), col("delta").desc, col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds
+      .withColumn("load", sum(col("delta")).over(w))
+      .groupBy(col("day"))
+      .agg(max(col("load")).cast("long").as("peak"),
+        count(lit(1)).cast("long").as("n_bounds"))
+  }
+
+  private val q122Sql =
+    """WITH s AS (SELECT CAST(ts AS DATE) AS day, user_id,
+      |    min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1, 2),
+      |b AS (SELECT day, user_id, t0 AS ts, 1 AS delta FROM s
+      |      UNION ALL SELECT day, user_id, t1 AS ts, -1 AS delta FROM s),
+      |r AS (SELECT day, sum(delta) OVER (PARTITION BY day
+      |        ORDER BY ts, delta DESC, user_id ROWS UNBOUNDED PRECEDING) AS load
+      |      FROM b)
+      |SELECT day, CAST(max(load) AS BIGINT) AS peak,
+      |  CAST(count(*) AS BIGINT) AS n_bounds
+      |FROM r GROUP BY day""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql), bench = true),
     QueryDef("q02_selective_revenue", q02, Some(q02Sql), bench = true),
@@ -572,9 +613,10 @@ object RelationalQueries {
     QueryDef("q06_region_revenue", q06, Some(q06Sql)),
     QueryDef("q07_topn_per_nation", q07, Some(q07Sql)),
     QueryDef("q116_unpivot", q116, Some(q116Sql)),
-    QueryDef("q117_exclusive_blame", q117, Some(q117Sql)),
+    QueryDef("q117_exclusive_blame", q117, Some(q117Sql), bench = true),
     QueryDef("q120_funnel", q120, Some(q120Sql)),
     QueryDef("q121_cohort_retention", q121, Some(q121Sql)),
+    QueryDef("q122_peak_concurrency", q122, Some(q122Sql)),
     QueryDef("q08_running_total", q08, Some(q08Sql), bench = true),
     QueryDef("q09_order_delta", q09, Some(q09Sql)),
     QueryDef("q10_semi_join", q10, Some(q10Sql)),

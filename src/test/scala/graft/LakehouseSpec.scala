@@ -105,6 +105,23 @@ class LakehouseSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("scd2MergeIntoBuckets: replaying a batch is idempotent (ST5 for CDC)") {
+    val ord = Tables.orders(spark, TestSpark.sf0001)
+    val base = java.nio.file.Files.createTempDirectory("scd2_replay")
+    val dimPath = base.resolve("dim").toString
+    val batch1 = ord.filter(col("o_orderkey") % 2 === 0)
+    val batch2 = ord.filter(col("o_orderkey") % 2 === 1)
+    Lakehouse.scd2MergeIntoBuckets(batch1, dimPath, "o_custkey", "o_orderdate", "o_orderkey")
+    Lakehouse.scd2MergeIntoBuckets(batch2, dimPath, "o_custkey", "o_orderdate", "o_orderkey")
+    def snapshot = spark.read.parquet(dimPath)
+      .select((ord.columns.toSeq ++ Seq("version", "valid_from", "valid_to", "is_current"))
+        .map(col): _*).collect().map(_.toSeq).toSet
+    val once = snapshot
+    // a Spark retry / restarted stream re-delivers the last batch
+    Lakehouse.scd2MergeIntoBuckets(batch2, dimPath, "o_custkey", "o_orderdate", "o_orderkey")
+    assert(snapshot == once, "replayed batch changed the dimension")
+  }
+
   test("count-min sketch is linear: per-lang merge equals the global build") {
     import org.apache.spark.util.sketch.CountMinSketch
     val toks = Tables.documents(spark, TestSpark.sf0001)
