@@ -524,6 +524,67 @@ object CurationQueries {
       |FROM t JOIN r USING (source)
       |GROUP BY r.source, r.n_docs, r.n_toks, r.rate""".stripMargin
 
+  /** q123: EXACT-k stratified sample — "exactly 5 docs per source",
+    * deterministically: rank by the reproducible shuffle position
+    * ([[Curation.shufflePosition]]) within each stratum, keep rank ≤ k.
+    * rand()-based sampling can't be replayed or oracle-checked, and
+    * hash-rate sampling (q91) gives binomial counts; this gives exact
+    * counts AND a stable sample across runs/engines/partitionings. The
+    * stratum-keyed window is map-side-pruned by Spark's native
+    * WindowGroupLimit (PlanSpec-pinned), so only ≤ partitions·k rows per
+    * stratum reach the exchange at any scale. */
+  private def q123(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("pos"), col("doc_id"))
+    docs(s, d)
+      .withColumn("pos", Curation.shufflePosition(col("doc_id")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("rk"), col("doc_id"), col("pos"))
+  }
+
+  private val q123Sql =
+    """WITH p AS (SELECT source, doc_id,
+      |    (doc_id * 2654435761) % 2147483647 AS pos FROM documents),
+      |r AS (SELECT source, doc_id, pos, row_number() OVER
+      |        (PARTITION BY source ORDER BY pos, doc_id) AS rk FROM p)
+      |SELECT source, rk, doc_id, pos FROM r WHERE rk <= 5""".stripMargin
+
+  /** q124: join-key skew diagnosis — the pre-flight report that picks the
+    * join strategy (plain vs salted q63 vs hot-key-split q64): per-key row
+    * counts reduced to total keys/rows, the heaviest key's share, and the
+    * top-10 keys' share (both in integer ppm — no float boundary). One
+    * map-side-combinable count + a 10-row TakeOrdered; at 100 TB this runs
+    * on a sample partition or the previous day's stats table, and the
+    * thresholds (e.g. top-1 share > 5%) gate the salting decision. */
+  private def q124(s: SparkSession, d: String): DataFrame = {
+    val counts = graft.Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+    // no global window over the counts table (that single-partition sort is
+    // the very anti-pattern this report exists to prevent): totals are one
+    // map-side-combinable agg, the top-10 is TakeOrderedAndProject, and the
+    // two 1-row results cross-join broadcast
+    val totals = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("cnt")).cast("long").as("n_rows"),
+      max(col("cnt")).cast("long").as("max_key_rows"))
+    val top10 = counts.orderBy(col("cnt").desc, col("l_suppkey")).limit(10)
+      .agg(sum(col("cnt")).cast("long").as("top10_rows"))
+    totals.crossJoin(broadcast(top10))
+      .withColumn("max_share_ppm", expr("(1000000 * max_key_rows) div n_rows"))
+      .withColumn("top10_share_ppm", expr("(1000000 * top10_rows) div n_rows"))
+  }
+
+  private val q124Sql =
+    """WITH c AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+      |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS rk
+      |      FROM c)
+      |SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |  CAST(max(cnt) AS BIGINT) AS max_key_rows,
+      |  CAST(sum(CASE WHEN rk <= 10 THEN cnt END) AS BIGINT) AS top10_rows,
+      |  (1000000 * max(cnt)) // sum(cnt) AS max_share_ppm,
+      |  (1000000 * sum(CASE WHEN rk <= 10 THEN cnt END)) // sum(cnt) AS top10_share_ppm
+      |FROM r""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q90_contamination", q90, Some(q90Sql), bench = true),
     QueryDef("q91_stratified_sample", q91, Some(q91Sql)),
@@ -540,5 +601,7 @@ object CurationQueries {
     QueryDef("q109_cms_contract", q109, Some(q109Sql)),
     QueryDef("q110_vocab_pairs", q110, Some(q110Sql)),
     QueryDef("q112_snapshot_diff", q112, Some(q112Sql)),
-    QueryDef("q113_mix_rebalance", q113, Some(q113Sql)))
+    QueryDef("q113_mix_rebalance", q113, Some(q113Sql)),
+    QueryDef("q123_exact_sample", q123, Some(q123Sql)),
+    QueryDef("q124_skew_report", q124, Some(q124Sql)))
 }
