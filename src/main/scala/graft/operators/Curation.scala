@@ -100,15 +100,19 @@ object Curation {
     * join payload is (key, 32-byte hash), never the text. */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
       key: String = "doc_id", textCol: String = "text"): DataFrame =
-    oldSnap.select(col(key), md5(col(textCol)).as("__old_fp"))
-      .join(newSnap.select(col(key), md5(col(textCol)).as("__new_fp")),
-        Seq(key), "full_outer")
+    // presence is tracked with explicit flags, NOT fingerprint nullness —
+    // a doc with NULL text has a null md5 and would otherwise register as
+    // absent; the null-safe <=> makes null-text-in-both read as unchanged
+    oldSnap.select(col(key), md5(col(textCol)).as("__old_fp"),
+        lit(true).as("__old"))
+      .join(newSnap.select(col(key), md5(col(textCol)).as("__new_fp"),
+        lit(true).as("__new")), Seq(key), "full_outer")
       .withColumn("status",
-        when(col("__old_fp").isNull, "added")
-          .when(col("__new_fp").isNull, "removed")
-          .when(col("__old_fp") === col("__new_fp"), "unchanged")
+        when(col("__old").isNull, "added")
+          .when(col("__new").isNull, "removed")
+          .when(col("__old_fp") <=> col("__new_fp"), "unchanged")
           .otherwise("changed"))
-      .drop("__old_fp", "__new_fp")
+      .drop("__old_fp", "__new_fp", "__old", "__new")
 
   /** Deterministic corpus shuffle for training order: a reproducible
     * pseudo-random position per row (the same Knuth-multiplicative

@@ -471,13 +471,15 @@ object CurationQueries {
   }
 
   private val q112Sql =
-    """WITH a AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 7 != 6),
+    """WITH a AS (SELECT doc_id, md5(text) AS fp, TRUE AS pres
+      |           FROM documents WHERE doc_id % 7 != 6),
       |b AS (SELECT doc_id,
-      |        md5(text || CASE WHEN doc_id % 7 = 3 THEN ' rev2' ELSE '' END) AS fp
+      |        md5(text || CASE WHEN doc_id % 7 = 3 THEN ' rev2' ELSE '' END) AS fp,
+      |        TRUE AS pres
       |      FROM documents WHERE doc_id % 7 != 0),
-      |d AS (SELECT CASE WHEN a.fp IS NULL THEN 'added'
-      |                  WHEN b.fp IS NULL THEN 'removed'
-      |                  WHEN a.fp = b.fp THEN 'unchanged'
+      |d AS (SELECT CASE WHEN a.pres IS NULL THEN 'added'
+      |                  WHEN b.pres IS NULL THEN 'removed'
+      |                  WHEN a.fp IS NOT DISTINCT FROM b.fp THEN 'unchanged'
       |                  ELSE 'changed' END AS status
       |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
       |SELECT status, count(*) AS n FROM d GROUP BY status""".stripMargin

@@ -49,16 +49,25 @@ object Lakehouse {
       orderCol: String, tiebreak: String): DataFrame = {
     val affected = batch.select(col(key)).distinct()
     val untouched = existing.join(affected, Seq(key), "left_anti")
-    // (key, tiebreak) is the CHANGE IDENTITY: deduping the replay set on
+    // (key, tiebreak) is the CHANGE IDENTITY: collapsing the replay set on
     // it makes re-delivery idempotent — a Spark retry or a restarted
     // stream re-emitting its last uncommitted micro-batch collapses onto
     // the copies already in the chain instead of doubling every version
-    // (LakehouseSpec's ST5 replay test).
+    // (LakehouseSpec's ST5 replay test). When a re-delivered change
+    // carries a MODIFIED payload, the batch copy wins deterministically
+    // (the __src precedence below) — dropDuplicates alone would keep a
+    // partition-order-dependent arbitrary copy.
     val replay = existing.join(affected, Seq(key), "left_semi")
       .drop("version", "valid_from", "valid_to", "is_current")
-      .unionByName(batch)
-      .dropDuplicates(key, tiebreak)
-    untouched.unionByName(scd2(replay, key, orderCol, tiebreak))
+      .withColumn("__src", lit(0))
+      .unionByName(batch.withColumn("__src", lit(1)))
+    val latest = Window.partitionBy(col(key), col(tiebreak))
+      .orderBy(col("__src").desc)
+    val collapsed = replay
+      .withColumn("__rn", row_number().over(latest))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__src")
+    untouched.unionByName(scd2(collapsed, key, orderCol, tiebreak))
   }
 
   /** CDC-merge sink for a streaming change feed: maintain an SCD2 dimension
@@ -72,8 +81,12 @@ object Lakehouse {
   def scd2MergeIntoBuckets(batch: DataFrame, dimPath: String, key: String,
       orderCol: String, tiebreak: String, nBuckets: Int = 16): Unit = {
     val spark = batch.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // resolve the filesystem FROM the path (not the default FS) — on a
+    // cloud deployment dimPath's scheme (s3a://, gs://) routinely differs
+    // from fs.defaultFS, and the wrong FS would make the existence check
+    // fail or lie, silently rebuilding chains instead of merging
+    val fs = new org.apache.hadoop.fs.Path(dimPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bucketed = batch.withColumn("kb", pmod(col(key), lit(nBuckets)))
     val existingAffected =
       if (fs.exists(new org.apache.hadoop.fs.Path(dimPath))) {

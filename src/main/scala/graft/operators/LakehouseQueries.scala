@@ -112,13 +112,22 @@ object LakehouseQueries {
     val srcDir = base.resolve("in")
     java.nio.file.Files.createDirectories(srcDir)
     val dimPath = base.resolve("dim").toString
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val f = p.toFile
+      if (f.isDirectory) f.listFiles().foreach(c => rmTree(c.toPath))
+      f.delete()
+    }
     (0 to 2).foreach { i =>
       val staging = base.resolve(s"stage$i")
       ordDf.filter(pmod(col("o_orderkey"), lit(3)) === i)
         .coalesce(1).write.mode("overwrite").parquet(staging.toString)
-      val part = java.nio.file.Files.list(staging).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      java.nio.file.Files.copy(part, srcDir.resolve(s"slice$i.parquet"))
+      val listing = java.nio.file.Files.list(staging)
+      try {
+        val part = listing.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part, srcDir.resolve(s"slice$i.parquet"))
+      } finally listing.close()
+      rmTree(staging)
     }
     val stream = s.readStream.schema(ordDf.schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
@@ -131,6 +140,11 @@ object LakehouseQueries {
       .start()
     q.processAllAvailable()
     q.stop()
+    // drop everything the result no longer needs (the dim parquet stays —
+    // the returned frame reads it lazily); a repeated verify/bench run
+    // would otherwise accumulate staged slices + checkpoint state in /tmp
+    rmTree(srcDir)
+    rmTree(base.resolve("ckpt"))
     s.read.parquet(dimPath)
       .select(col("o_custkey"), col("version"), col("o_orderkey"),
         col("o_totalprice"), col("valid_from"), col("valid_to"),

@@ -175,7 +175,7 @@ object RelationalQueries {
         round(col("c_acctbal"), 2).as("acctbal"), col("rn"))
   }
 
-  private[operators] val q07Sql =
+  private val q07Sql =
     """SELECT c_nationkey, c_custkey, c_name, round(c_acctbal, 2) AS acctbal, rn
       |FROM (SELECT *, row_number() OVER
       |        (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn

@@ -122,6 +122,20 @@ class LakehouseSpec extends AnyFunSuite {
     assert(snapshot == once, "replayed batch changed the dimension")
   }
 
+  test("scd2Merge: divergent re-delivery resolves deterministically — batch wins") {
+    import spark.implicits._
+    val changes = Seq((1L, "2024-01-01", 101L, 10.0), (1L, "2024-02-01", 102L, 11.0))
+      .toDF("k", "d", "id", "price")
+    val existing = Lakehouse.scd2(changes, "k", "d", "id")
+    // a retry re-delivers change id=102 with a corrected payload
+    val redelivered = Seq((1L, "2024-02-01", 102L, 99.0)).toDF("k", "d", "id", "price")
+    val merged = Lakehouse.scd2Merge(existing, redelivered, "k", "d", "id")
+      .select("k", "id", "price", "version").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // same chain length, the corrected payload survives, versions intact
+    assert(merged == Set((101L, 10.0, 1), (102L, 99.0, 2)))
+  }
+
   test("count-min sketch is linear: per-lang merge equals the global build") {
     import org.apache.spark.util.sketch.CountMinSketch
     val toks = Tables.documents(spark, TestSpark.sf0001)

@@ -109,7 +109,10 @@ class PlanSpec extends AnyFunSuite {
     topk.collect()
     val written = nodes(topk.queryExecution.executedPlan).collect {
       case s: ShuffleExchangeLike =>
-        s.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+        // fail loudly if Spark renames the metric — a silent 0 would make
+        // the prune assertion below vacuously true
+        s.metrics.get("shuffleRecordsWritten").map(_.value)
+          .getOrElse(fail(s"shuffleRecordsWritten metric missing on $s"))
     }.sorted
     // exchanges: the repartition (1500) and the pruned window shuffle (≤300)
     assert(written.nonEmpty && written.head <= 4L * 3 * 25,
