@@ -151,9 +151,46 @@ object LakehouseQueries {
         col("is_current"))
   }
 
+  /** q125: table profile — the per-column stats pass (rows, nulls, exact
+    * distinct, min/max) that feeds layout and optimizer decisions: which
+    * column to Z-order or bloom-index (high-distinct → q108/bloomIndexedWrite),
+    * whether a dim is broadcastable, where min/max row-group stats will
+    * actually prune. One aggregate per profiled column unioned into a tidy
+    * (column, n, n_null, n_distinct, min_v, max_v) report; at 100 TB swap
+    * the exact countDistinct for approx_count_distinct (q44's contract
+    * bounds the error) and run on a partition sample — the report shape is
+    * unchanged. */
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    val t = li(s, d)
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map { c =>
+        t.agg(count(lit(1)).as("n"),
+          (count(lit(1)) - count(col(c))).cast("long").as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          round(min(col(c)), 4).as("min_v"),
+          round(max(col(c)), 4).as("max_v"))
+          .select(lit(c).as("column"), col("n"), col("n_null"),
+            col("n_distinct"), col("min_v"), col("max_v"))
+      }
+      .reduce(_.unionByName(_))
+  }
+
+  private val q125Sql: String = {
+    val selects = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n,
+          |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+          |  count(DISTINCT $c) AS n_distinct,
+          |  round(min($c), 4) AS min_v, round(max($c), 4) AS max_v
+          |FROM lineitem""".stripMargin
+      }
+    selects.mkString("\n|UNION ALL\n|".stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q104_bloom_join", q104, Some(q104Sql), bench = true),
     QueryDef("q107_scd2", q107, Some(q107Sql)),
     QueryDef("q108_zorder", q108, Some(q108Sql)),
-    QueryDef("q111_stream_scd2", q111, Some(q107Sql)))
+    QueryDef("q111_stream_scd2", q111, Some(q107Sql)),
+    QueryDef("q125_table_profile", q125, Some(q125Sql)))
 }
