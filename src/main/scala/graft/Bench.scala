@@ -24,7 +24,13 @@ object Bench {
     def exec(q: QueryDef): Unit =
       q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // dev-only subset filter (comma-separated names, mirrors Verify's name
+    // arg): lets a regression be isolated from its bench neighbors — unset
+    // for the driver's full run
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val qs = SparkEntry.benchQueries
+      .filter(q => only.forall(_.contains(q.name)))
     // warm-up: JIT + codegen cache + file listing (failures surface in the
     // timed pass — don't double-report)
     qs.foreach(q => try exec(q) catch { case _: Throwable => () })

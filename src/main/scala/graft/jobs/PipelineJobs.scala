@@ -30,6 +30,24 @@ object PipelineJobs {
     obs.get
   }
 
+  /** ScrapeJob + IngestJob end-to-end (S5 network half + U8 + K1): URL list
+    * → throttled batched fetch ([[graft.sources.FetchOps]]) → title/body
+    * extraction → date-partitioned lake. Failed fetches are dropped, like
+    * the reference's per-article try/except skip (pipeline.py:24-28).
+    * `urls` carries (url, scraped_at) — the crawl frontier with its stamp. */
+  def ingestFromUrls(urls: DataFrame, fetcher: graft.sources.Fetcher,
+      lakePath: String, batchSize: Int = 16,
+      throttleMillis: Long = 0L): Map[String, Any] = {
+    val fetched = graft.sources.FetchOps.fetchAll(
+      urls, "url", "raw_html", fetcher, batchSize, throttleMillis)
+      .filter(col("raw_html").isNotNull)
+    val articles = fetched
+      .withColumn("tb", Parsers.htmlExtractUdf(col("raw_html")))
+      .select(col("url"), col("tb.title").as("title"),
+        col("tb.body").as("body"), col("scraped_at"))
+    ingest(articles, lakePath)
+  }
+
   /** IndexJob (L1+K5/D3): embed new articles, upsert into the embeddings
     * index table by id (delete-before-insert ≡ anti-join + union). */
   def buildOrUpdateIndex(spark: SparkSession, lakePath: String,

@@ -553,6 +553,8 @@ object AdvancedQueries {
     QueryDef("q45_embedding_neardup", q45, Some(q45Sql)),
     QueryDef("q84_embedding_neardup_lsh", q84, Some(q45Sql)),
     QueryDef("q46_fts_postings", q46, Some(q46Sql)),
+    // binary-digest features (not SQL-portable) — rows-only in the driver
+    // gate; value-pinned by its portable sibling q75 (oracle-green)
     QueryDef("q47_media_features", q47, None),
     QueryDef("q48_langid", q48, Some(q48Sql)),
     QueryDef("q49_above_part_avg", q49, Some(q49Sql)),

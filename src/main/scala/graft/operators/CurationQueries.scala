@@ -576,6 +576,71 @@ object CurationQueries {
       .withColumn("top10_share_ppm", expr("(1000000 * top10_rows) div n_rows"))
   }
 
+  /** q126: BPE vocabulary induction, ≥3 full merge rounds
+    * ([[BpeTrainer.train]]) — iterates q110's one-round statistic into the
+    * real trainer loop: count pairs → merge argmax pair → re-tokenize.
+    * The oracle replays the identical rounds as statically unrolled CTEs
+    * (same separator-wrapped replace, same (n desc, l, r) tiebreak), so
+    * every round's merge rule is value-pinned, not just round 1's. */
+  private def q126(s: SparkSession, d: String): DataFrame =
+    BpeTrainer.train(docs(s, d), "text", rounds = 3)
+
+  /** The unrolled-BPE WITH body: per round i, pair counts g_i, argmax
+    * merge rule m_i, and (when needed) the re-segmented corpus s_i. DuckDB
+    * replays exactly the trainer's algebra — same separator-wrapped
+    * replace, same (n desc, l, r) tiebreak. */
+  private def bpeUnrolledCtes(rounds: Int, emitFinalSeg: Boolean): String = {
+    val ctes = (1 to rounds).map { i =>
+      val prev = if (i == 1) "s0" else s"s${i - 1}"
+      val merge =
+        if (i < rounds || emitFinalSeg)
+          s""",
+             |s$i AS (SELECT replace(s, '|'||m$i.l||'||'||m$i.r||'|',
+             |  '|'||m$i.l||m$i.r||'|') AS s, cnt FROM $prev, m$i)""".stripMargin
+        else ""
+      s"""g$i AS (
+         |  SELECT cs[i] AS l, cs[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM (SELECT string_split(trim(s,'|'),'||') AS cs, cnt FROM $prev),
+         |       unnest(generate_series(1, len(cs)-1)) t(i)
+         |  GROUP BY 1,2),
+         |m$i AS (SELECT $i AS step, l, r, l||r AS merged, n FROM g$i
+         |        ORDER BY n DESC, l, r LIMIT 1)$merge""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wc AS (
+       |  SELECT word, count(*) AS cnt
+       |  FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents)
+       |  GROUP BY word),
+       |s0 AS (SELECT '|' || array_to_string(string_split(word,''),'||') || '|' AS s,
+       |       cnt FROM wc),
+       |$ctes""".stripMargin
+  }
+
+  private val q126Sql: String = {
+    val rounds = 3
+    val union = (1 to rounds).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+    s"""${bpeUnrolledCtes(rounds, emitFinalSeg = false)}
+       |SELECT step, l AS pair_left, r AS pair_right, merged, n FROM ($union)""".stripMargin
+  }
+
+  /** q130: BPE ENCODE — apply the 3 trained merge rules in training order
+    * and count the resulting corpus token frequencies, top-20
+    * ([[BpeTrainer.encode]]): the production tokenize step the trained
+    * vocab exists for, closing the train→encode loop. The oracle unrolls
+    * training AND encoding (final re-segmentation s3 → token counts). */
+  private def q130(s: SparkSession, d: String): DataFrame = {
+    val rules = BpeTrainer.trainMerges(docs(s, d), "text", rounds = 3)
+    BpeTrainer.encode(docs(s, d), "text", rules)
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+  }
+
+  private val q130Sql: String =
+    s"""${bpeUnrolledCtes(3, emitFinalSeg = true)},
+       |t AS (SELECT unnest(string_split(trim(s,'|'),'||')) AS token, cnt
+       |      FROM s3)
+       |SELECT token, CAST(sum(cnt) AS BIGINT) AS n FROM t
+       |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+
   private val q124Sql =
     """WITH c AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1),
       |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS rk
@@ -583,8 +648,8 @@ object CurationQueries {
       |SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
       |  CAST(max(cnt) AS BIGINT) AS max_key_rows,
       |  CAST(sum(CASE WHEN rk <= 10 THEN cnt END) AS BIGINT) AS top10_rows,
-      |  (1000000 * max(cnt)) // sum(cnt) AS max_share_ppm,
-      |  (1000000 * sum(CASE WHEN rk <= 10 THEN cnt END)) // sum(cnt) AS top10_share_ppm
+      |  CAST((1000000 * max(cnt)) // sum(cnt) AS BIGINT) AS max_share_ppm,
+      |  CAST((1000000 * sum(CASE WHEN rk <= 10 THEN cnt END)) // sum(cnt) AS BIGINT) AS top10_share_ppm
       |FROM r""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
@@ -605,5 +670,7 @@ object CurationQueries {
     QueryDef("q112_snapshot_diff", q112, Some(q112Sql)),
     QueryDef("q113_mix_rebalance", q113, Some(q113Sql)),
     QueryDef("q123_exact_sample", q123, Some(q123Sql)),
-    QueryDef("q124_skew_report", q124, Some(q124Sql)))
+    QueryDef("q124_skew_report", q124, Some(q124Sql)),
+    QueryDef("q126_bpe_merges", q126, Some(q126Sql)),
+    QueryDef("q130_bpe_encode", q130, Some(q130Sql)))
 }

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-text-search query surface over the inverted postings index
+  * (SURVEY §2.9 L13's query half — the reference's Chroma store maintains
+  * FTS tables `embedding_fulltext_search*` in `scripts/vector_db/
+  * chroma.sqlite3`; q46 builds the index, these operators QUERY it).
+  *
+  * The index is positional: one row per (term, doc) carrying tf and the
+  * sorted in-doc positions. At 100 TB the postings table is written
+  * bucketed by term, so a query's `word IN (...)` prunes to the queried
+  * terms' buckets and every operator below touches only posting rows for
+  * the query terms — never the corpus. All aggregations are keyed by
+  * doc_id (map-side combinable; no global sort, no driver collect).
+  */
+object Fts {
+
+  /** Build the positional postings index: doc text → one row per
+    * (word, doc_id) with term frequency and sorted 0-based positions.
+    * Tokenization matches [[graft.functions.TextFunctions.words]]
+    * (single-space split) so index-backed scores equal text-scan scores.
+    * One shuffle on (word, doc_id); collect_list is per-(term,doc) and
+    * bounded by document length. */
+  def positionalPostings(docs: DataFrame, docIdCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(docIdCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
+      .groupBy(col("word"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** Per-document token counts (the other half a lexical scorer needs —
+    * index-resident, so scoring never re-reads text). */
+  def docLengths(docs: DataFrame, docIdCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(docIdCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("doc_len"))
+
+  /** Conjunctive (AND) query: documents containing EVERY term, with the
+    * summed term frequency as a match-strength score. Postings are unique
+    * per (word, doc), so `count == n distinct terms` is the containment
+    * test — one keyed aggregation over only the queried terms' postings. */
+  def conjunctiveQuery(postings: DataFrame, terms: Seq[String]): DataFrame = {
+    val distinctTerms = terms.distinct
+    postings.filter(col("word").isin(distinctTerms: _*))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("total_tf"))
+      .filter(col("n_terms") === distinctTerms.size)
+      .select(col("doc_id"), col("total_tf"))
+  }
+
+  /** Phrase query: documents where the words occur at consecutive
+    * positions, with the occurrence count. Each phrase slot's positions
+    * are shifted left by the slot index, so an occurrence is a position
+    * present in EVERY slot's shifted set — computed per document as one
+    * array_intersect fold over the (phrase-length-bounded) collected
+    * arrays. Duplicate words in the phrase are handled by keying on slot,
+    * not word. One broadcast join + one keyed aggregation. */
+  def phraseQuery(postings: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one word")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val slots = phrase.zipWithIndex.toDF("word", "slot")
+    postings.join(broadcast(slots), "word")
+      .select(col("doc_id"),
+        transform(col("positions"), p => p - col("slot")).as("shifted"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_slots"),
+        collect_list(col("shifted")).as("slot_positions"))
+      .filter(col("n_slots") === phrase.length)
+      .select(col("doc_id"),
+        size(aggregate(
+          slice(col("slot_positions"), 2, phrase.length - 1),
+          element_at(col("slot_positions"), 1),
+          (acc, a) => array_intersect(acc, a))).cast("long").as("n_matches"))
+      .filter(col("n_matches") >= 1)
+  }
+
+  /** BM25 ranking over the postings index — the standard lexical relevance
+    * function (Robertson/Sparck Jones; Lucene's idf form
+    * ln((N - df + 0.5)/(df + 0.5) + 1)). Everything comes from the index:
+    * df per term (≤ |terms| rows, broadcast), N and avgdl (one 1-row
+    * broadcast aggregate), tf and doc_len per posting. The per-document
+    * total adds the per-term partial scores in FIXED (sorted-term) order
+    * via conditional aggregation, so the double sum is deterministic and
+    * cross-engine reproducible. Touches only the queried terms' postings —
+    * at 100 TB, term-bucket pruning makes query cost ∝ posting lists, not
+    * corpus. */
+  def bm25Scores(postings: DataFrame, docLens: DataFrame, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val ts = terms.distinct.sorted
+    val hits = postings.filter(col("word").isin(ts: _*))
+    val dfT = hits.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    // count/avg over integral doc_len are exact (long sum, then divide):
+    // avgdl is deterministic, not a float-order accident
+    val stats = docLens.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("doc_len")).as("avgdl"))
+    val scored = hits.join(broadcast(dfT), "word")
+      .join(docLens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") +
+            lit(k1) * (lit(1 - b) + lit(b) * col("doc_len") / col("avgdl"))))
+    val perTerm = ts.zipWithIndex.map { case (t, i) =>
+      sum(when(col("word") === t, col("score"))).as(s"__s$i")
+    }
+    val total = ts.indices
+      .map(i => coalesce(col(s"__s$i"), lit(0.0)))
+      .reduce(_ + _)
+    scored.groupBy(col("doc_id"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .select(col("doc_id"), total.as("bm25"))
+  }
+
+  /** Index-backed lexical score: sum of the query terms' tf over the doc
+    * length — exactly `|tokens ∈ terms| / |tokens|`, but computed from the
+    * postings + doc-length tables instead of re-scanning text (the 100 TB
+    * shape: the corpus is tokenized once at index-build; queries read only
+    * the matching postings). Docs with no hits keep score 0 via the
+    * left join. */
+  def lexicalScores(postings: DataFrame, docLens: DataFrame,
+      terms: Seq[String]): DataFrame = {
+    val hits = postings.filter(col("word").isin(terms.distinct: _*))
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("hit_tf"))
+    docLens.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("hit_tf"), lit(0L)).cast("double") /
+          col("doc_len")).as("lex"))
+  }
+}

@@ -56,13 +56,18 @@ object Lakehouse {
     // (LakehouseSpec's ST5 replay test). When a re-delivered change
     // carries a MODIFIED payload, the batch copy wins deterministically
     // (the __src precedence below) — dropDuplicates alone would keep a
-    // partition-order-dependent arbitrary copy.
+    // partition-order-dependent arbitrary copy. The payload hash is the
+    // final sort key: even if ONE batch carries two different payloads for
+    // the same (key, tiebreak), the winner is deterministic, not
+    // partition-order luck.
     val replay = existing.join(affected, Seq(key), "left_semi")
       .drop("version", "valid_from", "valid_to", "is_current")
       .withColumn("__src", lit(0))
       .unionByName(batch.withColumn("__src", lit(1)))
+    val payload = replay.columns
+      .filterNot(c => c == key || c == tiebreak || c == "__src").map(col)
     val latest = Window.partitionBy(col(key), col(tiebreak))
-      .orderBy(col("__src").desc)
+      .orderBy(col("__src").desc, xxhash64(payload: _*))
     val collapsed = replay
       .withColumn("__rn", row_number().over(latest))
       .filter(col("__rn") === 1)
@@ -101,7 +106,14 @@ object Lakehouse {
     val merged = scd2Merge(existingAffected.drop("kb"), bucketed.drop("kb"),
         key, orderCol, tiebreak)
       .withColumn("kb", pmod(col(key), lit(nBuckets)))
-    merged.write.mode("overwrite")
+    // the merged plan lazily READS dimPath, the very path being overwritten:
+    // dynamic partition overwrite stages output before committing, so this
+    // is safe — but only while that option holds. Materialize the merged
+    // rows first (affected-buckets-sized, batch-proportional) so the write
+    // never depends on a lazy read of its own destination, whatever the
+    // overwrite mode resolves to.
+    val pinned = merged.localCheckpoint(true)
+    pinned.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("kb")
       .parquet(dimPath)

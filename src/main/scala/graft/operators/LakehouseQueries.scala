@@ -117,6 +117,10 @@ object LakehouseQueries {
       if (f.isDirectory) f.listFiles().foreach(c => rmTree(c.toPath))
       f.delete()
     }
+    // the dim parquet must outlive this method (the returned frame reads it
+    // lazily), so it can only be reclaimed at JVM exit — without this,
+    // repeated verify/bench runs accumulate a dim tree per run in /tmp
+    sys.addShutdownHook(rmTree(base))
     (0 to 2).foreach { i =>
       val staging = base.resolve(s"stage$i")
       ordDf.filter(pmod(col("o_orderkey"), lit(3)) === i)

@@ -86,34 +86,40 @@ object Similarity {
     if (n == 0.0) v else v.map(_ / n)
   }
 
+  /** Per-list mean vectors as ONE map-side-combinable aggregation returning
+    * one row per non-empty list (≤ nLists rows — each carrying a dim-wide
+    * vector, never nLists×dim scalar rows): ml's Summarizer keeps a running
+    * (sum, count) vector per group and merges partials linearly. */
+  def listMeans(index: DataFrame, embCol: String,
+      cents: Array[Array[Double]]): DataFrame =
+    index
+      .select(nearestListExpr(col(embCol), cents).as("list_id"),
+        org.apache.spark.ml.functions.array_to_vector(col(embCol)).as("v"))
+      .groupBy(col("list_id"))
+      .agg(org.apache.spark.ml.stat.Summarizer.mean(col("v")).as("m"))
+
   /** Spherical k-means coarse quantizer. Deterministic init: the nLists
     * vectors with the lowest ids. Centroids live on the driver (nLists×dim
     * doubles) like any broadcast dimension — the train loop is nIters
-    * assign+average jobs over the index, never a collect of the data. */
+    * assign+average jobs over the index, never a collect of the data, and
+    * each iteration collects exactly one mean-vector row per list. */
   def ivfCentroids(index: DataFrame, embCol: String, idCol: String,
       nLists: Int, nIters: Int = 2): Array[Array[Double]] = {
-    // both collects below are bounded at nLists×dim rows (the centroid
-    // matrix, held driver-side by design like any broadcast dim) — cap
-    // nLists so a caller can't turn them into a data-sized collect
+    // both collects below are bounded at nLists rows (the centroid matrix,
+    // held driver-side by design like any broadcast dim) — cap nLists so a
+    // caller can't turn them into a data-sized collect
     require(nLists > 0 && nLists <= 65536,
       s"nLists=$nLists out of range (driver holds nLists x dim doubles)")
-    val dim = index.select(size(col(embCol))).head.getInt(0)
     var cents: Array[Array[Double]] = index
       .orderBy(col(idCol)).limit(nLists)
       .select(col(embCol)).collect()
       .map(r => normalized(r.getSeq[Float](0).map(_.toDouble).toArray))
     for (_ <- 1 to nIters) {
-      val means = index
-        .select(nearestListExpr(col(embCol), cents).as("list_id"),
-          posexplode(col(embCol)).as(Seq("pos", "v")))
-        .groupBy(col("list_id"), col("pos"))
-        .agg(avg(col("v").cast("double")).as("m"))
-        .collect()
+      val means = listMeans(index, embCol, cents).collect()
       val next = Array.tabulate(cents.length)(i => cents(i).clone())
-      means.groupBy(_.getInt(0)).foreach { case (cid, rows) =>
-        val c = new Array[Double](dim)
-        rows.foreach(r => c(r.getInt(1)) = r.getDouble(2))
-        next(cid) = normalized(c)
+      means.foreach { r =>
+        next(r.getInt(0)) = normalized(
+          r.getAs[org.apache.spark.ml.linalg.Vector](1).toArray)
       }
       cents = next
     }

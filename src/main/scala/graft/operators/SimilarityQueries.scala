@@ -229,19 +229,26 @@ object SimilarityQueries {
     * score (query-term hit rate over the doc's tokens — the degenerate
     * single-doc-length BM25 term) with the semantic cosine to the query
     * embedding, 50/50, and take the fused top-10. Composes the engine's
-    * existing pieces — native codegen cosine (q40) + HOF token filtering —
-    * in ONE pass: the query vector broadcasts as a 1-row dim, the lexical
-    * term is per-row arithmetic, the fusion is a projection, and the
+    * existing pieces — native codegen cosine (q40) + the FTS postings
+    * index ([[Fts.lexicalScores]], q46/q127's index as the lexical
+    * serving path): the query vector broadcasts as a 1-row dim, the
+    * lexical leg reads only the query terms' postings, the fusion is a
+    * projection, and the
     * top-10 is TakeOrderedAndProject. Both component scores are
     * order-stable double folds, so the fused score rounds identically
     * cross-engine. At 100 TB the same plan holds: replace the brute cosine
     * with the IVF/LSH candidate set (q62/q84) and fuse on candidates. */
   private def q119(s: SparkSession, d: String): DataFrame = {
-    val terms = Seq("table", "join", "scan").map(lit(_))
-    val ws = graft.functions.TextFunctions.words(col("text"))
-    val lex = docs(s, d).select(col("doc_id"),
-      (size(filter(ws, w => w.isin(terms: _*))).cast("double") /
-        size(ws)).as("lex"))
+    // lexical leg served from the FTS index (q46/q127's postings + doc
+    // lengths), not a text re-scan: sum of query-term tf over doc length ==
+    // |tokens ∈ terms| / |tokens|, the same score the oracle computes
+    // directly — at 100 TB the index is term-bucketed and this leg reads
+    // only three terms' postings
+    val d0 = docs(s, d)
+    val lex = Fts.lexicalScores(
+      Fts.positionalPostings(d0, "doc_id", "text"),
+      Fts.docLengths(d0, "doc_id", "text"),
+      Seq("table", "join", "scan"))
     val q = emb(s, d).filter(col("vec_id") === 0).select(col("embedding").as("qe"))
     val sem = emb(s, d).crossJoin(broadcast(q))
       .select(col("vec_id").as("doc_id"),
@@ -277,6 +284,9 @@ object SimilarityQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("q40_knn_cosine", q40, Some(q40Sql), bench = true),
     QueryDef("q41_label_centroids", q41, Some(q41Sql)),
+    // q42/q43 hash with the engine's xxhash64 (not SQL-portable); the
+    // driver's rows-only check applies here, and the SAME pipelines are
+    // value-pinned via their portable-hash siblings q72/q73 (oracle-green)
     QueryDef("q42_embed_documents", q42, None),
     QueryDef("q43_rag_retrieve", q43, None),
     QueryDef("q62_ivf_knn", q62, Some(q62Sql)),

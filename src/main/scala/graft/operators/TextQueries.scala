@@ -234,6 +234,83 @@ object TextQueries {
       |FROM documents""".stripMargin
   }
 
+  /** q127: conjunctive (AND) full-text query over the positional postings
+    * index ([[Fts.conjunctiveQuery]]) — docs containing ALL query terms
+    * with summed tf. The index-backed query half of q46's index build
+    * (reference keeps FTS tables in Chroma's sqlite:
+    * scripts/vector_db/chroma.sqlite3 `embedding_fulltext_search*`). */
+  private def q127(s: SparkSession, d: String): DataFrame =
+    Fts.conjunctiveQuery(
+      Fts.positionalPostings(docs(s, d), "doc_id", "text"),
+      Seq("table", "join", "scan"))
+
+  private val q127Sql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS word
+      |             FROM documents)
+      |SELECT doc_id, count(*) AS total_tf FROM tok
+      |WHERE word IN ('table','join','scan')
+      |GROUP BY doc_id HAVING count(DISTINCT word) = 3""".stripMargin
+
+  /** q128: phrase query over the positional postings index
+    * ([[Fts.phraseQuery]]): docs where "big order scan" occurs at
+    * consecutive positions, with occurrence counts. The oracle replays the
+    * same slot-shift algebra relationally (positions shifted by slot →
+    * a start position present in every slot is a phrase hit). */
+  private def q128(s: SparkSession, d: String): DataFrame =
+    Fts.phraseQuery(
+      Fts.positionalPostings(docs(s, d), "doc_id", "text"),
+      Seq("big", "order", "scan"))
+
+  private val q128Sql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS word,
+      |    generate_subscripts(string_split(text,' '),1) - 1 AS pos
+      |  FROM documents),
+      |slots(word, slot) AS (VALUES ('big',0),('order',1),('scan',2)),
+      |m AS (SELECT t.doc_id, s.slot, t.pos - s.slot AS start
+      |      FROM tok t JOIN slots s ON t.word = s.word),
+      |starts AS (SELECT doc_id, start FROM m GROUP BY doc_id, start
+      |           HAVING count(DISTINCT slot) = 3)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+      |FROM starts GROUP BY doc_id""".stripMargin
+
+  /** q129: BM25 top-10 over the FTS index ([[Fts.bm25Scores]], k1=1.2
+    * b=0.75, Lucene idf) — the full lexical ranker the AND/phrase operators
+    * build toward; the oracle recomputes every component (df, N, avgdl, tf,
+    * doc_len) from scratch and must match the fixed-order per-term double
+    * fold to 4 decimals. */
+  private def q129(s: SparkSession, d: String): DataFrame = {
+    val d0 = docs(s, d)
+    Fts.bm25Scores(
+        Fts.positionalPostings(d0, "doc_id", "text"),
+        Fts.docLengths(d0, "doc_id", "text"),
+        Seq("table", "join", "scan"))
+      .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  private val q129Sql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS word
+      |             FROM documents),
+      |p AS (SELECT word, doc_id, count(*) AS tf FROM tok
+      |      WHERE word IN ('join','scan','table') GROUP BY 1,2),
+      |dft AS (SELECT word, count(*) AS df FROM p GROUP BY 1),
+      |dl AS (SELECT doc_id, len(string_split(text,' ')) AS doc_len
+      |       FROM documents),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avgdl
+      |       FROM dl),
+      |sc AS (SELECT p.doc_id, p.word,
+      |    ln((st.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1)
+      |      * (p.tf * 2.2)
+      |      / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doc_len / st.avgdl)) AS score
+      |  FROM p JOIN dft USING (word) JOIN dl USING (doc_id), st)
+      |SELECT doc_id,
+      |  round(coalesce(sum(CASE WHEN word='join' THEN score END), 0)
+      |      + coalesce(sum(CASE WHEN word='scan' THEN score END), 0)
+      |      + coalesce(sum(CASE WHEN word='table' THEN score END), 0), 4) AS bm25
+      |FROM sc GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q30_token_stats", q30, Some(q30Sql), bench = true),
     QueryDef("q31_word_freq", q31, Some(q31Sql), bench = true),
@@ -242,8 +319,13 @@ object TextQueries {
     QueryDef("q34_jaccard_dupes", q34, Some(dupPairsSql)),
     QueryDef("q35_minhash_dupes", q35, Some(dupPairsSql), bench = true),
     QueryDef("q89_dup_components", q89, Some(q89Sql)),
+    // xxhash64 scale path — rows-only in the driver gate; value-pinned by
+    // its portable-hash sibling q69_simhash_portable (oracle-green)
     QueryDef("q36_simhash_dupes", q36, None),
     QueryDef("q65_tfidf", q65, Some(q65Sql)),
     QueryDef("q69_simhash_portable", q69, Some(q69Sql)),
-    QueryDef("q74_bpe_tokens", q74, Some(q74Sql)))
+    QueryDef("q74_bpe_tokens", q74, Some(q74Sql)),
+    QueryDef("q127_fts_and", q127, Some(q127Sql)),
+    QueryDef("q128_fts_phrase", q128, Some(q128Sql)),
+    QueryDef("q129_bm25_rank", q129, Some(q129Sql)))
 }

@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.{BpeTrainer, Fts}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FTS query surface + BPE trainer invariants. Value exactness vs DuckDB is
+  * the oracle gate's job (q126–q130); these pin the edge-case semantics the
+  * oracle's fixed corpus can't reach. */
+class FtsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def postingsOf(rows: Seq[(Long, String)]) =
+    Fts.positionalPostings(rows.toDF("doc_id", "text"), "doc_id", "text")
+
+  test("conjunctive query returns only docs containing every term") {
+    val p = postingsOf(Seq(
+      (1L, "join scan table join"),
+      (2L, "join scan"),
+      (3L, "table table")))
+    val got = Fts.conjunctiveQuery(p, Seq("join", "table"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc 1 only: total_tf = 2 joins + 1 table = 3
+    assert(got == Map(1L -> 3L))
+    // duplicate query terms must not change containment semantics
+    assert(Fts.conjunctiveQuery(p, Seq("join", "join", "table")).count() == 1)
+  }
+
+  test("phrase query matches consecutive positions, counts occurrences, handles repeats") {
+    val p = postingsOf(Seq(
+      (1L, "big order scan now big order scan"), // phrase twice
+      (2L, "big scan order"),                    // words present, wrong order
+      (3L, "order big order big order")))        // for the repeat-word phrase
+    val hits = Fts.phraseQuery(p, Seq("big", "order", "scan"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hits == Map(1L -> 2L))
+    // a phrase with a REPEATED word: "order big order" occurs twice in doc 3
+    // (positions 0 and 2 — occurrences may overlap, both are real)
+    val rep = Fts.phraseQuery(p, Seq("order", "big", "order"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rep == Map(3L -> 2L))
+    // single-word phrase degenerates to term occurrence count
+    val one = Fts.phraseQuery(p, Seq("big"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(one == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("index-backed lexical score equals the direct text-scan score") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val terms = Seq("table", "join", "scan")
+    val fromIndex = Fts.lexicalScores(
+      Fts.positionalPostings(docs, "doc_id", "text"),
+      Fts.docLengths(docs, "doc_id", "text"), terms)
+    val ws = graft.functions.TextFunctions.words(col("text"))
+    val direct = docs.select(col("doc_id"),
+      (size(filter(ws, w => w.isin(terms.map(lit): _*))).cast("double") /
+        size(ws)).as("lex"))
+    assert(fromIndex.count() == direct.count())
+    assert(fromIndex.join(direct.withColumnRenamed("lex", "lex2"), "doc_id")
+      .filter(col("lex") =!= col("lex2")).count() == 0)
+  }
+
+  test("bm25: docs with no query term are absent; scores positive; rarer term outranks") {
+    val p = postingsOf(Seq(
+      (1L, "alpha beta beta beta"),
+      (2L, "beta beta beta beta"),
+      (3L, "gamma gamma gamma gamma")))
+    val dl = Fts.docLengths(Seq(
+      (1L, "alpha beta beta beta"),
+      (2L, "beta beta beta beta"),
+      (3L, "gamma gamma gamma gamma")).toDF("doc_id", "text"), "doc_id", "text")
+    val got = Fts.bm25Scores(p, dl, Seq("alpha", "beta"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got.values.forall(_ > 0))
+    // alpha (df=1) is rarer than beta (df=2): doc 1 carries it and wins
+    assert(got(1L) > got(2L))
+  }
+
+  test("bpe: trained merges and encoding match a hand-computed corpus") {
+    val docs = Seq((1L, "aab aab ab"), (2L, "aab b")).toDF("doc_id", "text")
+    // pair counts: (a,a)=3 (aab x3), (a,b)=4 (aab x3 + ab x1) → merge 1 = ab
+    val m = BpeTrainer.trainMerges(docs, "text", 2)
+    assert(m.head.merged == "ab" && m.head.n == 4)
+    // after ab: aab=[a,ab] x3, ab=[ab], b=[b] → pairs (a,ab)=3 → merge 2 = aab
+    assert(m(1).merged == "aab" && m(1).n == 3)
+    val enc = BpeTrainer.encode(docs, "text", m)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(enc == Map("aab" -> 3L, "ab" -> 1L, "b" -> 1L))
+  }
+}

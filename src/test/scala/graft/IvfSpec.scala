@@ -68,6 +68,16 @@ class IvfSpec extends AnyFunSuite {
     assert(dirs.nonEmpty && dirs.subsetOf((0 until 8).map(i => s"list_id=$i").toSet))
   }
 
+  test("centroid update collects one mean-vector row per list, not nLists x dim") {
+    val cents = Similarity.ivfCentroids(e, "embedding", "vec_id", 8, 1)
+    val means = Similarity.listMeans(e, "embedding", cents)
+    val rows = means.collect()
+    assert(rows.length <= 8, s"trainer collect must be list-bounded, got ${rows.length} rows")
+    assert(rows.map(_.getInt(0)).distinct.length == rows.length)
+    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    assert(rows.forall(_.getAs[org.apache.spark.ml.linalg.Vector](1).size == dim))
+  }
+
   test("assignment covers every vector with a valid list id") {
     val cents = Similarity.ivfCentroids(e, "embedding", "vec_id", 8, 1)
     val assigned = Similarity.ivfAssign(e, "embedding", cents)

@@ -70,6 +70,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.filter(col("pred") =!= col("expected")).count() == 0)
   }
 
+  test("url ingest: throttled batched fetch -> html extract -> partitioned lake") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fetch").toString
+    val fixtures = Map(
+      "http://x/1" -> "<html><h1>Game One</h1><p>phillies win</p><p>big night</p></html>",
+      "http://x/2" -> "<html><h1>Game Two</h1><p>pitchers duel</p></html>")
+    val urls = Seq(
+      ("http://x/1", "2024-04-01 09:00:00"),
+      ("http://x/2", "2024-04-02 09:00:00"),
+      ("http://x/missing", "2024-04-02 10:00:00"))
+      .toDF("url", "scraped_at")
+      .withColumn("scraped_at", to_timestamp(col("scraped_at")))
+    val metrics = PipelineJobs.ingestFromUrls(
+      urls, new graft.sources.FixtureFetcher(fixtures), s"$dir/lake")
+    // the failed fetch is skipped; the two fixture pages land partitioned
+    assert(metrics("rows_written") == 2L)
+    assert(new java.io.File(s"$dir/lake/ingest_date=2024-04-01").exists())
+    val lake = spark.read.parquet(s"$dir/lake")
+    val a1 = lake.filter(col("url") === "http://x/1").head
+    assert(a1.getAs[String]("title") == "Game One")
+    assert(a1.getAs[String]("body") == "phillies win big night")
+    // per-partition throttle: 3 urls, batch 1, one partition, 150 ms between
+    // batches → at least two sleeps (sleep guarantees a minimum, so this
+    // lower bound is timing-stable)
+    val t0 = System.nanoTime()
+    graft.sources.FetchOps.fetchAll(urls.repartition(1), "url", "raw",
+      new graft.sources.FixtureFetcher(fixtures),
+      batchSize = 1, throttleMillis = 150).count()
+    assert((System.nanoTime() - t0) / 1e6 >= 300,
+      "expected >= 2 inter-batch throttle sleeps")
+  }
+
   test("pipeline jobs: ingest -> index -> upsert -> rag -> podcast") {
     import spark.implicits._
     val dir = Files.createTempDirectory("jobs").toString

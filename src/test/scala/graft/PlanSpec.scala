@@ -137,4 +137,42 @@ class PlanSpec extends AnyFunSuite {
           s"${q.name} plans a CartesianProduct")
       }
   }
+
+  test("every collect() in main is enumerated and bounded (no data-sized collects)") {
+    // Driver-side collect is only legitimate when the result is BOUNDED by
+    // construction — a broadcast-dim-sized table, a merge rule, a sketch
+    // per group. This whitelist documents the bound for every call site;
+    // adding a .collect() anywhere else fails here and forces the same
+    // review. (.head/.first/limit-k reads are 1-row/k-row by construction
+    // and are not in scope.)
+    val bounded: Map[String, (Int, String)] = Map(
+      "operators/Similarity.scala" ->
+        (2, "IVF trainer: nLists-capped centroid init + one mean-vector row per list"),
+      "operators/BpeTrainer.scala" ->
+        (1, "BPE argmax merge rule: limit(1), one row per round"),
+      "operators/Lakehouse.scala" ->
+        (1, "CDC bucket merge: <= nBuckets affected-bucket ids"),
+      "operators/CurationQueries.scala" ->
+        (1, "q109 CMS: one serialized sketch per language"),
+      "llm/RagPipeline.scala" ->
+        (1, "RAG context assembly: top-k rows, k<=3 by construction"))
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val collectRe = "\\.collect\\(\\)|\\.collectAsList\\(\\)|\\.toLocalIterator".r
+    val found = scala.collection.mutable.Map.empty[String, Int]
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (p.toString.endsWith(".scala")) {
+        val rel = root.relativize(p).toString
+        val n = collectRe.findAllIn(
+          java.nio.file.Files.readString(p)).size
+        if (n > 0) found(rel) = n
+      }
+    }
+    val unexpected = found.filterNot { case (f, n) =>
+      bounded.get(f).exists(_._1 == n)
+    }
+    assert(unexpected.isEmpty,
+      s"collect() call sites not in the bounded whitelist (add only with a documented bound): $unexpected")
+    val stale = bounded.keys.filterNot(found.contains)
+    assert(stale.isEmpty, s"whitelist entries with no collect anymore: $stale")
+  }
 }
