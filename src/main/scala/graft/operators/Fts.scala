@@ -116,6 +116,41 @@ object Fts {
       .select(col("doc_id"), total.as("bm25"))
   }
 
+  /** Deployed-index form (the IVF-index pattern, [[Similarity.writeIvfIndex]]):
+    * persist the postings partitioned by a hash bucket of the term, so a
+    * query's `word IN (...)` reads only its terms' bucket directories —
+    * partition pruning at the file index, before any data is read. With B
+    * buckets a Q-term query scans ≤ Q/B of the index regardless of corpus
+    * size; bucket count trades directory fan-out against pruning ratio. */
+  def writePostingsIndex(postings: DataFrame, path: String,
+      nBuckets: Int = 64): Unit =
+    postings
+      .withColumn("wb", pmod(xxhash64(col("word")), lit(nBuckets)))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("wb").parquet(path)
+
+  /** Read back only the buckets the query terms hash into. The returned
+    * frame still carries every posting in those buckets; the word filter
+    * itself is pushed to the scan as a data filter on top of the partition
+    * prune, so every Fts query operator composes unchanged. */
+  def loadPostings(spark: org.apache.spark.sql.SparkSession, path: String,
+      terms: Seq[String], nBuckets: Int = 64): DataFrame = {
+    // bucket ids computed driver-side with the SAME hash the write used
+    // (functions.xxhash64 == XxHash64 expression, seed 42) — no job, no
+    // collect, just Q literal evaluations
+    val buckets = terms.distinct.map { t =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t),
+          org.apache.spark.sql.types.StringType)), 42L)
+        .eval(null).asInstanceOf[Long]
+      ((h % nBuckets) + nBuckets) % nBuckets
+    }.distinct
+    spark.read.parquet(path)
+      .filter(col("wb").isInCollection(buckets))
+      .drop("wb")
+  }
+
   /** Index-backed lexical score: sum of the query terms' tf over the doc
     * length — exactly `|tokens ∈ terms| / |tokens|`, but computed from the
     * postings + doc-length tables instead of re-scanning text (the 100 TB

@@ -78,6 +78,31 @@ class FtsSpec extends AnyFunSuite {
     assert(got(1L) > got(2L))
   }
 
+  test("persisted postings index prunes term buckets and answers queries unchanged") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val postings = Fts.positionalPostings(docs, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("fts_idx").toString
+    Fts.writePostingsIndex(postings, dir, nBuckets = 16)
+    val terms = Seq("table", "join", "scan")
+    val loaded = Fts.loadPostings(spark, dir, terms, nBuckets = 16)
+    // the bucket filter must land as a PARTITION filter (pruned at the
+    // file index, like the IVF index), not a per-row predicate
+    val planStr = Fts.conjunctiveQuery(loaded, terms)
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("wb"),
+      s"expected wb partition pruning in plan:\n$planStr")
+    // and the pruned index answers exactly like inline postings
+    val fromIndex = Fts.conjunctiveQuery(loaded, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = Fts.conjunctiveQuery(postings, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromIndex == inline && fromIndex.nonEmpty)
+    // on-disk layout: only bucket directories
+    val dirs = new java.io.File(dir).listFiles.filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("wb=")).toSet
+    assert(dirs.nonEmpty && dirs.size <= 16)
+  }
+
   test("bpe: trained merges and encoding match a hand-computed corpus") {
     val docs = Seq((1L, "aab aab ab"), (2L, "aab b")).toDF("doc_id", "text")
     // pair counts: (a,a)=3 (aab x3), (a,b)=4 (aab x3 + ab x1) → merge 1 = ab
@@ -88,5 +113,14 @@ class FtsSpec extends AnyFunSuite {
     val enc = BpeTrainer.encode(docs, "text", m)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(enc == Map("aab" -> 3L, "ab" -> 1L, "b" -> 1L))
+  }
+
+  test("bpe: a corpus with no adjacent pairs trains zero merges, encodes unchanged") {
+    val docs = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    val m = BpeTrainer.trainMerges(docs, "text", 3)
+    assert(m.isEmpty)
+    val enc = BpeTrainer.encode(docs, "text", m)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(enc == Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
   }
 }
