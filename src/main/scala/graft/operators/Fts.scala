@@ -123,11 +123,79 @@ object Fts {
     * buckets a Q-term query scans ≤ Q/B of the index regardless of corpus
     * size; bucket count trades directory fan-out against pruning ratio. */
   def writePostingsIndex(postings: DataFrame, path: String,
-      nBuckets: Int = 64): Unit =
-    postings
+      nBuckets: Int = 64, nDocBuckets: Int = 64): Unit = {
+    val bucketed = postings
       .withColumn("wb", pmod(xxhash64(col("word")), lit(nBuckets)))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    bucketed.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("wb").parquet(path)
+    // doc-bucketed side table (doc_id → occupied term buckets): what lets
+    // an incremental upsert find a re-crawled doc's OLD buckets without
+    // scanning the index (see upsertPostingsIndex)
+    bucketed.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("wb"))).as("wbs"))
+      .withColumn("db", pmod(xxhash64(col("doc_id")), lit(nDocBuckets)))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("db").parquet(path + "_docs")
+  }
+
+  /** Incremental index maintenance — fold a (re-)crawled document batch
+    * into a persisted postings index (the [[Lakehouse.scd2MergeIntoBuckets]]
+    * pattern applied to postings). The subtlety term-partitioning creates:
+    * a re-crawled doc's OLD postings live in the buckets of its OLD terms,
+    * which the new text doesn't reveal — so the index keeps a doc-bucketed
+    * side table (`<path>_docs`: doc_id → the wb buckets its postings
+    * occupy). Per batch: old buckets come from a doc-bucket-pruned side
+    * read, affected = old ∪ new term buckets, stale rows anti-join away
+    * inside only those buckets, and both tables rewrite only touched
+    * partitions (dynamic overwrite). Per-batch cost scales with the
+    * batch's term/doc spread, never the index size. Drive it from
+    * `foreachBatch` for a streaming crawl feed. */
+  def upsertPostingsIndex(newDocs: DataFrame, path: String, docIdCol: String,
+      textCol: String, nBuckets: Int = 64, nDocBuckets: Int = 64): Unit = {
+    val spark = newDocs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batch = positionalPostings(newDocs, docIdCol, textCol)
+      .withColumn("wb", pmod(xxhash64(col("word")), lit(nBuckets)))
+    val batchIds = batch.select(col("doc_id")).distinct()
+    val batchMeta = batch.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("wb"))).as("wbs"))
+      .withColumn("db", pmod(xxhash64(col("doc_id")), lit(nDocBuckets)))
+    val docsPath = path + "_docs"
+    if (fs.exists(new org.apache.hadoop.fs.Path(path))) {
+      // both collects are bucket-id sets, ≤ nDocBuckets / ≤ nBuckets values
+      val dbs = batchMeta.select(col("db")).distinct()
+        .collect().map(_.get(0)).toSeq
+      val oldMeta = spark.read.parquet(docsPath)
+        .filter(col("db").isInCollection(dbs))
+        .join(batchIds, Seq("doc_id"), "left_semi")
+      val affected = oldMeta.select(explode(col("wbs")).as("wb"))
+        .union(batch.select(col("wb"))).distinct()
+        .collect().map(_.get(0)).toSeq
+      val merged = spark.read.parquet(path)
+        .filter(col("wb").isInCollection(affected))
+        .join(batchIds, Seq("doc_id"), "left_anti") // drop re-crawled docs
+        .unionByName(batch)
+      // materialize before overwriting the path the plan lazily reads
+      merged.localCheckpoint(true)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("wb").parquet(path)
+      val docsMerged = spark.read.parquet(docsPath)
+        .filter(col("db").isInCollection(dbs))
+        .join(batchIds, Seq("doc_id"), "left_anti")
+        .unionByName(batchMeta)
+      docsMerged.localCheckpoint(true)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("db").parquet(docsPath)
+    } else {
+      batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("wb").parquet(path)
+      batchMeta.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("db").parquet(docsPath)
+    }
+  }
 
   /** Read back only the buckets the query terms hash into. The returned
     * frame still carries every posting in those buckets; the word filter

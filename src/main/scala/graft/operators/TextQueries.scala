@@ -311,6 +311,97 @@ object TextQueries {
       |FROM sc GROUP BY doc_id
       |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
 
+  /** q131: Misra-Gries heavy hitters — the k-counter one-pass sketch
+    * ([[graft.functions.HeavyHitters]]) vs exact word counts, as a q44/q109
+    * contract: every word with true count > n/(k+1) must be present, no
+    * estimate exceeds truth, every undercount is ≤ n/(k+1). `n_heavy` is
+    * exact on both engines — a real value check, not just the booleans.
+    * The sketch aggregates with O(k) state per partial; the exact counts
+    * here exist only to judge it. */
+  private def q131(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    val mg = udaf(graft.functions.HeavyHitters(k))
+    val toks = docs(s, d).select(explode(words(col("text"))).as("w"))
+    val sketch = toks.agg(mg(col("w")).as("hh"))
+      .select(explode(col("hh")).as(Seq("w", "est"))) // ≤ k rows
+    val exact = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val tot = exact.agg(sum(col("cnt")).cast("long").as("n_tokens"))
+    exact.join(broadcast(sketch), Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("thr", expr(s"n_tokens div ${k + 1}"))
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        max(col("n_tokens")).as("n_tokens"),
+        sum(when(col("cnt") > col("thr"), 1)).cast("long").as("n_heavy"),
+        (coalesce(sum(when(col("cnt") > col("thr") && col("est").isNull, 1)),
+          lit(0)) === 0).as("all_heavy_present"),
+        (coalesce(sum(when(col("est") > col("cnt"), 1)), lit(0)) === 0)
+          .as("never_overestimates"),
+        (coalesce(sum(when(col("est").isNotNull &&
+          col("cnt") - col("est") > col("thr"), 1)), lit(0)) === 0)
+          .as("within_bound"))
+  }
+
+  private val q131Sql =
+    """WITH t AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+      |c AS (SELECT w, count(*) AS cnt FROM t GROUP BY w),
+      |s AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens FROM c)
+      |SELECT count(*) AS n_distinct, s.n_tokens,
+      |  CAST(sum(CASE WHEN cnt > s.n_tokens // 65 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_heavy,
+      |  TRUE AS all_heavy_present, TRUE AS never_overestimates,
+      |  TRUE AS within_bound
+      |FROM c, s GROUP BY s.n_tokens""".stripMargin
+
+  /** q132: FTS index upsert ROUND TRIP (q71's sink-roundtrip pattern for
+    * the postings index): bulk-build the term-bucketed index from a v1
+    * crawl (docs with id%5 ≠ 2), then upsert a batch that both ADDS the
+    * id%5 == 2 docs and RE-CRAWLS the id%5 == 1 docs with revised text,
+    * then answer from the pruned index ([[Fts.loadPostings]]). The oracle
+    * computes the same postings directly from the FINAL corpus — proving
+    * stale postings died in their old buckets and the pruned read is
+    * complete. Positions are comma-joined for a portable compare. */
+  private def q132(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("table", "join", "scan")
+    val all = docs(s, d)
+    val v1 = all.filter(col("doc_id") % 5 =!= 2)
+    val batch = all.filter(col("doc_id") % 5 === 2)
+      .unionByName(all.filter(col("doc_id") % 5 === 1)
+        .withColumn("text", concat(col("text"), lit(" rev2 table"))))
+    val base = java.nio.file.Files.createTempDirectory("fts_rt")
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val f = p.toFile
+      if (f.isDirectory) f.listFiles().foreach(c => rmTree(c.toPath))
+      f.delete()
+    }
+    // the index must outlive this method (the returned frame reads it
+    // lazily) — reclaim at JVM exit, like q111's dim tree
+    sys.addShutdownHook(rmTree(base))
+    val idx = base.resolve("postings").toString
+    Fts.writePostingsIndex(
+      Fts.positionalPostings(v1, "doc_id", "text"), idx, nBuckets = 16)
+    Fts.upsertPostingsIndex(batch, idx, "doc_id", "text", nBuckets = 16)
+    Fts.loadPostings(s, idx, terms, nBuckets = 16)
+      .filter(col("word").isin(terms: _*))
+      .select(col("word"), col("doc_id"), col("tf"),
+        array_join(transform(col("positions"), p => p.cast("string")), ",")
+          .as("positions"))
+  }
+
+  private val q132Sql =
+    """WITH final AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 1 THEN text || ' rev2 table' ELSE text END
+      |      AS text
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS word,
+      |    generate_subscripts(string_split(text,' '),1) - 1 AS pos
+      |  FROM final)
+      |SELECT word, doc_id, count(*) AS tf,
+      |  array_to_string(list_sort(list(pos)), ',') AS positions
+      |FROM tok WHERE word IN ('table','join','scan')
+      |GROUP BY word, doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q30_token_stats", q30, Some(q30Sql), bench = true),
     QueryDef("q31_word_freq", q31, Some(q31Sql), bench = true),
@@ -327,5 +418,7 @@ object TextQueries {
     QueryDef("q74_bpe_tokens", q74, Some(q74Sql)),
     QueryDef("q127_fts_and", q127, Some(q127Sql)),
     QueryDef("q128_fts_phrase", q128, Some(q128Sql)),
-    QueryDef("q129_bm25_rank", q129, Some(q129Sql)))
+    QueryDef("q129_bm25_rank", q129, Some(q129Sql)),
+    QueryDef("q131_heavy_hitters", q131, Some(q131Sql)),
+    QueryDef("q132_fts_upsert", q132, Some(q132Sql)))
 }

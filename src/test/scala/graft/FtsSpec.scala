@@ -103,6 +103,43 @@ class FtsSpec extends AnyFunSuite {
     assert(dirs.nonEmpty && dirs.size <= 16)
   }
 
+  test("postings upsert rewrites only touched buckets; re-crawled docs replaced") {
+    val dir = java.nio.file.Files.createTempDirectory("fts_upsert").toString
+    val v1 = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    Fts.writePostingsIndex(Fts.positionalPostings(v1, "doc_id", "text"),
+      dir, nBuckets = 8)
+    val before = new java.io.File(dir).listFiles.filter(_.isDirectory)
+      .flatMap(d => d.listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified())).toMap
+    // doc 2 re-crawled with new text; doc 3 is new
+    val batch = Seq((2L, "alpha epsilon"), (3L, "zeta beta")).toDF("doc_id", "text")
+    Fts.upsertPostingsIndex(batch, dir, "doc_id", "text", nBuckets = 8)
+    val got = spark.read.parquet(dir)
+      .select(col("word"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val expected = Fts.positionalPostings(
+      v1.filter(col("doc_id") =!= 2L).unionByName(batch), "doc_id", "text")
+      .select(col("word"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected)
+    // gamma/delta's old postings for doc 2 are gone
+    assert(!got.exists { case (w, d) => d == 2L && (w == "gamma" || w == "delta") })
+    // buckets the upsert never touched (not holding the batch's NEW words
+    // nor the re-crawled doc's OLD words) keep their original files
+    val touchedWords = Seq("alpha", "epsilon", "zeta", "beta", // batch
+      "gamma", "delta") // doc 2's old terms
+    val touched = touchedWords.toDF("word")
+      .select(pmod(xxhash64(col("word")), lit(8)).as("wb"))
+      .distinct().collect().map(r => s"wb=${r.getLong(0)}").toSet
+    val untouchedOld = before.filterNot { case (p, _) =>
+      touched.exists(p.contains)
+    }
+    untouchedOld.foreach { case (p, ts) =>
+      val f = new java.io.File(p)
+      assert(f.exists && f.lastModified() == ts, s"untouched bucket rewritten: $p")
+    }
+  }
+
   test("bpe: trained merges and encoding match a hand-computed corpus") {
     val docs = Seq((1L, "aab aab ab"), (2L, "aab b")).toDF("doc_id", "text")
     // pair counts: (a,a)=3 (aab x3), (a,b)=4 (aab x3 + ab x1) → merge 1 = ab

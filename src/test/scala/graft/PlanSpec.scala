@@ -128,7 +128,7 @@ class PlanSpec extends AnyFunSuite {
       // streaming drains + sink round trips can't be planned statically here
       "q67_stream_sessions", "q76_stream_hourly", "q88_stream_attribution",
       "q98_stream_session_window", "q71_lake_roundtrip", "q43_rag_retrieve",
-      "q73_rag_portable")
+      "q73_rag_portable", "q132_fts_upsert")
     SparkEntry.defs
       .filterNot(q => bruteBaselines(q.name) || streamingOrSideEffect(q.name))
       .foreach { q =>
@@ -152,6 +152,8 @@ class PlanSpec extends AnyFunSuite {
         (1, "BPE argmax merge rule: limit(1), one row per round"),
       "operators/Lakehouse.scala" ->
         (1, "CDC bucket merge: <= nBuckets affected-bucket ids"),
+      "operators/Fts.scala" ->
+        (2, "postings upsert: <= nDocBuckets doc-bucket ids + <= nBuckets term-bucket ids"),
       "operators/CurationQueries.scala" ->
         (1, "q109 CMS: one serialized sketch per language"),
       "llm/RagPipeline.scala" ->

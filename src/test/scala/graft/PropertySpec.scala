@@ -173,6 +173,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("misra-gries contract holds on random streams under random merge splits") {
+    val k = 8
+    val mg = graft.functions.HeavyHitters(k)
+    // skewed streams: a few hot items + a alphabetic long tail
+    val itemGen: Gen[String] = Gen.frequency(
+      6 -> Gen.oneOf("hot1", "hot2", "hot3"),
+      4 -> Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString))
+    val streamGen: Gen[List[String]] = Gen.listOfN(400, itemGen)
+    samples(streamGen, 20).zipWithIndex.foreach { case (stream, i) =>
+      // random split into 1..5 chunks, each reduced independently, merged
+      // pairwise — exercising exactly Spark's partial-aggregation path
+      val nChunks = 1 + (i % 5)
+      val chunks = stream.grouped(math.max(1, stream.size / nChunks)).toSeq
+      val sketch = chunks
+        .map(_.foldLeft(mg.zero)(mg.reduce))
+        .reduce(mg.merge)
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = stream.size.toLong
+      val thr = n / (k + 1)
+      assert(sketch.size <= k)
+      exact.foreach { case (w, cnt) =>
+        val est = sketch.getOrElse(w, 0L)
+        assert(est <= cnt, s"overestimate for $w: $est > $cnt")
+        assert(cnt - est <= thr, s"undercount beyond n/(k+1) for $w: $cnt - $est > $thr")
+        if (cnt > thr) assert(sketch.contains(w), s"heavy item $w missing")
+      }
+    }
+  }
+
   test("stub tts output length bounded and deterministic") {
     val tts = new StubTts
     samples(textGen, 30).foreach { t =>
