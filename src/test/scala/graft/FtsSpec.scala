@@ -140,6 +140,48 @@ class FtsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming crawl feed maintains the postings index via foreachBatch") {
+    import org.apache.spark.sql.Row
+    val base = java.nio.file.Files.createTempDirectory("fts_stream")
+    val srcDir = base.resolve("in"); java.nio.file.Files.createDirectories(srcDir)
+    val idx = base.resolve("idx").toString
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    // three crawl slices arriving as separate files; slice 2 re-crawls
+    // slice 0's docs with revised text
+    val slices = Seq(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 === 1),
+      docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("text", concat(col("text"), lit(" recrawl"))))
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val staging = base.resolve(s"stage$i")
+      df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = staging.toFile.listFiles
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part, srcDir.resolve(s"slice$i.parquet"))
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    val q = stream.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        Fts.upsertPostingsIndex(batch, idx, "doc_id", "text", nBuckets = 8))
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    // drained index == one-shot batch build over the FINAL corpus
+    val finalCorpus = docs.filter(col("doc_id") % 3 === 1)
+      .unionByName(docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("text", concat(col("text"), lit(" recrawl"))))
+    val expected = Fts.positionalPostings(finalCorpus, "doc_id", "text")
+      .select(col("word"), col("doc_id"), col("tf")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = spark.read.parquet(idx)
+      .select(col("word"), col("doc_id"), col("tf")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
   test("bpe: trained merges and encoding match a hand-computed corpus") {
     val docs = Seq((1L, "aab aab ab"), (2L, "aab b")).toDF("doc_id", "text")
     // pair counts: (a,a)=3 (aab x3), (a,b)=4 (aab x3 + ab x1) → merge 1 = ab

@@ -138,6 +138,23 @@ class PlanSpec extends AnyFunSuite {
       }
   }
 
+  test("fts/sketch queries keep their scale shapes") {
+    // BM25: stats + df broadcast; final ranking is TakeOrderedAndProject
+    val p129 = plan("q129_bm25_rank")
+    assert(p129.contains("TakeOrderedAndProject"), s"q129:\n$p129")
+    assert(p129.contains("BroadcastExchange"), s"q129:\n$p129")
+    // phrase: the slots dim broadcasts; no cartesian anywhere
+    val p128 = plan("q128_fts_phrase")
+    assert(p128.contains("BroadcastExchange"), s"q128:\n$p128")
+    // heavy hitters: the typed Aggregator must run as partial+final
+    // object aggregation (executor-side k-counter partials), never a
+    // single-partition collapse before aggregating
+    val p131 = plan("q131_heavy_hitters")
+    assert(p131.contains("ObjectHashAggregate") ||
+      p131.contains("SortAggregate"), s"q131:\n$p131")
+    assert(p131.contains("partial"), s"q131 lacks partial aggregation:\n$p131")
+  }
+
   test("every collect() in main is enumerated and bounded (no data-sized collects)") {
     // Driver-side collect is only legitimate when the result is BOUNDED by
     // construction — a broadcast-dim-sized table, a merge rule, a sketch
