@@ -31,6 +31,10 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val qs = SparkEntry.benchQueries
       .filter(q => only.forall(_.contains(q.name)))
+    // a set-but-empty or typo'd filter silently matching nothing would
+    // emit an empty bench that reads as "nothing regressed"
+    require(qs.nonEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY matched no bench queries: ${only.get}")
     // warm-up: JIT + codegen cache + file listing (failures surface in the
     // timed pass — don't double-report)
     qs.foreach(q => try exec(q) catch { case _: Throwable => () })

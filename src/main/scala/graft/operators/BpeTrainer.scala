@@ -57,20 +57,28 @@ object BpeTrainer {
     try {
       var cur = words.select(col("s"), col("cnt"))
       val merges = Seq.newBuilder[MergeRule]
-      for (step <- 1 to rounds) {
+      var step = 1
+      var dry = false
+      while (step <= rounds && !dry) {
         // the only collect: the argmax pair — one row, the merge rule itself
         val top = cur.select(explode(pairsOf(col("s"))).as("p"), col("cnt"))
           .groupBy(col("p.l").as("l"), col("p.r").as("r"))
           .agg(sum(col("cnt")).cast("long").as("n"))
           .orderBy(col("n").desc, col("l"), col("r"))
           .limit(1).collect()
-        if (top.nonEmpty) {
+        if (top.isEmpty) dry = true // no pairs left: later rounds can't differ
+        else {
           val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
           merges += MergeRule(step, l, r, l + r, n)
           cur = cur.withColumn("s",
             replace(col("s"), lit(SEP + l + SEP + SEP + r + SEP),
               lit(SEP + l + r + SEP)))
+          // the replace chain grows one node per round; cut the lineage
+          // periodically so deep trainings neither replay every prior
+          // round's replace per job nor build a rounds-deep plan
+          if (step % 50 == 0) cur = cur.localCheckpoint(true)
         }
+        step += 1
       }
       merges.result()
     } finally words.unpersist()

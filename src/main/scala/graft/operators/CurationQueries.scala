@@ -594,9 +594,14 @@ object CurationQueries {
       val prev = if (i == 1) "s0" else s"s${i - 1}"
       val merge =
         if (i < rounds || emitFinalSeg)
+          // LEFT JOIN ON TRUE, not a cross join: when a round finds no
+          // pairs m_i is EMPTY and a cross join would annihilate the
+          // corpus — the trainer skips empty rounds, so the oracle must
+          // pass the segmentation through unchanged
           s""",
-             |s$i AS (SELECT replace(s, '|'||m$i.l||'||'||m$i.r||'|',
-             |  '|'||m$i.l||m$i.r||'|') AS s, cnt FROM $prev, m$i)""".stripMargin
+             |s$i AS (SELECT CASE WHEN m.l IS NULL THEN s
+             |  ELSE replace(s, '|'||m.l||'||'||m.r||'|', '|'||m.l||m.r||'|')
+             |  END AS s, cnt FROM $prev LEFT JOIN m$i m ON TRUE)""".stripMargin
         else ""
       s"""g$i AS (
          |  SELECT cs[i] AS l, cs[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS n

@@ -126,16 +126,19 @@ object Fts {
       nBuckets: Int = 64, nDocBuckets: Int = 64): Unit = {
     val bucketed = postings
       .withColumn("wb", pmod(xxhash64(col("word")), lit(nBuckets)))
-    bucketed.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("wb").parquet(path)
-    // doc-bucketed side table (doc_id → occupied term buckets): what lets
-    // an incremental upsert find a re-crawled doc's OLD buckets without
-    // scanning the index (see upsertPostingsIndex)
-    bucketed.groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("wb"))).as("wbs"))
-      .withColumn("db", pmod(xxhash64(col("doc_id")), lit(nDocBuckets)))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("db").parquet(path + "_docs")
+      .persist() // written below AND aggregated into the side table
+    try {
+      bucketed.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("wb").parquet(path)
+      // doc-bucketed side table (doc_id → occupied term buckets): what lets
+      // an incremental upsert find a re-crawled doc's OLD buckets without
+      // scanning the index (see upsertPostingsIndex)
+      bucketed.groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("wb"))).as("wbs"))
+        .withColumn("db", pmod(xxhash64(col("doc_id")), lit(nDocBuckets)))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("db").parquet(path + "_docs")
+    } finally bucketed.unpersist()
   }
 
   /** Incremental index maintenance — fold a (re-)crawled document batch
@@ -162,39 +165,56 @@ object Fts {
       .agg(sort_array(collect_set(col("wb"))).as("wbs"))
       .withColumn("db", pmod(xxhash64(col("doc_id")), lit(nDocBuckets)))
     val docsPath = path + "_docs"
-    if (fs.exists(new org.apache.hadoop.fs.Path(path))) {
-      // both collects are bucket-id sets, ≤ nDocBuckets / ≤ nBuckets values
-      val dbs = batchMeta.select(col("db")).distinct()
-        .collect().map(_.get(0)).toSeq
-      val oldMeta = spark.read.parquet(docsPath)
-        .filter(col("db").isInCollection(dbs))
-        .join(batchIds, Seq("doc_id"), "left_semi")
-      val affected = oldMeta.select(explode(col("wbs")).as("wb"))
-        .union(batch.select(col("wb"))).distinct()
-        .collect().map(_.get(0)).toSeq
-      val merged = spark.read.parquet(path)
-        .filter(col("wb").isInCollection(affected))
-        .join(batchIds, Seq("doc_id"), "left_anti") // drop re-crawled docs
-        .unionByName(batch)
-      // materialize before overwriting the path the plan lazily reads
-      merged.localCheckpoint(true)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("wb").parquet(path)
-      val docsMerged = spark.read.parquet(docsPath)
-        .filter(col("db").isInCollection(dbs))
-        .join(batchIds, Seq("doc_id"), "left_anti")
-        .unionByName(batchMeta)
-      docsMerged.localCheckpoint(true)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("db").parquet(docsPath)
-    } else {
-      batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("wb").parquet(path)
-      batchMeta.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("db").parquet(docsPath)
-    }
+    batch.persist() // reused by ids/meta/affected/merged below — built once
+    try {
+      if (fs.exists(new org.apache.hadoop.fs.Path(path))) {
+        // both collects are bucket-id sets, ≤ nDocBuckets / ≤ nBuckets values
+        val dbs = batchMeta.select(col("db")).distinct()
+          .collect().map(_.get(0)).toSeq
+        val oldMeta = spark.read.parquet(docsPath)
+          .filter(col("db").isInCollection(dbs))
+          .join(batchIds, Seq("doc_id"), "left_semi")
+        val affected = oldMeta.select(explode(col("wbs")).as("wb"))
+          .union(batch.select(col("wb"))).distinct()
+          .collect().map(_.get(0)).toSeq
+        val merged = spark.read.parquet(path)
+          .filter(col("wb").isInCollection(affected))
+          .join(batchIds, Seq("doc_id"), "left_anti") // drop re-crawled docs
+          .unionByName(batch)
+        // materialize BEFORE the deletes below: the plan reads the very
+        // partitions being replaced
+        val pinned = merged.localCheckpoint(true)
+        // dynamic overwrite only rewrites partitions PRESENT in the output;
+        // an affected bucket whose rows all died (a re-crawl that vacated
+        // its old term bucket) must be deleted explicitly or its stale
+        // postings would survive on disk
+        affected.foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(path, s"wb=$b"), true)
+        }
+        pinned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("wb").parquet(path)
+        // the side table second: if a failure lands between the two writes,
+        // re-running the SAME batch (foreachBatch retry semantics) still
+        // heals — old meta lists the doc's previous buckets, the retry's
+        // affected set covers previous ∪ current, and the doc-keyed
+        // anti-join + union is idempotent. Doc buckets can never empty
+        // (every removed id is re-inserted), so no delete pass is needed.
+        val docsMerged = spark.read.parquet(docsPath)
+          .filter(col("db").isInCollection(dbs))
+          .join(batchIds, Seq("doc_id"), "left_anti")
+          .unionByName(batchMeta)
+        docsMerged.localCheckpoint(true)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("db").parquet(docsPath)
+      } else {
+        batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("wb").parquet(path)
+        batchMeta.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("db").parquet(docsPath)
+      }
+    } finally batch.unpersist()
   }
 
   /** Read back only the buckets the query terms hash into. The returned

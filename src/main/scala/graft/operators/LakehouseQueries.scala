@@ -108,19 +108,14 @@ object LakehouseQueries {
   private def q111(s: SparkSession, d: String): DataFrame = {
     import scala.jdk.CollectionConverters._
     val ordDf = ord(s, d)
-    val base = java.nio.file.Files.createTempDirectory("scd2_cdc")
-    val srcDir = base.resolve("in")
-    java.nio.file.Files.createDirectories(srcDir)
-    val dimPath = base.resolve("dim").toString
-    def rmTree(p: java.nio.file.Path): Unit = {
-      val f = p.toFile
-      if (f.isDirectory) f.listFiles().foreach(c => rmTree(c.toPath))
-      f.delete()
-    }
     // the dim parquet must outlive this method (the returned frame reads it
     // lazily), so it can only be reclaimed at JVM exit — without this,
     // repeated verify/bench runs accumulate a dim tree per run in /tmp
-    sys.addShutdownHook(rmTree(base))
+    val base = graft.TempDirs.scratchAtExit("scd2_cdc")
+    val srcDir = base.resolve("in")
+    java.nio.file.Files.createDirectories(srcDir)
+    val dimPath = base.resolve("dim").toString
+    def rmTree(p: java.nio.file.Path): Unit = graft.TempDirs.rmTree(p)
     (0 to 2).foreach { i =>
       val staging = base.resolve(s"stage$i")
       ordDf.filter(pmod(col("o_orderkey"), lit(3)) === i)

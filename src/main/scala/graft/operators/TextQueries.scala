@@ -332,7 +332,8 @@ object TextQueries {
       .agg(
         count(lit(1)).as("n_distinct"),
         max(col("n_tokens")).as("n_tokens"),
-        sum(when(col("cnt") > col("thr"), 1)).cast("long").as("n_heavy"),
+        coalesce(sum(when(col("cnt") > col("thr"), 1)), lit(0))
+          .cast("long").as("n_heavy"),
         (coalesce(sum(when(col("cnt") > col("thr") && col("est").isNull, 1)),
           lit(0)) === 0).as("all_heavy_present"),
         (coalesce(sum(when(col("est") > col("cnt"), 1)), lit(0)) === 0)
@@ -368,15 +369,9 @@ object TextQueries {
     val batch = all.filter(col("doc_id") % 5 === 2)
       .unionByName(all.filter(col("doc_id") % 5 === 1)
         .withColumn("text", concat(col("text"), lit(" rev2 table"))))
-    val base = java.nio.file.Files.createTempDirectory("fts_rt")
-    def rmTree(p: java.nio.file.Path): Unit = {
-      val f = p.toFile
-      if (f.isDirectory) f.listFiles().foreach(c => rmTree(c.toPath))
-      f.delete()
-    }
     // the index must outlive this method (the returned frame reads it
-    // lazily) — reclaim at JVM exit, like q111's dim tree
-    sys.addShutdownHook(rmTree(base))
+    // lazily) — reclaimed at JVM exit, like q111's dim tree
+    val base = graft.TempDirs.scratchAtExit("fts_rt")
     val idx = base.resolve("postings").toString
     Fts.writePostingsIndex(
       Fts.positionalPostings(v1, "doc_id", "text"), idx, nBuckets = 16)

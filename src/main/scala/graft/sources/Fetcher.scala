@@ -46,6 +46,10 @@ object FetchOps {
         if (!first && throttleMillis > 0) Thread.sleep(throttleMillis)
         first = false
         val bodies = fetcher.fetchBatch(batch.map(_.getString(idx)))
+        // fail fast on a broken seam impl — lazyZip would silently DROP
+        // rows if the fetcher returned fewer bodies than URLs
+        require(bodies.size == batch.size,
+          s"Fetcher returned ${bodies.size} bodies for ${batch.size} urls")
         batch.lazyZip(bodies).map((r, b) => Row.fromSeq(r.toSeq :+ b.orNull))
       }
     }(Encoders.row(schema))

@@ -140,6 +140,26 @@ class FtsSpec extends AnyFunSuite {
     }
   }
 
+  test("re-crawl that vacates a term bucket leaves no stale postings behind") {
+    // doc 2's only word disappears on re-crawl; its old bucket ends up
+    // with ZERO rows, which dynamic partition overwrite alone would never
+    // rewrite — the explicit affected-partition delete must kill it
+    val dir = java.nio.file.Files.createTempDirectory("fts_vacate").toString
+    val v1 = Seq((1L, "alpha"), (2L, "gamma")).toDF("doc_id", "text")
+    Fts.writePostingsIndex(Fts.positionalPostings(v1, "doc_id", "text"),
+      dir, nBuckets = 64)
+    val wbOf = (w: String) => Seq(w).toDF("word")
+      .select(pmod(xxhash64(col("word")), lit(64))).head.getLong(0)
+    assume(wbOf("gamma") != wbOf("alpha"), "need distinct buckets for this test")
+    Fts.upsertPostingsIndex(Seq((2L, "alpha")).toDF("doc_id", "text"),
+      dir, "doc_id", "text", nBuckets = 64)
+    val left = spark.read.parquet(dir)
+      .select(col("word"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(left == Set(("alpha", 1L), ("alpha", 2L)), s"stale postings: $left")
+    assert(Fts.loadPostings(spark, dir, Seq("gamma"), nBuckets = 64).count() == 0)
+  }
+
   test("streaming crawl feed maintains the postings index via foreachBatch") {
     import org.apache.spark.sql.Row
     val base = java.nio.file.Files.createTempDirectory("fts_stream")
