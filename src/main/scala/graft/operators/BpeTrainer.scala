@@ -94,6 +94,23 @@ object BpeTrainer {
       .toDF("step", "pair_left", "pair_right", "merged", "n")
   }
 
+  /** Per-document BPE token count under a trained vocabulary, as a pure
+    * column expression (no shuffle, no UDF): each word re-segments through
+    * the merge chain, the document's count is the sum. What a packing /
+    * budgeting stage runs with (q133) — token counts at 100 TB are a
+    * narrow map over the corpus. */
+  def tokenCountCol(text: org.apache.spark.sql.Column,
+      merges: Seq[MergeRule]): org.apache.spark.sql.Column = {
+    def wordTokens(w: org.apache.spark.sql.Column) = {
+      val seg = merges.foldLeft(wrapChars(w)) { (s, m) =>
+        replace(s, lit(SEP + m.left + SEP + SEP + m.right + SEP),
+          lit(SEP + m.merged + SEP))
+      }
+      size(split(regexp_replace(seg, "^\\||\\|$", ""), "\\|\\|"))
+    }
+    aggregate(split(text, " "), lit(0), (acc, w) => acc + wordTokens(w))
+  }
+
   /** ENCODE with a trained vocabulary: apply the merge rules in training
     * order to the corpus and return corpus-wide token frequencies
     * (token, n). The merges chain as literal replaces on the distinct-word

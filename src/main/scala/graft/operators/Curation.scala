@@ -61,13 +61,22 @@ object Curation {
     * The window is PARTITIONED — parallel across sources, never a global
     * sort. */
   def packSequences(docs: DataFrame, capacity: Int, sourceCol: String = "source",
-      orderCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      orderCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    packByCounts(
+      docs.withColumn("toks", TextFunctions.tokenCount(col(textCol))),
+      capacity, sourceCol, orderCol)
+
+  /** The packer over an arbitrary precomputed length column — what a real
+    * training pipeline packs by (BPE token counts, q133) rather than raw
+    * whitespace counts. Same keyed window, no global sort. */
+  def packByCounts(docs: DataFrame, capacity: Int,
+      sourceCol: String = "source", orderCol: String = "doc_id",
+      countCol: String = "toks"): DataFrame = {
     val w = Window.partitionBy(col(sourceCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
-      .withColumn("toks", TextFunctions.tokenCount(col(textCol)))
-      .withColumn("__cum", sum(col("toks")).over(w))
-      .withColumn("pack", expr(s"(__cum - toks) div $capacity"))
+      .withColumn("__cum", sum(col(countCol)).over(w))
+      .withColumn("pack", expr(s"(__cum - $countCol) div $capacity"))
       .drop("__cum")
   }
 

@@ -599,7 +599,7 @@ object CurationQueries {
           // corpus — the trainer skips empty rounds, so the oracle must
           // pass the segmentation through unchanged
           s""",
-             |s$i AS (SELECT CASE WHEN m.l IS NULL THEN s
+             |s$i AS (SELECT word, CASE WHEN m.l IS NULL THEN s
              |  ELSE replace(s, '|'||m.l||'||'||m.r||'|', '|'||m.l||m.r||'|')
              |  END AS s, cnt FROM $prev LEFT JOIN m$i m ON TRUE)""".stripMargin
         else ""
@@ -615,7 +615,8 @@ object CurationQueries {
        |  SELECT word, count(*) AS cnt
        |  FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents)
        |  GROUP BY word),
-       |s0 AS (SELECT '|' || array_to_string(string_split(word,''),'||') || '|' AS s,
+       |s0 AS (SELECT word,
+       |       '|' || array_to_string(string_split(word,''),'||') || '|' AS s,
        |       cnt FROM wc),
        |$ctes""".stripMargin
   }
@@ -645,6 +646,42 @@ object CurationQueries {
        |      FROM s3)
        |SELECT token, CAST(sum(cnt) AS BIGINT) AS n FROM t
        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+
+  /** q133: the composed training-batch prep path — train the BPE vocab
+    * (q126), count each document's BPE tokens with the trained merges as a
+    * pure column expression ([[BpeTrainer.tokenCountCol]] — re-segmenting
+    * counts, not whitespace counts), and greedily pack docs into 256-token
+    * sequences per source ([[Curation.packByCounts]], q94's packer over
+    * real token lengths). The oracle replays the trained segmentation
+    * per WORD (the unrolled CTEs now carry `word`), joins it back to doc
+    * tokens, and reruns the packing window. End to end: tokenizer →
+    * lengths → packs, all value-pinned. */
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    val d0 = docs(s, d)
+    val merges = BpeTrainer.trainMerges(d0, "text", rounds = 3)
+    val counted = d0.withColumn("toks",
+      BpeTrainer.tokenCountCol(col("text"), merges))
+    Curation.packByCounts(counted, capacity = 256)
+      .groupBy(col("source"), col("pack"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).cast("long").as("toks"))
+      .withColumn("fill", round(col("toks").cast("double") / 256.0, 4))
+  }
+
+  private val q133Sql: String =
+    s"""${bpeUnrolledCtes(3, emitFinalSeg = true)},
+       |v AS (SELECT word, len(string_split(trim(s,'|'),'||')) AS wtoks
+       |      FROM s3),
+       |tok AS (SELECT source, doc_id, unnest(string_split(text,' ')) AS word
+       |        FROM documents),
+       |dt AS (SELECT source, doc_id, sum(v.wtoks) AS toks
+       |       FROM tok JOIN v USING (word) GROUP BY 1, 2),
+       |c AS (SELECT source, doc_id, toks,
+       |        sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+       |                        ROWS UNBOUNDED PRECEDING) AS cum FROM dt)
+       |SELECT source, CAST((cum - toks) // 256 AS BIGINT) AS pack,
+       |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS toks,
+       |  round(CAST(sum(toks) AS DOUBLE) / 256.0, 4) AS fill
+       |FROM c GROUP BY 1, 2""".stripMargin
 
   private val q124Sql =
     """WITH c AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1),
@@ -677,5 +714,6 @@ object CurationQueries {
     QueryDef("q123_exact_sample", q123, Some(q123Sql)),
     QueryDef("q124_skew_report", q124, Some(q124Sql)),
     QueryDef("q126_bpe_merges", q126, Some(q126Sql)),
-    QueryDef("q130_bpe_encode", q130, Some(q130Sql)))
+    QueryDef("q130_bpe_encode", q130, Some(q130Sql)),
+    QueryDef("q133_tokenize_pack", q133, Some(q133Sql)))
 }

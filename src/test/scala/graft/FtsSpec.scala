@@ -214,6 +214,17 @@ class FtsSpec extends AnyFunSuite {
     assert(enc == Map("aab" -> 3L, "ab" -> 1L, "b" -> 1L))
   }
 
+  test("bpe: per-doc token counts sum to the corpus-wide encode total") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val m = BpeTrainer.trainMerges(docs, "text", 3)
+    val corpusTotal = BpeTrainer.encode(docs, "text", m)
+      .agg(sum(col("n"))).head.getLong(0)
+    val perDocTotal = docs
+      .select(BpeTrainer.tokenCountCol(col("text"), m).as("toks"))
+      .agg(sum(col("toks"))).head.getLong(0)
+    assert(corpusTotal == perDocTotal)
+  }
+
   test("bpe: a corpus with no adjacent pairs trains zero merges, encodes unchanged") {
     val docs = Seq((1L, "a b c a")).toDF("doc_id", "text")
     val m = BpeTrainer.trainMerges(docs, "text", 3)
