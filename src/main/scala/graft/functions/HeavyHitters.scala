@@ -21,38 +21,46 @@ import org.apache.spark.sql.expressions.Aggregator
   * corpus scale expensive) never leaves the executors.
   */
 final case class HeavyHitters(k: Int)
-    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    extends Aggregator[String, scala.collection.mutable.HashMap[String, Long],
+      Map[String, Long]] {
   require(k >= 1 && k <= 100000, s"k=$k out of range")
 
-  override def zero: Map[String, Long] = Map.empty
+  private type Buf = scala.collection.mutable.HashMap[String, Long]
 
-  override def reduce(b: Map[String, Long], item: String): Map[String, Long] =
+  // buffers mutate in place (the Aggregator contract allows returning the
+  // mutated buffer): per-row updates are O(1) hash ops, not per-row
+  // persistent-map copies, on the one object Spark keeps per partial
+  override def zero: Buf = scala.collection.mutable.HashMap.empty
+
+  override def reduce(b: Buf, item: String): Buf = {
     b.get(item) match {
-      case Some(c) => b.updated(item, c + 1L)
-      case None if b.size < k => b.updated(item, 1L)
+      case Some(c) => b(item) = c + 1L
+      case None if b.size < k => b(item) = 1L
       case None =>
         // classic MG step: a full table + an unseen item decrements
         // everything by one (charging the new item's count against k
         // existing ones keeps every estimate within n/(k+1) of truth)
-        b.flatMap { case (w, c) => if (c > 1L) Some(w -> (c - 1L)) else None }
+        b.mapValuesInPlace((_, c) => c - 1L)
+        b.filterInPlace((_, c) => c > 0L)
     }
-
-  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-    val sum = (a.keySet ++ b.keySet).iterator
-      .map(w => w -> (a.getOrElse(w, 0L) + b.getOrElse(w, 0L))).toMap
-    if (sum.size <= k) sum
-    else {
-      // subtract the (k+1)-th largest weight; ties with it drop to 0, so
-      // at most k strictly-greater counters survive
-      val cut = sum.values.toArray.sorted(Ordering[Long].reverse).apply(k)
-      sum.flatMap { case (w, c) => if (c > cut) Some(w -> (c - cut)) else None }
-    }
+    b
   }
 
-  override def finish(r: Map[String, Long]): Map[String, Long] = r
+  override def merge(a: Buf, b: Buf): Buf = {
+    b.foreach { case (w, c) => a(w) = a.getOrElse(w, 0L) + c }
+    if (a.size > k) {
+      // subtract the (k+1)-th largest weight; ties with it drop to 0, so
+      // at most k strictly-greater counters survive
+      val cut = a.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      a.mapValuesInPlace((_, c) => c - cut)
+      a.filterInPlace((_, c) => c > 0L)
+    }
+    a
+  }
 
-  override def bufferEncoder: Encoder[Map[String, Long]] =
-    Encoders.kryo[Map[String, Long]]
+  override def finish(r: Buf): Map[String, Long] = r.toMap
+
+  override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
   // structured (MapType) output so callers can explode the summary
   override def outputEncoder: Encoder[Map[String, Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
