@@ -29,12 +29,17 @@ object Bench {
     // for the driver's full run
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // validate each requested name — a typo'd entry silently dropping one
+    // query would read downstream as "nothing regressed"
+    only.foreach { names =>
+      val known = SparkEntry.benchQueries.map(_.name).toSet
+      val unknown = names -- known
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in the bench set: $unknown")
+      require(names.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but empty")
+    }
     val qs = SparkEntry.benchQueries
       .filter(q => only.forall(_.contains(q.name)))
-    // a set-but-empty or typo'd filter silently matching nothing would
-    // emit an empty bench that reads as "nothing regressed"
-    require(qs.nonEmpty,
-      s"SPARK_GRAFT_BENCH_ONLY matched no bench queries: ${only.get}")
     // warm-up: JIT + codegen cache + file listing (failures surface in the
     // timed pass — don't double-report)
     qs.foreach(q => try exec(q) catch { case _: Throwable => () })

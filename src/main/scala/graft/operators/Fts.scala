@@ -122,10 +122,22 @@ object Fts {
     * partition pruning at the file index, before any data is read. With B
     * buckets a Q-term query scans ≤ Q/B of the index regardless of corpus
     * size; bucket count trades directory fan-out against pruning ratio. */
+  /** Bucket id of a column under the index's hash scheme (one definition —
+    * the write and upsert paths must NEVER disagree on bucket assignment). */
+  private def bucketCol(c: org.apache.spark.sql.Column, n: Int) =
+    pmod(xxhash64(c), lit(n))
+
+  /** The doc-bucketed side-table rows for a bucketed postings frame:
+    * doc_id → sorted occupied term buckets, partitioned by doc bucket. */
+  private def docMeta(bucketed: DataFrame, nDocBuckets: Int): DataFrame =
+    bucketed.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("wb"))).as("wbs"))
+      .withColumn("db", bucketCol(col("doc_id"), nDocBuckets))
+
   def writePostingsIndex(postings: DataFrame, path: String,
       nBuckets: Int = 64, nDocBuckets: Int = 64): Unit = {
     val bucketed = postings
-      .withColumn("wb", pmod(xxhash64(col("word")), lit(nBuckets)))
+      .withColumn("wb", bucketCol(col("word"), nBuckets))
       .persist() // written below AND aggregated into the side table
     try {
       bucketed.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -133,9 +145,7 @@ object Fts {
       // doc-bucketed side table (doc_id → occupied term buckets): what lets
       // an incremental upsert find a re-crawled doc's OLD buckets without
       // scanning the index (see upsertPostingsIndex)
-      bucketed.groupBy(col("doc_id"))
-        .agg(sort_array(collect_set(col("wb"))).as("wbs"))
-        .withColumn("db", pmod(xxhash64(col("doc_id")), lit(nDocBuckets)))
+      docMeta(bucketed, nDocBuckets)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("db").parquet(path + "_docs")
     } finally bucketed.unpersist()
@@ -159,11 +169,9 @@ object Fts {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val batch = positionalPostings(newDocs, docIdCol, textCol)
-      .withColumn("wb", pmod(xxhash64(col("word")), lit(nBuckets)))
+      .withColumn("wb", bucketCol(col("word"), nBuckets))
     val batchIds = batch.select(col("doc_id")).distinct()
-    val batchMeta = batch.groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("wb"))).as("wbs"))
-      .withColumn("db", pmod(xxhash64(col("doc_id")), lit(nDocBuckets)))
+    val batchMeta = docMeta(batch, nDocBuckets)
     val docsPath = path + "_docs"
     batch.persist() // reused by ids/meta/affected/merged below — built once
     try {
@@ -171,9 +179,15 @@ object Fts {
         // both collects are bucket-id sets, ≤ nDocBuckets / ≤ nBuckets values
         val dbs = batchMeta.select(col("db")).distinct()
           .collect().map(_.get(0)).toSeq
-        val oldMeta = spark.read.parquet(docsPath)
-          .filter(col("db").isInCollection(dbs))
-          .join(batchIds, Seq("doc_id"), "left_semi")
+        // recovery path: a bulk build that died between its two writes
+        // leaves the index without its side table — rebuild the needed
+        // meta from the index itself (one full scan, only ever paid once)
+        val docsExists = fs.exists(new org.apache.hadoop.fs.Path(docsPath))
+        val oldMeta =
+          (if (docsExists)
+            spark.read.parquet(docsPath).filter(col("db").isInCollection(dbs))
+          else docMeta(spark.read.parquet(path), nDocBuckets))
+            .join(batchIds, Seq("doc_id"), "left_semi")
         val affected = oldMeta.select(explode(col("wbs")).as("wb"))
           .union(batch.select(col("wb"))).distinct()
           .collect().map(_.get(0)).toSeq
@@ -181,29 +195,39 @@ object Fts {
           .filter(col("wb").isInCollection(affected))
           .join(batchIds, Seq("doc_id"), "left_anti") // drop re-crawled docs
           .unionByName(batch)
-        // materialize BEFORE the deletes below: the plan reads the very
-        // partitions being replaced
         val pinned = merged.localCheckpoint(true)
-        // dynamic overwrite only rewrites partitions PRESENT in the output;
-        // an affected bucket whose rows all died (a re-crawl that vacated
-        // its old term bucket) must be deleted explicitly or its stale
-        // postings would survive on disk
-        affected.foreach { b =>
-          fs.delete(new org.apache.hadoop.fs.Path(path, s"wb=$b"), true)
-        }
+        // WRITE FIRST, then delete: dynamic overwrite stages and commits
+        // the partitions present in the output, so co-bucketed postings of
+        // untouched docs are never exposed to a crash window. Only the
+        // VACATED buckets (affected but absent from the output — a
+        // re-crawl emptied them) need an explicit delete afterwards;
+        // dynamic overwrite never rewrites a partition with zero rows. A
+        // crash before the delete leaves stale vacated postings, which the
+        // foreachBatch retry of the same batch removes (its affected set
+        // re-covers them).
         pinned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("wb").parquet(path)
+        val present = pinned.select(col("wb")).distinct()
+          .collect().map(_.get(0)).toSet // ≤ nBuckets values
+        (affected.toSet -- present).foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(path, s"wb=$b"), true)
+        }
         // the side table second: if a failure lands between the two writes,
         // re-running the SAME batch (foreachBatch retry semantics) still
         // heals — old meta lists the doc's previous buckets, the retry's
         // affected set covers previous ∪ current, and the doc-keyed
         // anti-join + union is idempotent. Doc buckets can never empty
         // (every removed id is re-inserted), so no delete pass is needed.
-        val docsMerged = spark.read.parquet(docsPath)
-          .filter(col("db").isInCollection(dbs))
-          .join(batchIds, Seq("doc_id"), "left_anti")
-          .unionByName(batchMeta)
+        // In the recovery case the main index was just rewritten, so the
+        // whole side table re-derives from it directly.
+        val docsMerged =
+          if (docsExists)
+            spark.read.parquet(docsPath)
+              .filter(col("db").isInCollection(dbs))
+              .join(batchIds, Seq("doc_id"), "left_anti")
+              .unionByName(batchMeta)
+          else docMeta(spark.read.parquet(path), nDocBuckets)
         docsMerged.localCheckpoint(true)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")

@@ -38,6 +38,10 @@ object FetchOps {
   def fetchAll(df: DataFrame, urlCol: String, outCol: String,
       fetcher: Fetcher, batchSize: Int = 16,
       throttleMillis: Long = 0L): DataFrame = {
+    // driver-side contract check — Iterator.grouped would otherwise throw
+    // an opaque per-task error at execution time
+    require(batchSize > 0, s"batchSize=$batchSize must be positive")
+    require(throttleMillis >= 0, s"throttleMillis=$throttleMillis must be >= 0")
     val schema = df.schema.add(outCol, StringType)
     val idx = df.schema.fieldIndex(urlCol)
     df.mapPartitions { it =>

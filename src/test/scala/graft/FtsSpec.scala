@@ -160,6 +160,23 @@ class FtsSpec extends AnyFunSuite {
     assert(Fts.loadPostings(spark, dir, Seq("gamma"), nBuckets = 64).count() == 0)
   }
 
+  test("upsert recovers when the _docs side table is missing (interrupted bulk build)") {
+    val dir = java.nio.file.Files.createTempDirectory("fts_nometa").toString
+    val v1 = Seq((1L, "alpha"), (2L, "gamma")).toDF("doc_id", "text")
+    Fts.writePostingsIndex(Fts.positionalPostings(v1, "doc_id", "text"),
+      dir, nBuckets = 64)
+    TempDirs.rmTree(java.nio.file.Paths.get(dir + "_docs")) // simulate the crash
+    Fts.upsertPostingsIndex(Seq((2L, "alpha")).toDF("doc_id", "text"),
+      dir, "doc_id", "text", nBuckets = 64)
+    val left = spark.read.parquet(dir)
+      .select(col("word"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // doc 2's old gamma posting still dies: meta was rebuilt from the index
+    assert(left == Set(("alpha", 1L), ("alpha", 2L)), s"stale postings: $left")
+    // and the side table is restored for the next batch
+    assert(new java.io.File(dir + "_docs").exists)
+  }
+
   test("streaming crawl feed maintains the postings index via foreachBatch") {
     import org.apache.spark.sql.Row
     val base = java.nio.file.Files.createTempDirectory("fts_stream")

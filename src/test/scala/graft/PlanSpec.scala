@@ -170,7 +170,7 @@ class PlanSpec extends AnyFunSuite {
       "operators/Lakehouse.scala" ->
         (1, "CDC bucket merge: <= nBuckets affected-bucket ids"),
       "operators/Fts.scala" ->
-        (2, "postings upsert: <= nDocBuckets doc-bucket ids + <= nBuckets term-bucket ids"),
+        (3, "postings upsert: doc-bucket, affected-term-bucket, and present-term-bucket id sets, each <= nBuckets"),
       "operators/CurationQueries.scala" ->
         (1, "q109 CMS: one serialized sketch per language"),
       "llm/RagPipeline.scala" ->
