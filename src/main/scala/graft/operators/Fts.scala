@@ -175,7 +175,13 @@ object Fts {
     val docsPath = path + "_docs"
     batch.persist() // reused by ids/meta/affected/merged below — built once
     try {
-      if (fs.exists(new org.apache.hadoop.fs.Path(path))) {
+      // "index exists" = the path holds at least one term-bucket partition;
+      // a bare pre-created (or fully emptied) directory routes to the bulk
+      // branch instead of a doomed schema-less merge read
+      val p = new org.apache.hadoop.fs.Path(path)
+      val hasIndex = fs.exists(p) &&
+        fs.listStatus(p).exists(_.getPath.getName.startsWith("wb="))
+      if (hasIndex) {
         // both collects are bucket-id sets, ≤ nDocBuckets / ≤ nBuckets values
         val dbs = batchMeta.select(col("db")).distinct()
           .collect().map(_.get(0)).toSeq

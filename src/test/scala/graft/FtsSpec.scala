@@ -177,6 +177,37 @@ class FtsSpec extends AnyFunSuite {
     assert(new java.io.File(dir + "_docs").exists)
   }
 
+  test("random overlapping upsert sequences equal a from-scratch build") {
+    // 6 deterministic pseudo-random batches over 40 docs, each re-crawling
+    // some earlier docs with version-stamped text — the drained index must
+    // equal bulk-building from the latest version of every doc
+    val rnd = new scala.util.Random(7L)
+    val vocab = Vector("table", "join", "scan", "merge", "sort", "hash",
+      "row", "key", "data", "batch")
+    def text(doc: Long, v: Int) =
+      (0 until 8).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ") +
+        s" v$v"
+    val latest = scala.collection.mutable.Map.empty[Long, String]
+    val dir = java.nio.file.Files.createTempDirectory("fts_rand").toString
+    (0 until 6).foreach { v =>
+      val ids = (0L until 40L).filter(_ => rnd.nextBoolean()).take(12)
+      val rows = ids.map { id =>
+        val t = text(id, v); latest(id) = t; (id, t)
+      }
+      if (rows.nonEmpty)
+        Fts.upsertPostingsIndex(rows.toDF("doc_id", "text"),
+          dir, "doc_id", "text", nBuckets = 8)
+    }
+    val expected = Fts.positionalPostings(
+      latest.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+      .select(col("word"), col("doc_id"), col("tf")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = spark.read.parquet(dir)
+      .select(col("word"), col("doc_id"), col("tf")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
   test("streaming crawl feed maintains the postings index via foreachBatch") {
     import org.apache.spark.sql.Row
     val base = java.nio.file.Files.createTempDirectory("fts_stream")
