@@ -127,6 +127,36 @@ object Fts {
   private def bucketCol(c: org.apache.spark.sql.Column, n: Int) =
     pmod(xxhash64(c), lit(n))
 
+  /** The index pins its bucket config on disk: a caller passing a
+    * different nBuckets than the index was BUILT with would otherwise
+    * compute wrong bucket ids and silently prune to the wrong partitions
+    * (missing postings, no error). Written at bulk build; checked by
+    * every load/upsert. */
+  private def writeBucketConfig(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, nBuckets: Int, nDocBuckets: Int): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(path + "_meta/config.json"), true)
+    try out.write(
+      s"""{"nBuckets":$nBuckets,"nDocBuckets":$nDocBuckets}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def requireBucketConfig(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, nBuckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path + "_meta/config.json")
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val cfg = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val stored = "\"nBuckets\":(\\d+)".r.findFirstMatchIn(cfg)
+        .map(_.group(1).toInt)
+      require(stored.forall(_ == nBuckets),
+        s"index at $path was built with nBuckets=${stored.get}, " +
+          s"called with $nBuckets — bucket ids would not line up")
+    }
+  }
+
   /** The doc-bucketed side-table rows for a bucketed postings frame:
     * doc_id → sorted occupied term buckets, partitioned by doc bucket. */
   private def docMeta(bucketed: DataFrame, nDocBuckets: Int): DataFrame =
@@ -148,6 +178,9 @@ object Fts {
       docMeta(bucketed, nDocBuckets)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("db").parquet(path + "_docs")
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        postings.sparkSession.sparkContext.hadoopConfiguration)
+      writeBucketConfig(fs, path, nBuckets, nDocBuckets)
     } finally bucketed.unpersist()
   }
 
@@ -168,6 +201,7 @@ object Fts {
     val spark = newDocs.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireBucketConfig(fs, path, nBuckets)
     val batch = positionalPostings(newDocs, docIdCol, textCol)
       .withColumn("wb", bucketCol(col("word"), nBuckets))
     val batchIds = batch.select(col("doc_id")).distinct()
@@ -243,6 +277,7 @@ object Fts {
           .partitionBy("wb").parquet(path)
         batchMeta.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .partitionBy("db").parquet(docsPath)
+        writeBucketConfig(fs, path, nBuckets, nDocBuckets)
       }
     } finally batch.unpersist()
   }
@@ -253,6 +288,8 @@ object Fts {
     * prune, so every Fts query operator composes unchanged. */
   def loadPostings(spark: org.apache.spark.sql.SparkSession, path: String,
       terms: Seq[String], nBuckets: Int = 64): DataFrame = {
+    requireBucketConfig(new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration), path, nBuckets)
     // bucket ids computed driver-side with the SAME hash the write used
     // (functions.xxhash64 == XxHash64 expression, seed 42) — no job, no
     // collect, just Q literal evaluations

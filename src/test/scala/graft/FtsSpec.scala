@@ -160,6 +160,24 @@ class FtsSpec extends AnyFunSuite {
     assert(Fts.loadPostings(spark, dir, Seq("gamma"), nBuckets = 64).count() == 0)
   }
 
+  test("querying or upserting with the wrong nBuckets fails fast instead of mis-pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("fts_cfg").toString
+    Fts.writePostingsIndex(Fts.positionalPostings(
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), "doc_id", "text"),
+      dir, nBuckets = 16)
+    val e1 = intercept[IllegalArgumentException] {
+      Fts.loadPostings(spark, dir, Seq("alpha"), nBuckets = 32)
+    }
+    assert(e1.getMessage.contains("nBuckets=16"))
+    intercept[IllegalArgumentException] {
+      Fts.upsertPostingsIndex(Seq((2L, "gamma")).toDF("doc_id", "text"),
+        dir, "doc_id", "text", nBuckets = 8)
+    }
+    // the matching config passes
+    assert(Fts.loadPostings(spark, dir, Seq("alpha"), nBuckets = 16)
+      .count() == 1)
+  }
+
   test("upsert recovers when the _docs side table is missing (interrupted bulk build)") {
     val dir = java.nio.file.Files.createTempDirectory("fts_nometa").toString
     val v1 = Seq((1L, "alpha"), (2L, "gamma")).toDF("doc_id", "text")
