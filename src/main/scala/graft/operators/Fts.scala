@@ -143,17 +143,26 @@ object Fts {
   }
 
   private def requireBucketConfig(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, nBuckets: Int): Unit = {
+      path: String, nBuckets: Int, nDocBuckets: Option[Int] = None): Unit = {
     val p = new org.apache.hadoop.fs.Path(path + "_meta/config.json")
     if (fs.exists(p)) {
       val in = fs.open(p)
       val cfg = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      val stored = "\"nBuckets\":(\\d+)".r.findFirstMatchIn(cfg)
-        .map(_.group(1).toInt)
-      require(stored.forall(_ == nBuckets),
-        s"index at $path was built with nBuckets=${stored.get}, " +
+      def stored(key: String) =
+        ("\"" + key + "\":(\\d+)").r.findFirstMatchIn(cfg).map(_.group(1).toInt)
+      val sb = stored("nBuckets")
+      require(sb.forall(_ == nBuckets),
+        s"index at $path was built with nBuckets=${sb.get}, " +
           s"called with $nBuckets — bucket ids would not line up")
+      // the side table has the same footgun: a mismatched nDocBuckets
+      // mis-prunes the doc-meta read and misses a re-crawl's old buckets
+      val sdb = stored("nDocBuckets")
+      nDocBuckets.foreach { n =>
+        require(sdb.forall(_ == n),
+          s"index at $path was built with nDocBuckets=${sdb.get}, " +
+            s"called with $n — doc buckets would not line up")
+      }
     }
   }
 
@@ -201,7 +210,7 @@ object Fts {
     val spark = newDocs.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    requireBucketConfig(fs, path, nBuckets)
+    requireBucketConfig(fs, path, nBuckets, Some(nDocBuckets))
     val batch = positionalPostings(newDocs, docIdCol, textCol)
       .withColumn("wb", bucketCol(col("word"), nBuckets))
     val batchIds = batch.select(col("doc_id")).distinct()

@@ -173,6 +173,11 @@ class FtsSpec extends AnyFunSuite {
       Fts.upsertPostingsIndex(Seq((2L, "gamma")).toDF("doc_id", "text"),
         dir, "doc_id", "text", nBuckets = 8)
     }
+    val e2 = intercept[IllegalArgumentException] {
+      Fts.upsertPostingsIndex(Seq((2L, "gamma")).toDF("doc_id", "text"),
+        dir, "doc_id", "text", nBuckets = 16, nDocBuckets = 32)
+    }
+    assert(e2.getMessage.contains("nDocBuckets=64"))
     // the matching config passes
     assert(Fts.loadPostings(spark, dir, Seq("alpha"), nBuckets = 16)
       .count() == 1)
