@@ -403,11 +403,17 @@ object AdvancedQueries {
   /** q50: bilateral trade volume (TPC-H Q7 shape): supplier nation ×
     * customer nation pairs, yearly revenue — two broadcast dim joins feeding
     * a fact join chain, group on (supp_nation, cust_nation, year). The
-    * nation-set predicate is applied to the dims BEFORE broadcasting (not
-    * post-join) so the two inner dim joins shrink the fact stream at the
-    * earliest point — at 100 TB that is the difference between joining
-    * every lineitem row and only the target nations' rows. The residual
-    * supp ≠ cust filter still needs both sides, so it stays post-join. */
+    * nation-set predicate is applied to the dims and PROPAGATED through the
+    * dimension side of each join BEFORE the fact is touched: the filtered
+    * nations shrink supplier/customer first (broadcast joins over tiny
+    * inputs), the shrunken customer shrinks orders, and only then does
+    * lineitem join — cut to the target nations' ~8% by a broadcast semi
+    * shape before the single orderkey shuffle. At 100 TB that ordering is
+    * the difference between shuffling every lineitem row and shuffling the
+    * target slice; Spark's CBO join reorder is off by default, so the
+    * DataFrame declaration order IS the join order for this chain. The
+    * residual supp ≠ cust filter still needs both sides, so it stays
+    * post-join. */
   private def q50(s: SparkSession, d: String): DataFrame = {
     val target = Seq("NATION_1", "NATION_2")
     val sn = Tables.nation(s, d).select(col("n_nationkey").as("s_nk"),
@@ -416,12 +422,21 @@ object AdvancedQueries {
     val cn = Tables.nation(s, d).select(col("n_nationkey").as("c_nk"),
       col("n_name").as("cust_nation"))
       .filter(col("cust_nation").isin(target: _*))
-    li(s, d)
-      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+    // only the nation slices carry a broadcast hint (bounded at any scale);
+    // the filtered supplier/customer/orders slices are left to AQE — tiny
+    // here, but fact/12.5-sized at 100 TB where a forced broadcast would OOM
+    val fs = Tables.supplier(s, d)
       .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val fc = Tables.customer(s, d)
       .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val fo = Tables.orders(s, d)
+      .join(fc, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    li(s, d)
+      .join(broadcast(fs), col("l_suppkey") === col("s_suppkey"))
+      .join(fo, col("l_orderkey") === col("o_orderkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("yr"))

@@ -113,19 +113,30 @@ object RelationalQueries {
       |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
       |GROUP BY o_orderpriority""".stripMargin
 
-  /** q05: TPC-H Q5-shaped 6-way join — nation/region are broadcast dims, the
-    * c_nationkey = s_nationkey condition co-locates customer and supplier. */
-  private def q05(s: SparkSession, d: String): DataFrame =
+  /** q05: TPC-H Q5-shaped 6-way join — the region predicate is resolved to
+    * the 5 ASIA nations first (region ⋈ nation, two broadcast dims), and
+    * that 5-row dim joins CUSTOMER before any fact is touched: the customer
+    * slice shrinks 5×, so every downstream fact join (orders, lineitem)
+    * carries only the qualifying region's rows — at 100 TB the orderkey
+    * shuffle moves a fifth of the data that the filter-after-join ordering
+    * would. The c_nationkey = s_nationkey condition then pins supplier to
+    * the customer's nation; supplier is left unhinted — AQE broadcasts it
+    * at bench scale, while at cluster scale (supplier ~fact/10⁴, possibly
+    * over the broadcast budget) the planner is free to shuffle it. */
+  private def q05(s: SparkSession, d: String): DataFrame = {
+    val asiaNat = nat(s, d)
+      .join(broadcast(reg(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
     cust(s, d)
+      .join(broadcast(asiaNat), col("c_nationkey") === col("n_nationkey"))
       .join(ord(s, d), col("c_custkey") === col("o_custkey"))
       .join(li(s, d), col("o_orderkey") === col("l_orderkey"))
       .join(sup(s, d),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
-      .join(broadcast(nat(s, d)), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(reg(s, d)), col("n_regionkey") === col("r_regionkey"))
-      .filter(col("r_name") === "ASIA")
       .groupBy(col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+  }
 
   private val q05Sql =
     """SELECT n_name,
@@ -463,18 +474,33 @@ object RelationalQueries {
     * filter `n_supp >= 2 AND n_late = 1` — which replaces two fact-fact
     * self-joins with one map-side-combinable shuffle on orderkey. The hash
     * match proves the rewrite. Late = shipped >45 days after order date,
-    * 'F'-status orders only. */
+    * 'F'-status orders only.
+    *
+    * The per-order distinct counts are computed as a two-level aggregate —
+    * per-(order, supplier) max(late) first, then plain count/sum per order —
+    * NOT as two `countDistinct`s: multiple distinct aggregates plan as an
+    * Expand that triples every fact row before the exchange, which at 100 TB
+    * is 3× the shuffle bytes for the same answer. The join runs FIRST so its
+    * orderkey partitioning is reused by both aggregate levels
+    * (HashPartitioning(orderkey) satisfies the (orderkey, suppkey)
+    * clustering by the subset rule): at cluster scale the fact shuffles once
+    * for the sort-merge join and never again; at bench scale the F-orders
+    * side broadcasts and the per-pair partial agg combines map-side before
+    * the single exchange. */
   private def q117(s: SparkSession, d: String): DataFrame = {
     val f = li(s, d)
       .join(ord(s, d).filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-      .withColumn("late",
-        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"))
-    val perOrder = f.groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
-        min(when(col("late"), col("l_suppkey"))).as("blame"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"),
+          1L).otherwise(0L).as("late"))
+    val perSupp = f.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("late"))
+    val perOrder = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("late")).as("n_late"),
+        min(when(col("late") === 1L, col("l_suppkey"))).as("blame"))
       .filter(col("n_supp") >= 2 && col("n_late") === 1)
     perOrder.groupBy(col("blame"))
       .agg(count(lit(1)).as("numwait"))
