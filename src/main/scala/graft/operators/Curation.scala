@@ -55,6 +55,31 @@ object Curation {
       lit(1.0) - size(array_distinct(sg)).cast("double") / size(sg))
   }
 
+  /** Cross-document duplicate n-gram counts — the Gopher-style "duplicate
+    * n-gram fraction" quality signal: for each doc, how many of its DISTINCT
+    * n-grams occur in at least `minDocs` documents corpus-wide. Unlike
+    * [[repetitionRatio]] (within-doc) or [[contaminationCounts]] (overlap
+    * with a fixed eval set), this scores every doc against the WHOLE corpus.
+    * Returns (doc_id, n_grams, n_shared).
+    *
+    * Scale shape: two shuffles, both keyed on the ~uniform high-cardinality
+    * gram string — the per-gram doc-frequency agg (map-side combinable, and
+    * exact because per-doc grams are pre-distinct'd so count == doc
+    * frequency) and the join back onto the exploded grams. Catalyst reuses
+    * the agg's exchange for the join's build side, so the gram set shuffles
+    * twice, not three times. At 100 TB key both on xxhash64(gram) to shrink
+    * the shuffle payload (byte-identical modulo 2^-64 collisions); the
+    * string key is kept here for cross-engine oracle exactness. */
+  def crossDocDupCounts(docs: DataFrame, n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(WordNgrams(col("text"), n))).as("gram"))
+    val docFreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("nd"))
+    grams.join(docFreq, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= minDocs, 1L).otherwise(0L)).as("n_shared"))
+  }
+
   /** Concat-and-chunk sequence packing: per `sourceCol`, docs concatenated
     * in `orderCol` order and chunked into `capacity`-token windows; a doc
     * belongs to the pack its first token lands in. Adds (toks, pack).

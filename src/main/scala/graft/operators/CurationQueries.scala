@@ -694,6 +694,34 @@ object CurationQueries {
       |  CAST((1000000 * sum(CASE WHEN rk <= 10 THEN cnt END)) // sum(cnt) AS BIGINT) AS top10_share_ppm
       |FROM r""".stripMargin
 
+  /** q134: cross-document duplicate n-gram fraction — the corpus-wide
+    * complement of q93's within-doc repetition: for each doc, the share of
+    * its distinct 5-grams that occur in ≥2 documents (Gopher-style
+    * boilerplate/mirror signal; the filter step drops docs above a
+    * threshold). Reported in integer basis points ((10000·n_shared) div
+    * n_grams) so the oracle compare stays in exact integer space — no
+    * round() boundary (QueryDef determinism rules). Scale shape documented
+    * on [[Curation.crossDocDupCounts]]. */
+  private def q134(s: SparkSession, d: String): DataFrame =
+    Curation.crossDocDupCounts(docs(s, d), n = 5, minDocs = 2)
+      .filter(col("n_grams") > 0)
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        expr("10000 * n_shared DIV n_grams").as("dup_bp"))
+
+  private val q134Sql =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, list_distinct(CASE WHEN len(ws)>=5
+      |  THEN list_transform(generate_series(1,len(ws)-4),
+      |       i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])
+      |  ELSE [] END) AS sg FROM w),
+      |e AS (SELECT doc_id, unnest(sg) AS gram FROM g),
+      |df AS (SELECT gram, count(*) AS nd FROM e GROUP BY gram),
+      |r AS (SELECT e.doc_id, count(*) AS n_grams,
+      |        CAST(sum(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      |      FROM e JOIN df USING (gram) GROUP BY e.doc_id)
+      |SELECT doc_id, n_grams, n_shared, (10000 * n_shared) // n_grams AS dup_bp
+      |FROM r WHERE n_grams > 0""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q90_contamination", q90, Some(q90Sql), bench = true),
     QueryDef("q91_stratified_sample", q91, Some(q91Sql)),
@@ -715,5 +743,6 @@ object CurationQueries {
     QueryDef("q124_skew_report", q124, Some(q124Sql)),
     QueryDef("q126_bpe_merges", q126, Some(q126Sql)),
     QueryDef("q130_bpe_encode", q130, Some(q130Sql)),
-    QueryDef("q133_tokenize_pack", q133, Some(q133Sql)))
+    QueryDef("q133_tokenize_pack", q133, Some(q133Sql)),
+    QueryDef("q134_cross_doc_grams", q134, Some(q134Sql)))
 }

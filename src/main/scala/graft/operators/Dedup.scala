@@ -293,4 +293,41 @@ object Dedup {
       .filter(sim >= threshold)
       .select(round(sim, 4).as("simr"), col("da"), col("db"))
   }
+
+  /** Word-level containment pairs — the "exact substring dedup" family: a
+    * doc is CONTAINED in another when its whole word sequence appears
+    * contiguously inside the (strictly longer, or equal-length lower-id)
+    * container. Truncated re-crawls and quote-wrapped mirrors are
+    * containment dups that Jaccard at 0.5 can miss entirely.
+    *
+    * Candidate generation is exact, not probabilistic: if a's words appear
+    * contiguously in b and a has ≥ n words, then a's FIRST n-gram is one of
+    * b's n-grams — so the (first-gram ⋈ all-grams) equi-join finds every
+    * true pair (docs under n words are skipped, stated contract). The join
+    * is keyed on the gram string (~uniform); candidates then verify with a
+    * space-padded substring check after re-joining texts by doc id. At
+    * 100 TB the candidate join carries only (doc_id, gram) — texts travel
+    * once, in the verify join, which touches candidate pairs only. Returns
+    * (contained, container). */
+  def containmentPairs(docs: DataFrame, n: Int = 5): DataFrame = {
+    import graft.functions.WordNgrams
+    val t = docs.select(col("doc_id"), col("text"))
+    val grams = t.select(col("doc_id").as("db"),
+      explode(array_distinct(WordNgrams(col("text"), n))).as("gram"))
+    val firstGram = t.select(col("doc_id").as("da"),
+      get(WordNgrams(col("text"), n), lit(0)).as("gram"))
+      .filter(col("gram").isNotNull)
+    val cand = firstGram.join(grams, Seq("gram"))
+      .filter(col("da") =!= col("db"))
+      .select(col("da"), col("db")).distinct()
+    val ta = t.select(col("doc_id").as("da"), col("text").as("text_a"))
+    val tb = t.select(col("doc_id").as("db"), col("text").as("text_b"))
+    cand.join(ta, "da").join(tb, "db")
+      .filter(concat(lit(" "), col("text_b"), lit(" "))
+        .contains(concat(lit(" "), col("text_a"), lit(" "))) &&
+        (length(col("text_b")) > length(col("text_a")) ||
+          (length(col("text_b")) === length(col("text_a")) &&
+            col("db") < col("da"))))
+      .select(col("da").as("contained"), col("db").as("container"))
+  }
 }

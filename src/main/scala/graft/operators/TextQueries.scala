@@ -131,6 +131,24 @@ object TextQueries {
       |  array_to_string(list_sort(list(v)), ',') AS members
       |FROM lab GROUP BY comp""".stripMargin
 
+  /** q135: word-level containment dedup ([[Dedup.containmentPairs]]) — the
+    * exact-substring family: truncated re-crawls / quote-wrapped mirrors
+    * whose whole word sequence survives inside a longer doc. The oracle is
+    * the O(n²) all-pairs substring scan; the engine runs the exact
+    * first-n-gram candidate join (no recall loss, see the operator doc) and
+    * the hash match proves the two agree. */
+  private def q135(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(docs(s, d), n = 5)
+
+  private val q135Sql =
+    """WITH t AS (SELECT doc_id, text FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 5)
+      |SELECT a.doc_id AS contained, b.doc_id AS container
+      |FROM t a JOIN t b ON a.doc_id != b.doc_id
+      |WHERE contains(' ' || b.text || ' ', ' ' || a.text || ' ')
+      |  AND (length(b.text) > length(a.text)
+      |       OR (length(b.text) = length(a.text) AND b.doc_id < a.doc_id))""".stripMargin
+
   /** q36: SimHash near-dup pairs (hamming ≤ 3 via 16-bit banding) — no SQL
     * oracle (xxhash64 isn't reproducible in DuckDB; q69 runs the identical
     * pipeline on the portable hash under the oracle gate); unit-tested
@@ -405,6 +423,7 @@ object TextQueries {
     QueryDef("q34_jaccard_dupes", q34, Some(dupPairsSql)),
     QueryDef("q35_minhash_dupes", q35, Some(dupPairsSql), bench = true),
     QueryDef("q89_dup_components", q89, Some(q89Sql)),
+    QueryDef("q135_containment_dupes", q135, Some(q135Sql)),
     // xxhash64 scale path — rows-only in the driver gate; value-pinned by
     // its portable-hash sibling q69_simhash_portable (oracle-green)
     QueryDef("q36_simhash_dupes", q36, None),

@@ -273,4 +273,26 @@ class CurationSpec extends AnyFunSuite {
       .getAs[Long]("checksum")
     assert(got == expect)
   }
+
+  test("cross-doc grams: planted mirror pair saturates; unique doc scores 0") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // mirrors doc 2
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven"),     // all grams unique
+      (4L, "tiny doc")                                // < 5 words: no grams
+    ).toDF("doc_id", "text")
+    val rows = Curation.crossDocDupCounts(corpus, n = 5, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_shared"))).toMap
+    assert(rows(1L) == (2L, 2L) && rows(2L) == (2L, 2L)) // every gram shared
+    assert(rows(3L) == (3L, 0L))                         // none shared
+    assert(!rows.contains(4L))                           // too short: absent
+    // invariant on real data: 0 <= n_shared <= n_grams
+    q("q134_cross_doc_grams").collect().foreach { r =>
+      val (g, sh) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_shared"))
+      assert(sh >= 0 && sh <= g && g > 0)
+      assert(r.getAs[Long]("dup_bp") == 10000 * sh / g)
+    }
+  }
 }

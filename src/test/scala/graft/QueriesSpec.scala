@@ -98,6 +98,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(groups == Set((1L, 4L, "1,2,3,4"), (10L, 2L, "10,11")))
   }
 
+  test("containment pairs: word-aligned only, exact dups one-sided, short docs skipped") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),                 // contained in 2
+      (2L, "zero alpha beta gamma delta epsilon omega end"),  // container
+      (3L, "pha beta gamma delta epsilon"),    // char-substring of 2's tail
+                                               // words, NOT word-aligned
+      (4L, "alpha beta gamma delta epsilon"),  // exact dup of 1
+      (5L, "tiny doc here now")                // < 5 words: skipped
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.containmentPairs(corpus, n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1 ⊂ 2; 4 ⊂ 2; exact dups (1,4): higher id contained in lower, once
+    assert(got == Set((1L, 2L), (4L, 2L), (4L, 1L)), s"got $got")
+  }
+
   test("simhash finds the near-dup pairs with high recall (sf0.01)") {
     val truth = SparkEntry.queries("q34_jaccard_dupes")(spark, TestSpark.sf001)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
