@@ -155,6 +155,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p131.contains("partial"), s"q131 lacks partial aggregation:\n$p131")
   }
 
+  test("q117 plans as a two-level aggregate, never a countDistinct Expand") {
+    // two countDistinct aggs would plan an Expand that triples fact rows
+    // before the exchange — the rewrite this pin protects replaced them
+    // with per-(order,supplier) max + plain counts
+    val p = plan("q117_exclusive_blame")
+    assert(!p.contains("Expand"), s"q117 re-grew an Expand:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"q117 top-k regressed:\n$p")
+  }
+
   test("every collect() in main is enumerated and bounded (no data-sized collects)") {
     // Driver-side collect is only legitimate when the result is BOUNDED by
     // construction — a broadcast-dim-sized table, a merge rule, a sketch

@@ -202,6 +202,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("containment pairs equal an all-pairs scan on random truncated corpora") {
+    import spark.implicits._
+    // random 6-12 word docs over a small vocab, plus planted prefixes,
+    // suffixes, middle slices, and verbatim copies of some of them
+    val vocab = Vector("ax", "bx", "cx", "dx", "ex", "fx", "gx")
+    val docGen = Gen.choose(6, 12).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf(vocab)))
+    val base = samples(docGen, 30).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws) }
+    val planted = base.take(8).zipWithIndex.flatMap { case ((id, ws), i) =>
+      val cut = i % 3 match {
+        case 0 => ws.drop(1)                   // suffix
+        case 1 => ws.dropRight(2)              // prefix
+        case _ => ws.drop(1).dropRight(1)      // middle slice
+      }
+      Seq((200L + id, cut), (300L + id, ws))   // slice + verbatim copy
+    }
+    val corpus = base ++ planted
+    val df = corpus.map { case (id, ws) => (id, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.containmentPairs(df, n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: contiguous word-subsequence containment, same tiebreak
+    val eligible = corpus.filter(_._2.size >= 5)
+    val brute = (for {
+      (ida, a) <- eligible
+      (idb, b) <- eligible
+      if ida != idb && b.containsSlice(a)
+      la = a.mkString(" ").length; lb = b.mkString(" ").length
+      if lb > la || (lb == la && idb < ida)
+    } yield (ida, idb)).toSet
+    assert(brute.nonEmpty)
+    assert(got == brute,
+      s"missing=${brute -- got} spurious=${got -- brute}")
+  }
+
   test("stub tts output length bounded and deterministic") {
     val tts = new StubTts
     samples(textGen, 30).foreach { t =>
