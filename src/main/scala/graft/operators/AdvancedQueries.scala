@@ -162,6 +162,37 @@ object AdvancedQueries {
   private def q84(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingDupPairs(Tables.embeddings(s, d), "embedding", "vec_id")
 
+  /** q136: semantic dedup DECISION (SemDeDup shape) — embedding-cosine
+    * near-dup pairs from the LSH scale path (q84), closed into components
+    * ([[Dedup.dupComponents]] min-label propagation) and rolled into
+    * survivor groups: each component keeps its min vec_id. The full chain —
+    * hyperplane bucketing, chunk-band candidate join, exact-cosine verify,
+    * iterative closure — is oracle-checked against brute-force pairs plus a
+    * recursive-CTE transitive closure (the q89 pattern, on embeddings). */
+  private def q136(s: SparkSession, d: String): DataFrame =
+    Dedup.dupGroups(
+      Dedup.embeddingDupPairs(Tables.embeddings(s, d), "embedding", "vec_id")
+        .select(col("da"), col("db")))
+
+  private val q136Sql =
+    """WITH RECURSIVE n AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nm
+      |  FROM embeddings),
+      |p AS (SELECT a.vec_id AS da, b.vec_id AS db,
+      |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |      q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))) / (a.nm * b.nm) AS sim
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id),
+      |d AS (SELECT da, db FROM p WHERE sim >= 0.5),
+      |e AS (SELECT da AS a, db AS b FROM d UNION SELECT db, da FROM d),
+      |r AS (SELECT a, b FROM e
+      |      UNION
+      |      SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+      |lab AS (SELECT a AS v, least(a, min(b)) AS comp FROM r GROUP BY a)
+      |SELECT comp AS component, count(*) AS n_docs,
+      |  array_to_string(list_sort(list(v)), ',') AS members
+      |FROM lab GROUP BY comp""".stripMargin
+
   /** q46: full-text-search inverted postings (SURVEY §2.9 L13): term →
     * document-frequency + sorted posting list. explode → groupBy(term) is
     * the classic distributed index build (one shuffle on term). */
@@ -567,6 +598,7 @@ object AdvancedQueries {
     QueryDef("q44_approx_distinct", q44, Some(q44Sql)),
     QueryDef("q45_embedding_neardup", q45, Some(q45Sql)),
     QueryDef("q84_embedding_neardup_lsh", q84, Some(q45Sql)),
+    QueryDef("q136_semantic_survivors", q136, Some(q136Sql)),
     QueryDef("q46_fts_postings", q46, Some(q46Sql)),
     // binary-digest features (not SQL-portable) — rows-only in the driver
     // gate; value-pinned by its portable sibling q75 (oracle-green)
