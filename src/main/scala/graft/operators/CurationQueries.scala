@@ -744,5 +744,5 @@ object CurationQueries {
     QueryDef("q126_bpe_merges", q126, Some(q126Sql)),
     QueryDef("q130_bpe_encode", q130, Some(q130Sql)),
     QueryDef("q133_tokenize_pack", q133, Some(q133Sql)),
-    QueryDef("q134_cross_doc_grams", q134, Some(q134Sql)))
+    QueryDef("q134_cross_doc_grams", q134, Some(q134Sql), bench = true))
 }

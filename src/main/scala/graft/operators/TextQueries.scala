@@ -423,7 +423,7 @@ object TextQueries {
     QueryDef("q34_jaccard_dupes", q34, Some(dupPairsSql)),
     QueryDef("q35_minhash_dupes", q35, Some(dupPairsSql), bench = true),
     QueryDef("q89_dup_components", q89, Some(q89Sql)),
-    QueryDef("q135_containment_dupes", q135, Some(q135Sql)),
+    QueryDef("q135_containment_dupes", q135, Some(q135Sql), bench = true),
     // xxhash64 scale path — rows-only in the driver gate; value-pinned by
     // its portable-hash sibling q69_simhash_portable (oracle-green)
     QueryDef("q36_simhash_dupes", q36, None),
