@@ -149,6 +149,55 @@ object TextQueries {
       |  AND (length(b.text) > length(a.text)
       |       OR (length(b.text) = length(a.text) AND b.doc_id < a.doc_id))""".stripMargin
 
+  /** q137: dedup survivor corpus — the END of the dedup pipeline: near-dup
+    * pairs (q35 scale path) → components (q89) → every non-survivor member
+    * anti-joined OUT of the corpus, reported per source as kept/dropped doc
+    * and kept-token counts. The anti-join is keyed on doc_id (uniform);
+    * the non-survivor set is component-bounded (≤ one row per duplicated
+    * doc), so at 100 TB it is the small side and broadcasts — pruning the
+    * corpus costs one scan plus a dim-sized join, not a fact shuffle. */
+  private def q137(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val comps = Dedup.dupComponents(
+      Dedup.minhashDupPairs(all, n = 3, numHashes = 32,
+        rowsPerBand = 2, threshold = 0.5).select(col("da"), col("db")))
+    val dropped = comps.filter(col("v") =!= col("comp"))
+      .select(col("v").as("doc_id"))
+    val flagged = all.join(broadcast(dropped.withColumn("is_dup", lit(1))),
+      Seq("doc_id"), "left")
+    flagged.groupBy(col("source"))
+      .agg(count(when(col("is_dup").isNull, 1)).as("n_kept"),
+        count(col("is_dup")).as("n_dropped"),
+        sum(when(col("is_dup").isNull, tokenCount(col("text")))
+          .otherwise(0L)).cast("long").as("kept_tokens"))
+  }
+
+  private val q137Sql =
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(ws) >= 3
+      |         THEN list_transform(generate_series(1, len(ws) - 2),
+      |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |         ELSE [] END) AS sg FROM w),
+      |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+      |        CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+      |          / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j
+      |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      |d AS (SELECT da, db FROM p WHERE j >= 0.5),
+      |e AS (SELECT da AS a, db AS b FROM d UNION SELECT db, da FROM d),
+      |r AS (SELECT a, b FROM e
+      |      UNION
+      |      SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+      |lab AS (SELECT a AS v, least(a, min(b)) AS comp FROM r GROUP BY a),
+      |dr AS (SELECT v AS doc_id FROM lab WHERE v != comp)
+      |SELECT d.source,
+      |  count(CASE WHEN dr.doc_id IS NULL THEN 1 END) AS n_kept,
+      |  count(dr.doc_id) AS n_dropped,
+      |  CAST(sum(CASE WHEN dr.doc_id IS NULL
+      |       THEN len(string_split(d.text, ' ')) ELSE 0 END) AS BIGINT) AS kept_tokens
+      |FROM documents d LEFT JOIN dr ON d.doc_id = dr.doc_id
+      |GROUP BY d.source""".stripMargin
+
   /** q36: SimHash near-dup pairs (hamming ≤ 3 via 16-bit banding) — no SQL
     * oracle (xxhash64 isn't reproducible in DuckDB; q69 runs the identical
     * pipeline on the portable hash under the oracle gate); unit-tested
@@ -424,6 +473,7 @@ object TextQueries {
     QueryDef("q35_minhash_dupes", q35, Some(dupPairsSql), bench = true),
     QueryDef("q89_dup_components", q89, Some(q89Sql)),
     QueryDef("q135_containment_dupes", q135, Some(q135Sql), bench = true),
+    QueryDef("q137_dedup_survivors", q137, Some(q137Sql)),
     // xxhash64 scale path — rows-only in the driver gate; value-pinned by
     // its portable-hash sibling q69_simhash_portable (oracle-green)
     QueryDef("q36_simhash_dupes", q36, None),
