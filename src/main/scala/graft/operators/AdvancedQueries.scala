@@ -591,6 +591,54 @@ object AdvancedQueries {
       |       count(DISTINCT event_id) AS n_ids
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** q138: STREAMING heavy hitters — q131's Misra-Gries Aggregator run as a
+    * streaming GLOBAL aggregate: per micro-batch the UDAF partials combine
+    * map-side, one O(k) buffer lives in the state store, and the
+    * complete-mode drain emits the final sketch. k=4 under 5 event types
+    * forces the decrement path through the streaming state. The drained
+    * sketch is judged against exact batch counts under the q131 contract —
+    * sound here because MG's guarantees (presence above n/(k+1), no
+    * overestimate, bounded undercount) hold under ANY partial/merge order,
+    * including the micro-batch order of a streaming drain; n_heavy and the
+    * totals are exact on both engines. */
+  private def q138(s: SparkSession, d: String): DataFrame = {
+    val k = 4
+    val mg = udaf(graft.functions.HeavyHitters(k))
+    val stream = graft.streaming.EventsStream.readEventsDir(s, d)
+      .select(col("event_type"))
+    val drained = graft.streaming.EventsStream.runToMemory(s,
+      stream.agg(mg(col("event_type")).as("hh")), "q138_hh", "complete")
+    val sketch = drained.select(explode(col("hh")).as(Seq("w", "est")))
+    val exact = Tables.events(s, d)
+      .groupBy(col("event_type").as("w")).agg(count(lit(1)).as("cnt"))
+    val tot = exact.agg(sum(col("cnt")).cast("long").as("n_events"))
+    exact.join(broadcast(sketch), Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("thr", expr(s"n_events div ${k + 1}"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        max(col("n_events")).as("n_events"),
+        coalesce(sum(when(col("cnt") > col("thr"), 1)), lit(0))
+          .cast("long").as("n_heavy"),
+        (coalesce(sum(when(col("cnt") > col("thr") && col("est").isNull, 1)),
+          lit(0)) === 0).as("all_heavy_present"),
+        (coalesce(sum(when(col("est") > col("cnt"), 1)), lit(0)) === 0)
+          .as("never_overestimates"),
+        (coalesce(sum(when(col("est").isNotNull &&
+          col("cnt") - col("est") > col("thr"), 1)), lit(0)) === 0)
+          .as("within_bound"))
+  }
+
+  private val q138Sql =
+    """WITH c AS (SELECT event_type AS w, count(*) AS cnt FROM events GROUP BY 1),
+      |s AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_events FROM c)
+      |SELECT count(*) AS n_types, s.n_events,
+      |  CAST(sum(CASE WHEN cnt > s.n_events // 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_heavy,
+      |  TRUE AS all_heavy_present, TRUE AS never_overestimates,
+      |  TRUE AS within_bound
+      |FROM c, s GROUP BY s.n_events""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q27_sessionize", q27, Some(q27Sql), bench = true),
     QueryDef("q28_stats_agg", q28, Some(q28Sql)),
@@ -608,6 +656,7 @@ object AdvancedQueries {
     QueryDef("q50_trade_volume", q50, Some(q50Sql), bench = true),
     QueryDef("q51_status_pivot", q51, Some(q51Sql)),
     QueryDef("q67_stream_sessions", q67, Some(q67Sql)),
+    QueryDef("q138_stream_heavy_hitters", q138, Some(q138Sql)),
     QueryDef("q70_binary_digest", q70, Some(q70Sql)),
     QueryDef("q71_lake_roundtrip", q71, Some(q71Sql)),
     QueryDef("q75_media_extract", q75, Some(q75Sql)),
