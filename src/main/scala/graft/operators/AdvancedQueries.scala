@@ -170,9 +170,9 @@ object AdvancedQueries {
     * iterative closure — is oracle-checked against brute-force pairs plus a
     * recursive-CTE transitive closure (the q89 pattern, on embeddings). */
   private def q136(s: SparkSession, d: String): DataFrame =
-    Dedup.dupGroups(
-      Dedup.embeddingDupPairs(Tables.embeddings(s, d), "embedding", "vec_id")
-        .select(col("da"), col("db")))
+    // literally q84's pair pipeline — reusing the def keeps the two from
+    // drifting if the LSH parameters are ever tuned
+    Dedup.dupGroups(q84(s, d).select(col("da"), col("db")))
 
   private val q136Sql =
     """WITH RECURSIVE n AS (SELECT vec_id, embedding,
@@ -438,8 +438,10 @@ object AdvancedQueries {
     * dimension side of each join BEFORE the fact is touched: the filtered
     * nations shrink supplier/customer first (broadcast joins over tiny
     * inputs), the shrunken customer shrinks orders, and only then does
-    * lineitem join — cut to the target nations' ~8% by a broadcast semi
-    * shape before the single orderkey shuffle. At 100 TB that ordering is
+    * lineitem join — cut to the target nations' ~8% before the single
+    * orderkey shuffle (AQE broadcasts the small slices at bench scale; at
+    * cluster scale they shuffle, which is the safe choice). At 100 TB that
+    * ordering is
     * the difference between shuffling every lineitem row and shuffling the
     * target slice; Spark's CBO join reorder is off by default, so the
     * DataFrame declaration order IS the join order for this chain. The
@@ -455,7 +457,8 @@ object AdvancedQueries {
       .filter(col("cust_nation").isin(target: _*))
     // only the nation slices carry a broadcast hint (bounded at any scale);
     // the filtered supplier/customer/orders slices are left to AQE — tiny
-    // here, but fact/12.5-sized at 100 TB where a forced broadcast would OOM
+    // here (AQE broadcasts them at runtime), but fact-proportional at
+    // 100 TB where a forced broadcast would OOM
     val fs = Tables.supplier(s, d)
       .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
       .select(col("s_suppkey"), col("supp_nation"))
@@ -466,7 +469,7 @@ object AdvancedQueries {
       .join(fc, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("cust_nation"))
     li(s, d)
-      .join(broadcast(fs), col("l_suppkey") === col("s_suppkey"))
+      .join(fs, col("l_suppkey") === col("s_suppkey"))
       .join(fo, col("l_orderkey") === col("o_orderkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
@@ -611,22 +614,8 @@ object AdvancedQueries {
     val sketch = drained.select(explode(col("hh")).as(Seq("w", "est")))
     val exact = Tables.events(s, d)
       .groupBy(col("event_type").as("w")).agg(count(lit(1)).as("cnt"))
-    val tot = exact.agg(sum(col("cnt")).cast("long").as("n_events"))
-    exact.join(broadcast(sketch), Seq("w"), "left")
-      .crossJoin(broadcast(tot))
-      .withColumn("thr", expr(s"n_events div ${k + 1}"))
-      .agg(
-        count(lit(1)).as("n_types"),
-        max(col("n_events")).as("n_events"),
-        coalesce(sum(when(col("cnt") > col("thr"), 1)), lit(0))
-          .cast("long").as("n_heavy"),
-        (coalesce(sum(when(col("cnt") > col("thr") && col("est").isNull, 1)),
-          lit(0)) === 0).as("all_heavy_present"),
-        (coalesce(sum(when(col("est") > col("cnt"), 1)), lit(0)) === 0)
-          .as("never_overestimates"),
-        (coalesce(sum(when(col("est").isNotNull &&
-          col("cnt") - col("est") > col("thr"), 1)), lit(0)) === 0)
-          .as("within_bound"))
+    SketchContract.misraGries(sketch, exact, k,
+      distinctName = "n_types", totalName = "n_events")
   }
 
   private val q138Sql =

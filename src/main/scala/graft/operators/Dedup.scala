@@ -311,11 +311,15 @@ object Dedup {
     * (contained, container). */
   def containmentPairs(docs: DataFrame, n: Int = 5): DataFrame = {
     import graft.functions.WordNgrams
-    val t = docs.select(col("doc_id"), col("text"))
-    val grams = t.select(col("doc_id").as("db"),
-      explode(array_distinct(WordNgrams(col("text"), n))).as("gram"))
+    // one cached scan+shingle pass feeds all four plan branches (grams,
+    // first-grams, and both text sides of the verify join) — the
+    // minhashDupPairs convention; array_distinct preserves first-occurrence
+    // order, so element 0 of the distinct array IS the first n-gram
+    val t = docs.select(col("doc_id"), col("text"),
+      array_distinct(WordNgrams(col("text"), n)).as("sg")).cache()
+    val grams = t.select(col("doc_id").as("db"), explode(col("sg")).as("gram"))
     val firstGram = t.select(col("doc_id").as("da"),
-      get(WordNgrams(col("text"), n), lit(0)).as("gram"))
+      get(col("sg"), lit(0)).as("gram"))
       .filter(col("gram").isNotNull)
     val cand = firstGram.join(grams, Seq("gram"))
       .filter(col("da") =!= col("db"))

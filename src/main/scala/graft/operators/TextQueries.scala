@@ -158,9 +158,9 @@ object TextQueries {
     * corpus costs one scan plus a dim-sized join, not a fact shuffle. */
   private def q137(s: SparkSession, d: String): DataFrame = {
     val all = docs(s, d)
-    val comps = Dedup.dupComponents(
-      Dedup.minhashDupPairs(all, n = 3, numHashes = 32,
-        rowsPerBand = 2, threshold = 0.5).select(col("da"), col("db")))
+    // literally q35's pair pipeline — reusing the def keeps the two from
+    // drifting if the LSH parameters are ever tuned
+    val comps = Dedup.dupComponents(q35(s, d).select(col("da"), col("db")))
     val dropped = comps.filter(col("v") =!= col("comp"))
       .select(col("v").as("doc_id"))
     val flagged = all.join(broadcast(dropped.withColumn("is_dup", lit(1))),
@@ -392,22 +392,8 @@ object TextQueries {
     val sketch = toks.agg(mg(col("w")).as("hh"))
       .select(explode(col("hh")).as(Seq("w", "est"))) // ≤ k rows
     val exact = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    val tot = exact.agg(sum(col("cnt")).cast("long").as("n_tokens"))
-    exact.join(broadcast(sketch), Seq("w"), "left")
-      .crossJoin(broadcast(tot))
-      .withColumn("thr", expr(s"n_tokens div ${k + 1}"))
-      .agg(
-        count(lit(1)).as("n_distinct"),
-        max(col("n_tokens")).as("n_tokens"),
-        coalesce(sum(when(col("cnt") > col("thr"), 1)), lit(0))
-          .cast("long").as("n_heavy"),
-        (coalesce(sum(when(col("cnt") > col("thr") && col("est").isNull, 1)),
-          lit(0)) === 0).as("all_heavy_present"),
-        (coalesce(sum(when(col("est") > col("cnt"), 1)), lit(0)) === 0)
-          .as("never_overestimates"),
-        (coalesce(sum(when(col("est").isNotNull &&
-          col("cnt") - col("est") > col("thr"), 1)), lit(0)) === 0)
-          .as("within_bound"))
+    SketchContract.misraGries(sketch, exact, k,
+      distinctName = "n_distinct", totalName = "n_tokens")
   }
 
   private val q131Sql =
