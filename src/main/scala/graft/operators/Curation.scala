@@ -62,17 +62,20 @@ object Curation {
     * with a fixed eval set), this scores every doc against the WHOLE corpus.
     * Returns (doc_id, n_grams, n_shared).
     *
-    * Scale shape: two shuffles, both keyed on the ~uniform high-cardinality
-    * gram string — the per-gram doc-frequency agg (map-side combinable, and
+    * Scale shape: two shuffles, both keyed on ~uniform high-cardinality
+    * grams — the per-gram doc-frequency agg (map-side combinable, and
     * exact because per-doc grams are pre-distinct'd so count == doc
     * frequency) and the join back onto the exploded grams. Catalyst reuses
     * the agg's exchange for the join's build side, so the gram set shuffles
-    * twice, not three times. At 100 TB key both on xxhash64(gram) to shrink
-    * the shuffle payload (byte-identical modulo 2^-64 collisions); the
-    * string key is kept here for cross-engine oracle exactness. */
+    * twice, not three times. Both shuffles key on xxhash64(gram), not the
+    * n-word gram string — an 8-byte payload per row instead of dozens of
+    * chars. The OUTPUT (per-doc counts) is unchanged by the hashing modulo
+    * 2^-64 collisions, which is why the string-joining DuckDB oracle still
+    * hash-matches it. */
   def crossDocDupCounts(docs: DataFrame, n: Int = 5, minDocs: Int = 2): DataFrame = {
     val grams = docs.select(col("doc_id"),
-      explode(array_distinct(WordNgrams(col("text"), n))).as("gram"))
+        explode(array_distinct(WordNgrams(col("text"), n))).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gram"))
     val docFreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("nd"))
     grams.join(docFreq, Seq("gram"))
       .groupBy(col("doc_id"))
