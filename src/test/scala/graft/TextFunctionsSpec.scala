@@ -25,6 +25,25 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got(2) == Seq("x  y")) // split(" ",-1) keeps the empty middle token
   }
 
+  test("WordNgrams byte-level kernel matches String.split on multi-byte text") {
+    import spark.implicits._
+    // the kernel finds boundaries on raw bytes (0x20 never occurs inside a
+    // UTF-8 multi-byte sequence) and slices grams from the original bytes;
+    // multi-byte chars, leading/trailing/double spaces, and empty input
+    // must all equal the decoded split(" ", -1) + space-join reference
+    val cases = Seq("héllo wörld ünïcode テスト five",
+      " leading", "trailing ", "dou  ble", "", "  ", "日本 語 テ キ スト")
+    val got = cases.toDF("t").select(WordNgrams(col("t"), 2))
+      .collect().map(_.getSeq[String](0))
+    cases.zip(got).foreach { case (text, grams) =>
+      val toks = text.split(" ", -1)
+      val expect =
+        if (toks.length < 2) Seq.empty
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+      assert(grams == expect, s"for <$text>")
+    }
+  }
+
   test("jaccard of identical and disjoint sets") {
     import spark.implicits._
     val df = Seq((Seq("a", "b"), Seq("a", "b")), (Seq("a"), Seq("b")))
