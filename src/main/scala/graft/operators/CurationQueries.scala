@@ -694,6 +694,49 @@ object CurationQueries {
       |  CAST((1000000 * sum(CASE WHEN rk <= 10 THEN cnt END)) // sum(cnt) AS BIGINT) AS top10_share_ppm
       |FROM r""".stripMargin
 
+  /** q139: contamination REMOVAL — q90's screen applied as the decision
+    * (the q137 pattern for the contamination axis): training docs whose
+    * eval-set 5-gram overlap is ≥ 0.5 are dropped, and the clean corpus is
+    * reported per source as kept/dropped docs and kept tokens. The flagged
+    * set is screen-bounded (≤ one row per contaminated doc), so the prune
+    * is a broadcast join against the training scan — no fact shuffle. Docs
+    * under the gram width have no shingles, are absent from the screen, and
+    * are kept (same contract as q90). */
+  private def q139(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val train = all.filter(col("doc_id") % 10 =!= 0)
+    val flagged = Curation.contaminationCounts(
+        train, all.filter(col("doc_id") % 10 === 0), n = 5)
+      .filter(col("n_contam").cast("double") / col("n_sh") >= 0.5)
+      .select(col("doc_id"), lit(1).as("hit"))
+    train.join(broadcast(flagged), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(when(col("hit").isNull, 1)).as("n_kept"),
+        count(col("hit")).as("n_dropped"),
+        sum(when(col("hit").isNull, tokenCount(col("text")))
+          .otherwise(0L)).cast("long").as("kept_tokens"))
+  }
+
+  private val q139Sql =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws)>=5
+      |  THEN list_transform(generate_series(1,len(ws)-4),
+      |       i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])
+      |  ELSE [] END) AS sg FROM w),
+      |ev AS (SELECT DISTINCT unnest(sg) AS s FROM sh WHERE doc_id % 10 = 0),
+      |tr AS (SELECT doc_id, unnest(sg) AS s FROM sh WHERE doc_id % 10 != 0),
+      |ov AS (SELECT tr.doc_id, count(*) AS n_sh, count(ev.s) AS n_contam
+      |       FROM tr LEFT JOIN ev ON tr.s = ev.s GROUP BY 1),
+      |fl AS (SELECT doc_id FROM ov WHERE CAST(n_contam AS DOUBLE)/n_sh >= 0.5)
+      |SELECT d.source,
+      |  count(CASE WHEN fl.doc_id IS NULL THEN 1 END) AS n_kept,
+      |  count(fl.doc_id) AS n_dropped,
+      |  CAST(sum(CASE WHEN fl.doc_id IS NULL
+      |       THEN len(string_split(d.text, ' ')) ELSE 0 END) AS BIGINT) AS kept_tokens
+      |FROM documents d LEFT JOIN fl ON d.doc_id = fl.doc_id
+      |WHERE d.doc_id % 10 != 0
+      |GROUP BY d.source""".stripMargin
+
   /** q134: cross-document duplicate n-gram fraction — the corpus-wide
     * complement of q93's within-doc repetition: for each doc, the share of
     * its distinct 5-grams that occur in ≥2 documents (Gopher-style
@@ -744,5 +787,6 @@ object CurationQueries {
     QueryDef("q126_bpe_merges", q126, Some(q126Sql)),
     QueryDef("q130_bpe_encode", q130, Some(q130Sql)),
     QueryDef("q133_tokenize_pack", q133, Some(q133Sql)),
-    QueryDef("q134_cross_doc_grams", q134, Some(q134Sql), bench = true))
+    QueryDef("q134_cross_doc_grams", q134, Some(q134Sql), bench = true),
+    QueryDef("q139_decontam_corpus", q139, Some(q139Sql)))
 }
