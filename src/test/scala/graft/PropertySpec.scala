@@ -238,6 +238,32 @@ class PropertySpec extends AnyFunSuite {
       s"missing=${brute -- got} spurious=${got -- brute}")
   }
 
+  test("cross-doc dup-gram counts equal a brute-force scan on random corpora") {
+    import spark.implicits._
+    // 3-symbol vocab makes 5-gram collisions across docs common
+    val vocab = Vector("qa", "qb", "qc")
+    val docGen = Gen.choose(4, 10).flatMap(k => Gen.listOfN(k, Gen.oneOf(vocab)))
+    val corpus = samples(docGen, 40).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws) }
+    val df = corpus.map { case (id, ws) => (id, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = graft.operators.Curation.crossDocDupCounts(df, n = 5, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_shared"))).toMap
+    val gramsBy = corpus.collect { case (id, ws) if ws.size >= 5 =>
+      id -> ws.sliding(5).map(_.mkString(" ")).toSet }
+    val docFreq = gramsBy.flatMap(_._2.toSeq)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got.keySet == gramsBy.map(_._1).toSet)
+    var anyShared = false
+    gramsBy.foreach { case (id, gs) =>
+      val nShared = gs.count(g => docFreq(g) >= 2).toLong
+      anyShared ||= nShared > 0
+      assert(got(id) == (gs.size.toLong, nShared), s"doc $id")
+    }
+    assert(anyShared, "corpus planted no shared grams — test is vacuous")
+  }
+
   test("stub tts output length bounded and deterministic") {
     val tts = new StubTts
     samples(textGen, 30).foreach { t =>
