@@ -44,6 +44,30 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native expressions compile under codegen with fallback disabled") {
+    import spark.implicits._
+    // a doGenCode that emits broken Java silently degrades to interpreted
+    // eval in normal runs; with fallback off, the compile error surfaces
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = Seq(("a b c d", Array(1.0f, 0.0f), Array(1.0f, 0.0f)))
+        .toDF("t", "u", "v")
+        .select(WordNgrams(col("t"), 2).as("g"),
+          graft.functions.CosineSimilarity(col("u"), col("v")).as("sim"),
+          graft.functions.Int8Quantize(col("u")).as("q"))
+        .collect().head
+      assert(r.getSeq[String](0) == Seq("a b", "b c", "c d"))
+      assert(r.getDouble(1) == 1.0)
+      assert(r.getSeq[Byte](2).head == 127.toByte)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("jaccard of identical and disjoint sets") {
     import spark.implicits._
     val df = Seq((Seq("a", "b"), Seq("a", "b")), (Seq("a"), Seq("b")))
