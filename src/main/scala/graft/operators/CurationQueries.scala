@@ -737,6 +737,73 @@ object CurationQueries {
       |WHERE d.doc_id % 10 != 0
       |GROUP BY d.source""".stripMargin
 
+  /** q140: per-source quality FLOOR — percentile-threshold filtering with
+    * exact-rank semantics (no approx_percentile: interpolation differs
+    * across engines, ranks do not): each source keeps its top 90% of docs
+    * by (token count, doc_id) rank, and the report shows the kept count,
+    * the effective floor (min kept token count), and kept tokens. The
+    * window is PARTITIONED by source — parallel across sources, never a
+    * global sort (the q53→q85 lesson) — and the count side rides the same
+    * partitioning. */
+  private def q140(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_toks").desc, col("doc_id"))
+    docs(s, d)
+      .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_toks"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .filter(col("rk") <= expr("9 * n_src DIV 10"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        min(col("n_toks")).as("floor_toks"),
+        sum(col("n_toks")).cast("long").as("kept_tokens"))
+  }
+
+  private val q140Sql =
+    """WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_toks
+      |           FROM documents),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY source
+      |                 ORDER BY n_toks DESC, doc_id) AS rk,
+      |        count(*) OVER (PARTITION BY source) AS n_src
+      |      FROM t)
+      |SELECT source, count(*) AS n_kept, min(n_toks) AS floor_toks,
+      |  CAST(sum(n_toks) AS BIGINT) AS kept_tokens
+      |FROM r WHERE rk <= (9 * n_src) // 10
+      |GROUP BY source""".stripMargin
+
+  /** q141: corpus ↔ vector-index integrity audit — after a prune (here the
+    * doc_id%10 eval holdout plays "removed docs") the index contains
+    * ORPHANED vectors and may miss embeddings for kept docs; both failure
+    * modes are counted by one full-outer join on the id, with an exact
+    * orphan-id checksum so the oracle pins WHICH vectors are orphaned, not
+    * just how many. The join keys are unique ids — uniform, shuffle-safe,
+    * and at 100 TB exactly the reconciliation a nightly index-hygiene job
+    * runs before compacting the index. */
+  private def q141(s: SparkSession, d: String): DataFrame = {
+    val kept = docs(s, d).filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"))
+    val vecs = emb(s, d).select(col("vec_id"))
+    kept.join(vecs, col("doc_id") === col("vec_id"), "full_outer")
+      .agg(
+        count(when(col("doc_id").isNotNull && col("vec_id").isNotNull, 1))
+          .as("n_matched"),
+        count(when(col("vec_id").isNull, 1)).as("n_unembedded_docs"),
+        count(when(col("doc_id").isNull, 1)).as("n_orphan_vecs"),
+        coalesce(sum(when(col("doc_id").isNull, col("vec_id"))), lit(0L))
+          .cast("long").as("orphan_id_sum"))
+  }
+
+  private val q141Sql =
+    """WITH k AS (SELECT doc_id FROM documents WHERE doc_id % 10 != 0),
+      |v AS (SELECT vec_id FROM embeddings)
+      |SELECT count(CASE WHEN k.doc_id IS NOT NULL AND v.vec_id IS NOT NULL
+      |             THEN 1 END) AS n_matched,
+      |  count(CASE WHEN v.vec_id IS NULL THEN 1 END) AS n_unembedded_docs,
+      |  count(CASE WHEN k.doc_id IS NULL THEN 1 END) AS n_orphan_vecs,
+      |  CAST(coalesce(sum(CASE WHEN k.doc_id IS NULL THEN v.vec_id END), 0)
+      |       AS BIGINT) AS orphan_id_sum
+      |FROM k FULL OUTER JOIN v ON k.doc_id = v.vec_id""".stripMargin
+
   /** q134: cross-document duplicate n-gram fraction — the corpus-wide
     * complement of q93's within-doc repetition: for each doc, the share of
     * its distinct 5-grams that occur in ≥2 documents (Gopher-style
@@ -788,5 +855,7 @@ object CurationQueries {
     QueryDef("q130_bpe_encode", q130, Some(q130Sql)),
     QueryDef("q133_tokenize_pack", q133, Some(q133Sql)),
     QueryDef("q134_cross_doc_grams", q134, Some(q134Sql), bench = true),
-    QueryDef("q139_decontam_corpus", q139, Some(q139Sql)))
+    QueryDef("q139_decontam_corpus", q139, Some(q139Sql)),
+    QueryDef("q140_quality_floor", q140, Some(q140Sql)),
+    QueryDef("q141_index_orphans", q141, Some(q141Sql)))
 }
