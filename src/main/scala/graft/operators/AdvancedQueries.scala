@@ -603,12 +603,30 @@ object AdvancedQueries {
     * sound here because MG's guarantees (presence above n/(k+1), no
     * overestimate, bounded undercount) hold under ANY partial/merge order,
     * including the micro-batch order of a streaming drain; n_heavy and the
-    * totals are exact on both engines. */
+    * totals are exact on both engines.
+    *
+    * The events are re-staged as three single-file slices and streamed with
+    * maxFilesPerTrigger=1 so the drain runs ≥3 micro-batches — each batch
+    * MERGES its partial into the state-store buffer, exercising the
+    * cross-batch state path a one-file (one-batch) source would skip. */
   private def q138(s: SparkSession, d: String): DataFrame = {
     val k = 4
     val mg = udaf(graft.functions.HeavyHitters(k))
-    val stream = graft.streaming.EventsStream.readEventsDir(s, d)
-      .select(col("event_type"))
+    // slices must outlive this method (the drain below reads them); the
+    // scratch root is reclaimed at JVM exit, like q111's dim tree
+    val dir = graft.TempDirs.scratchAtExit("hh_stream")
+      .resolve("events").toString
+    (0 until 3).foreach { i =>
+      Tables.events(s, d).filter(col("event_id") % 3 === i)
+        .select(col("event_type")).coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val stream = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
     val drained = graft.streaming.EventsStream.runToMemory(s,
       stream.agg(mg(col("event_type")).as("hh")), "q138_hh", "complete")
     val sketch = drained.select(explode(col("hh")).as(Seq("w", "est")))
