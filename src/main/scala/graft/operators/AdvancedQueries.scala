@@ -612,15 +612,15 @@ object AdvancedQueries {
   private def q138(s: SparkSession, d: String): DataFrame = {
     val k = 4
     val mg = udaf(graft.functions.HeavyHitters(k))
-    // slices must outlive this method (the drain below reads them); the
-    // scratch root is reclaimed at JVM exit, like q111's dim tree
-    val dir = graft.TempDirs.scratchAtExit("hh_stream")
-      .resolve("events").toString
-    (0 until 3).foreach { i =>
-      Tables.events(s, d).filter(col("event_id") % 3 === i)
-        .select(col("event_type")).coalesce(1)
-        .write.mode("append").parquet(dir)
-    }
+    // one scan stages the three slices (range-partitioned on event_id%3 —
+    // three deterministic part files, each its own micro-batch below)
+    val base = java.nio.file.Files.createTempDirectory("hh_stream")
+    val dir = base.resolve("events").toString
+    Tables.events(s, d)
+      .select(col("event_type"), pmod(col("event_id"), lit(3)).as("slice"))
+      .repartitionByRange(3, col("slice"))
+      .select(col("event_type"))
+      .write.parquet(dir)
     val stream = s.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("event_type",
@@ -629,6 +629,10 @@ object AdvancedQueries {
       .parquet(dir)
     val drained = graft.streaming.EventsStream.runToMemory(s,
       stream.agg(mg(col("event_type")).as("hh")), "q138_hh", "complete")
+    // the drain is EAGER (processAllAvailable + stop; the memory sink holds
+    // the rows) — unlike q111/q132 nothing reads the staged files after
+    // this point, so reclaim them now rather than at JVM exit
+    graft.TempDirs.rmTree(base)
     val sketch = drained.select(explode(col("hh")).as(Seq("w", "est")))
     val exact = Tables.events(s, d)
       .groupBy(col("event_type").as("w")).agg(count(lit(1)).as("cnt"))

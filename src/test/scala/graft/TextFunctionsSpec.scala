@@ -45,21 +45,27 @@ class TextFunctionsSpec extends AnyFunSuite {
   }
 
   test("native expressions compile under codegen with fallback disabled") {
-    import spark.implicits._
     // a doGenCode that emits broken Java silently degrades to interpreted
-    // eval in normal runs; with fallback off, the compile error surfaces
+    // eval in normal runs; with fallback off, the compile error surfaces.
+    // Inputs MUST be non-foldable and non-local: a Seq(...).toDF projection
+    // is collapsed by ConvertToLocalRelation/ConstantFolding with
+    // interpreted eval before any Java is generated (verified by sabotaging
+    // doGenCode — the local-relation form still passed), so everything here
+    // derives from spark.range's id column
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
-      val r = Seq(("a b c d", Array(1.0f, 0.0f), Array(1.0f, 0.0f)))
-        .toDF("t", "u", "v")
+      val r = spark.range(1)
+        .select(
+          concat(lit("a b c "), col("id").cast("string")).as("t"),
+          array((col("id") + 1).cast("float"), col("id").cast("float")).as("u"))
         .select(WordNgrams(col("t"), 2).as("g"),
-          graft.functions.CosineSimilarity(col("u"), col("v")).as("sim"),
+          graft.functions.CosineSimilarity(col("u"), col("u")).as("sim"),
           graft.functions.Int8Quantize(col("u")).as("q"))
         .collect().head
-      assert(r.getSeq[String](0) == Seq("a b", "b c", "c d"))
+      assert(r.getSeq[String](0) == Seq("a b", "b c", "c 0"))
       assert(r.getDouble(1) == 1.0)
-      assert(r.getSeq[Byte](2).head == 127.toByte)
+      assert(r.getSeq[Byte](2) == Seq(127.toByte, 0.toByte))
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
