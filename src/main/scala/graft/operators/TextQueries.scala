@@ -198,6 +198,51 @@ object TextQueries {
       |FROM documents d LEFT JOIN dr ON d.doc_id = dr.doc_id
       |GROUP BY d.source""".stripMargin
 
+  /** q142: survivor PICKING policy — q137 keeps each component's min
+    * doc_id; real pipelines keep the BEST member (longest, highest quality:
+    * a truncated mirror should lose to its source). Per component, the
+    * survivor is argmax (n_chars, doc_id) via a component-partitioned
+    * window — components are near-cliques and small, so the window
+    * partitions are bounded; no global sort. */
+  private def q142(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = Dedup.dupComponents(q35(s, d).select(col("da"), col("db")))
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col("n_chars").desc, col("v"))
+    comps.join(docs(s, d).select(col("doc_id").as("v"), col("n_chars")), "v")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("comp"))))
+      .filter(col("rk") === 1)
+      .select(col("comp").as("component"), col("v").as("survivor"),
+        col("n_chars").as("survivor_chars"), col("n_docs"))
+  }
+
+  private val q142Sql =
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(ws) >= 3
+      |         THEN list_transform(generate_series(1, len(ws) - 2),
+      |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |         ELSE [] END) AS sg FROM w),
+      |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+      |        CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+      |          / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j
+      |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      |d AS (SELECT da, db FROM p WHERE j >= 0.5),
+      |e AS (SELECT da AS a, db AS b FROM d UNION SELECT db, da FROM d),
+      |r AS (SELECT a, b FROM e
+      |      UNION
+      |      SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+      |lab AS (SELECT a AS v, least(a, min(b)) AS comp FROM r GROUP BY a),
+      |sel AS (SELECT lab.comp, lab.v, doc.n_chars,
+      |          row_number() OVER (PARTITION BY lab.comp
+      |            ORDER BY doc.n_chars DESC, lab.v) AS rk,
+      |          count(*) OVER (PARTITION BY lab.comp) AS n_docs
+      |        FROM lab JOIN documents doc ON lab.v = doc.doc_id)
+      |SELECT comp AS component, v AS survivor, n_chars AS survivor_chars,
+      |  n_docs
+      |FROM sel WHERE rk = 1""".stripMargin
+
   /** q36: SimHash near-dup pairs (hamming ≤ 3 via 16-bit banding) — no SQL
     * oracle (xxhash64 isn't reproducible in DuckDB; q69 runs the identical
     * pipeline on the portable hash under the oracle gate); unit-tested
@@ -460,6 +505,7 @@ object TextQueries {
     QueryDef("q89_dup_components", q89, Some(q89Sql)),
     QueryDef("q135_containment_dupes", q135, Some(q135Sql), bench = true),
     QueryDef("q137_dedup_survivors", q137, Some(q137Sql)),
+    QueryDef("q142_best_survivors", q142, Some(q142Sql)),
     // xxhash64 scale path — rows-only in the driver gate; value-pinned by
     // its portable-hash sibling q69_simhash_portable (oracle-green)
     QueryDef("q36_simhash_dupes", q36, None),
