@@ -149,6 +149,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.sorted == expected.sorted)
   }
 
+  test("misra-gries aggregation state survives a checkpointed restart") {
+    import org.apache.spark.sql.{DataFrame, Row}
+    // k >= distinct keys makes the MG buffer EXACT per-type counts (no
+    // decrements), so recovery is provable to the bit: drain half the
+    // events, stop, stage the rest, restart from the checkpoint — the
+    // final sketch must equal the batch counts over ALL events; losing
+    // the state-store buffer would visibly halve them
+    val srcDir = Files.createTempDirectory("mg_restart_src")
+    val ckpt = Files.createTempDirectory("mg_restart_ckpt").toString
+    val batchEv = Tables.events(spark, TestSpark.sf0001)
+    def stageSlice(n: Int, pred: org.apache.spark.sql.Column): Unit = {
+      val tmp = srcDir.resolve(s"batch$n")
+      batchEv.filter(pred).select(col("event_type"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+      Files.copy(part, srcDir.resolve(s"events$n.parquet"))
+    }
+    @volatile var latest: Map[String, Long] = Map.empty
+    def run(): Unit = {
+      val mg = udaf(graft.functions.HeavyHitters(8))
+      val agg = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType))))
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(srcDir.toString)
+        .agg(mg(col("event_type")).as("hh"))
+      val q = agg.writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.collect().headOption.foreach { r: Row =>
+            latest = r.getMap[String, Long](0).toMap
+          }
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    stageSlice(1, col("event_id") % 2 === 0)
+    run() // first half drained; buffer checkpointed; query STOPS
+    val halfTotal = latest.values.sum
+    stageSlice(2, col("event_id") % 2 =!= 0)
+    run() // restart: the recovered buffer must carry the first half
+    val exact = batchEv.groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(latest == exact,
+      s"restart lost sketch state: got $latest expected $exact")
+    assert(halfTotal < latest.values.sum, "second run added nothing")
+  }
+
   test("watermarked dedup drops duplicate event_ids") {
     val deduped = EventsStream.dedup(EventsStream.readEvents(spark, eventsDir))
     val got = EventsStream.runToMemory(spark, deduped, "dedup_test", "append")
