@@ -206,6 +206,24 @@ object CurationQueries {
       |        ON a.doc_id % 5 != 4 AND b.doc_id % 5 = 4 AND a.doc_id != b.doc_id)
       |SELECT round(j, 4) AS jr, da, db FROM p WHERE j >= 0.5""".stripMargin
 
+  /** q143: PERSISTED dedup index round trip — q95's incremental check with
+    * the corpus side stored ([[DedupIndex]]: band table partitioned by band
+    * bucket, shingle side table by doc bucket) and the batch answered by a
+    * PRUNED probe (only the hit band buckets and the candidate docs'
+    * shingle buckets are read). Same oracle as q95 — the brute cross-split
+    * scan — proving the index-served path loses nothing vs the inline
+    * recompute. The q132/q111 pattern for the dedup family. */
+  private def q143(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    // the probe result lazy-reads the index — the artifact must outlive
+    // this method (reclaimed at JVM exit, like q111's dim tree)
+    val path = graft.TempDirs.scratchAtExit("dedup_idx")
+      .resolve("idx").toString
+    DedupIndex.writeSignatureIndex(
+      all.filter(col("doc_id") % 5 =!= 4), path)
+    DedupIndex.probeIndex(s, path, all.filter(col("doc_id") % 5 === 4))
+  }
+
   /** q96: int8 embedding quantization — the storage format a 100 TB vector
     * index actually persists (4× smaller than float32, SIMD-dot-product
     * friendly): per-vector max-abs scale, symmetric linear map to [-127,127],
@@ -857,5 +875,6 @@ object CurationQueries {
     QueryDef("q134_cross_doc_grams", q134, Some(q134Sql), bench = true),
     QueryDef("q139_decontam_corpus", q139, Some(q139Sql)),
     QueryDef("q140_quality_floor", q140, Some(q140Sql)),
-    QueryDef("q141_index_orphans", q141, Some(q141Sql)))
+    QueryDef("q141_index_orphans", q141, Some(q141Sql)),
+    QueryDef("q143_dedup_index_probe", q143, Some(q95Sql)))
 }

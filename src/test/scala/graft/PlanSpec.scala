@@ -180,6 +180,8 @@ class PlanSpec extends AnyFunSuite {
         (1, "CDC bucket merge: <= nBuckets affected-bucket ids"),
       "operators/Fts.scala" ->
         (3, "postings upsert: doc-bucket, affected-term-bucket, and present-term-bucket id sets, each <= nBuckets"),
+      "operators/DedupIndex.scala" ->
+        (2, "index probe: hit band-bucket ids <= nBuckets + candidate shingle-bucket ids <= nDocBuckets"),
       "operators/CurationQueries.scala" ->
         (1, "q109 CMS: one serialized sketch per language"),
       "llm/RagPipeline.scala" ->

@@ -98,6 +98,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(groups == Set((1L, 4L, "1,2,3,4"), (10L, 2L, "10,11")))
   }
 
+  test("persisted dedup index: pruned probe equals the inline incremental check") {
+    import org.apache.spark.sql.functions.col
+    val all = Tables.documents(spark, TestSpark.sf0001)
+    val corpus = all.filter(col("doc_id") % 5 =!= 4)
+    val batch = all.filter(col("doc_id") % 5 === 4)
+    val dir = java.nio.file.Files.createTempDirectory("dedup_idx_spec")
+      .resolve("idx").toString
+    graft.operators.DedupIndex.writeSignatureIndex(corpus, dir)
+    val probe = graft.operators.DedupIndex.probeIndex(spark, dir, batch)
+    // the bucket filters must land as PARTITION filters (pruned listing)
+    val planStr = probe.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("wb"),
+      s"expected wb partition pruning in probe plan:\n$planStr")
+    val got = probe.collect().map(_.toSeq).toSet
+    val inline = graft.operators.Dedup.incrementalDupPairs(corpus, batch)
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == inline)
+    // on-disk layout: band buckets only
+    val dirs = new java.io.File(dir + "/bands").listFiles
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("wb=")).toSet
+    assert(dirs.nonEmpty && dirs.size <= 16)
+  }
+
   test("containment pairs: word-aligned only, exact dups one-sided, short docs skipped") {
     import spark.implicits._
     val corpus = Seq(
