@@ -109,7 +109,7 @@ class QueriesSpec extends AnyFunSuite {
     val probe = graft.operators.DedupIndex.probeIndex(spark, dir, batch)
     // the bucket filters must land as PARTITION filters (pruned listing)
     val planStr = probe.queryExecution.executedPlan.toString
-    assert(planStr.contains("PartitionFilters") && planStr.contains("wb"),
+    assert("PartitionFilters: \\[[^\\]]*wb".r.findFirstIn(planStr).isDefined,
       s"expected wb partition pruning in probe plan:\n$planStr")
     val got = probe.collect().map(_.toSeq).toSet
     val inline = graft.operators.Dedup.incrementalDupPairs(corpus, batch)
@@ -119,6 +119,15 @@ class QueriesSpec extends AnyFunSuite {
     val dirs = new java.io.File(dir + "/bands").listFiles
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("wb=")).toSet
     assert(dirs.nonEmpty && dirs.size <= 16)
+    // a probe under a mismatched config must fail fast, not silently miss
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.DedupIndex.probeIndex(spark, dir, batch, nBuckets = 32)
+    }
+    assert(e.getMessage.contains("nBuckets=16"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.DedupIndex.probeIndex(spark, dir, batch, numHashes = 16)
+    }
+    assert(e2.getMessage.contains("numHashes=32"))
   }
 
   test("containment pairs: word-aligned only, exact dups one-sided, short docs skipped") {

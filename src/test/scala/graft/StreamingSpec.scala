@@ -82,8 +82,10 @@ class StreamingSpec extends AnyFunSuite {
       .withColumn("ts", unix_micros(col("ts"))) // raw long like the source file
       .coalesce(1).write.mode("overwrite").parquet(srcDir.toString + "/batch1")
     def stage(n: Int): Unit = {
-      val part = Files.list(Paths.get(srcDir.toString + s"/batch$n"))
+      val listing = Files.list(Paths.get(srcDir.toString + s"/batch$n"))
+      val part = try listing
         .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+      finally listing.close()
       Files.copy(part, Paths.get(srcDir.toString, s"events$n.parquet"))
     }
     stage(1)
@@ -163,8 +165,10 @@ class StreamingSpec extends AnyFunSuite {
       val tmp = srcDir.resolve(s"batch$n")
       batchEv.filter(pred).select(col("event_type"))
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp)
+      val listing = Files.list(tmp)
+      val part = try listing
         .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+      finally listing.close()
       Files.copy(part, srcDir.resolve(s"events$n.parquet"))
     }
     @volatile var latest: Map[String, Long] = Map.empty
