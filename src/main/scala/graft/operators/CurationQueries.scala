@@ -224,6 +224,46 @@ object CurationQueries {
     DedupIndex.probeIndex(s, path, all.filter(col("doc_id") % 5 === 4))
   }
 
+  /** q144: dedup index UPSERT round trip (q132's shape for the dedup
+    * family): bulk-build on a v1 crawl (ids %5 ∈ {0,1,2}), upsert a batch
+    * that both ADDS the %5==3 docs and RE-CRAWLS the %5==1 docs with
+    * revised text, then probe the %5==4 slice against the maintained
+    * index. The oracle computes brute-force cross pairs against the FINAL
+    * corpus — proving the re-crawled docs' stale bands died in their old
+    * buckets (their OLD text's pairs are gone, the revised text's pairs
+    * are served) and the added docs are probe-visible. */
+  private def q144(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val path = graft.TempDirs.scratchAtExit("dedup_idx_up")
+      .resolve("idx").toString
+    DedupIndex.writeSignatureIndex(
+      all.filter(col("doc_id") % 5 =!= 3 && col("doc_id") % 5 =!= 4), path)
+    val batch = all.filter(col("doc_id") % 5 === 3)
+      .unionByName(all.filter(col("doc_id") % 5 === 1)
+        .withColumn("text", concat(col("text"), lit(" rev2 extra"))))
+    DedupIndex.upsertSignatureIndex(batch, path)
+    DedupIndex.probeIndex(s, path, all.filter(col("doc_id") % 5 === 4))
+  }
+
+  private val q144Sql =
+    """WITH ca AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 1 THEN text || ' rev2 extra' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 5 != 4),
+      |cb AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4),
+      |sha AS (SELECT doc_id, list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+      |  THEN list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+      |       i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])
+      |  ELSE [] END) AS sg FROM ca),
+      |shb AS (SELECT doc_id, list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+      |  THEN list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+      |       i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||string_split(text,' ')[i+2])
+      |  ELSE [] END) AS sg FROM cb),
+      |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+      |        CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+      |          / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j
+      |      FROM sha a CROSS JOIN shb b)
+      |SELECT round(j, 4) AS jr, da, db FROM p WHERE j >= 0.5""".stripMargin
+
   /** q96: int8 embedding quantization — the storage format a 100 TB vector
     * index actually persists (4× smaller than float32, SIMD-dot-product
     * friendly): per-vector max-abs scale, symmetric linear map to [-127,127],
@@ -876,5 +916,6 @@ object CurationQueries {
     QueryDef("q139_decontam_corpus", q139, Some(q139Sql)),
     QueryDef("q140_quality_floor", q140, Some(q140Sql)),
     QueryDef("q141_index_orphans", q141, Some(q141Sql)),
-    QueryDef("q143_dedup_index_probe", q143, Some(q95Sql)))
+    QueryDef("q143_dedup_index_probe", q143, Some(q95Sql)),
+    QueryDef("q144_dedup_index_upsert", q144, Some(q144Sql)))
 }

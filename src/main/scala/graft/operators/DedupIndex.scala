@@ -85,6 +85,88 @@ object DedupIndex {
     } finally sg.unpersist()
   }
 
+  /** Incremental maintenance — fold a (re-)crawled batch into the index
+    * ([[Fts.upsertPostingsIndex]]'s ordering applied here; drive from
+    * foreachBatch for a streaming feed). A re-crawled doc's OLD bands live
+    * in buckets its new text doesn't reveal, but unlike the postings index
+    * no extra side table is needed: the doc-bucketed SHINGLE table already
+    * stores enough to recompute them. Per batch: old shingles come from a
+    * doc-bucket-pruned read, affected = old ∪ new band buckets, stale rows
+    * anti-join away inside only those buckets, and both tables rewrite only
+    * touched partitions (dynamic overwrite, staged write FIRST, then an
+    * explicit delete of buckets a re-crawl vacated — dynamic overwrite
+    * never rewrites a partition with zero rows; a crash before the delete
+    * is healed by the foreachBatch retry of the same batch). Shingle doc
+    * buckets never empty (every removed id is re-inserted), so the side
+    * write needs no delete pass. Per-batch cost scales with the batch's
+    * band/doc spread, never the index size. */
+  def upsertSignatureIndex(batch: DataFrame, path: String, n: Int = 3,
+      numHashes: Int = 32, rowsPerBand: Int = 2,
+      nBuckets: Int = 16, nDocBuckets: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    requireConfig(spark, path,
+      configOf(n, numHashes, rowsPerBand, nBuckets, nDocBuckets))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bandsPath = path + "/bands"
+    val shPath = path + "/shingles"
+    // "index exists" = at least one band-bucket partition; a bare or
+    // emptied directory routes to the bulk branch (the Fts lesson)
+    val bp = new org.apache.hadoop.fs.Path(bandsPath)
+    val hasIndex = fs.exists(bp) &&
+      fs.listStatus(bp).exists(_.getPath.getName.startsWith("wb="))
+    if (!hasIndex) {
+      writeSignatureIndex(batch, path, n, numHashes, rowsPerBand,
+        nBuckets, nDocBuckets)
+      return
+    }
+    val bsg = Dedup.shingleSets(batch, n).cache()
+    try {
+      val newBands = Dedup.signatureBands(
+          Dedup.minhashSignatures(bsg, numHashes), numHashes, rowsPerBand)
+        .withColumn("wb", bucketOf(col("bh"), nBuckets))
+      val batchIds = bsg.select(col("doc_id")).distinct()
+      // ≤ nDocBuckets values by construction
+      val dbkHit = bsg.select(bucketOf(col("doc_id"), nDocBuckets).as("dbk"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      val oldSg = spark.read.parquet(shPath)
+        .filter(col("dbk").isInCollection(dbkHit))
+        .join(batchIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("sg"))
+      val oldBands = Dedup.signatureBands(
+          Dedup.minhashSignatures(oldSg, numHashes), numHashes, rowsPerBand)
+        .withColumn("wb", bucketOf(col("bh"), nBuckets))
+      // ≤ nBuckets values by construction
+      val affected = newBands.select(col("wb"))
+        .union(oldBands.select(col("wb")))
+        .distinct().collect().map(_.getLong(0)).toSet
+      val merged = spark.read.parquet(bandsPath)
+        .filter(col("wb").isInCollection(affected.toSeq))
+        .join(batchIds, Seq("doc_id"), "left_anti") // drop re-crawled docs
+        .unionByName(newBands)
+      // pin before overwriting the path the plan lazily reads
+      val pinned = merged.localCheckpoint(true)
+      pinned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("wb").parquet(bandsPath)
+      // ≤ nBuckets values by construction
+      val present = pinned.select(col("wb")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      (affected -- present).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(bandsPath, s"wb=$b"), true)
+      }
+      val shMerged = spark.read.parquet(shPath)
+        .filter(col("dbk").isInCollection(dbkHit))
+        .join(batchIds, Seq("doc_id"), "left_anti")
+        .unionByName(
+          bsg.withColumn("dbk", bucketOf(col("doc_id"), nDocBuckets)))
+      shMerged.localCheckpoint(true)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("dbk").parquet(shPath)
+    } finally bsg.unpersist()
+  }
+
   /** Near-dup pairs (jr, da=indexed doc, db=batch doc) for a fresh batch
     * against the persisted index. */
   def probeIndex(spark: SparkSession, path: String, batch: DataFrame,

@@ -181,7 +181,7 @@ class PlanSpec extends AnyFunSuite {
       "operators/Fts.scala" ->
         (3, "postings upsert: doc-bucket, affected-term-bucket, and present-term-bucket id sets, each <= nBuckets"),
       "operators/DedupIndex.scala" ->
-        (2, "index probe: hit band-bucket ids <= nBuckets + candidate shingle-bucket ids <= nDocBuckets"),
+        (5, "probe: hit band-bucket + candidate shingle-bucket id sets; upsert: doc-bucket, affected-band-bucket, present-band-bucket id sets — each <= nBuckets/nDocBuckets"),
       "operators/CurationQueries.scala" ->
         (1, "q109 CMS: one serialized sketch per language"),
       "llm/RagPipeline.scala" ->

@@ -264,6 +264,51 @@ class PropertySpec extends AnyFunSuite {
     assert(anyShared, "corpus planted no shared grams — test is vacuous")
   }
 
+  test("dedup index upsert sequences equal a from-scratch build") {
+    import spark.implicits._
+    import graft.operators.DedupIndex
+    // random corpora with verbatim copies and revisions, applied as a bulk
+    // build plus two upsert batches (adds + re-crawls); the maintained
+    // index must hold exactly the bands/shingles of a from-scratch build
+    // on the final corpus, and a probe must answer identically
+    val docGen = Gen.choose(6, 12)
+      .flatMap(k => Gen.listOfN(k, Gen.oneOf("pa", "pb", "pc", "pd")))
+      .map(_.mkString(" "))
+    val texts = samples(docGen, 24)
+    val v1 = texts.take(16).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val addsA = texts.slice(16, 20).zipWithIndex
+      .map { case (t, i) => (100L + i, t) }
+    val recrawlA = v1.take(3).map { case (id, t) => (id, t + " reva") }
+    val addsB = texts.slice(20, 24).zipWithIndex
+      .map { case (t, i) => (200L + i, t) }
+    val recrawlB = (addsA.take(1) ++ recrawlA.take(1))
+      .map { case (id, t) => (id, t + " revb") }
+    val dir = java.nio.file.Files.createTempDirectory("dedup_idx_prop")
+    val inc = dir.resolve("inc").toString
+    val scratch = dir.resolve("scratch").toString
+    DedupIndex.writeSignatureIndex(v1.toDF("doc_id", "text"), inc)
+    DedupIndex.upsertSignatureIndex((addsA ++ recrawlA).toDF("doc_id", "text"), inc)
+    DedupIndex.upsertSignatureIndex((addsB ++ recrawlB).toDF("doc_id", "text"), inc)
+    // final corpus state after both batches (later revision wins)
+    val finalDocs = (v1 ++ addsA ++ recrawlA ++ addsB ++ recrawlB)
+      .groupBy(_._1).map { case (id, vs) => (id, vs.last._2) }.toSeq
+    DedupIndex.writeSignatureIndex(finalDocs.toDF("doc_id", "text"), scratch)
+    def bands(p: String) = spark.read.parquet(p + "/bands")
+      .collect().map(_.toSeq).toSet
+    def shingles(p: String) = spark.read.parquet(p + "/shingles")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Seq[String]]("sg").toSet)).toSet
+    assert(bands(inc) == bands(scratch), "band tables diverged")
+    assert(shingles(inc) == shingles(scratch), "shingle tables diverged")
+    val probe = finalDocs.take(5)
+      .map { case (id, t) => (1000L + id, t) }.toDF("doc_id", "text")
+    val a = DedupIndex.probeIndex(spark, inc, probe)
+      .collect().map(_.toSeq).toSet
+    val b = DedupIndex.probeIndex(spark, scratch, probe)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("stub tts output length bounded and deterministic") {
     val tts = new StubTts
     samples(textGen, 30).foreach { t =>
