@@ -130,6 +130,47 @@ class QueriesSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("numHashes=32"))
   }
 
+  test("streaming crawl feed maintains the dedup index via foreachBatch") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    val base = java.nio.file.Files.createTempDirectory("dedup_idx_stream")
+    val srcDir = base.resolve("in"); java.nio.file.Files.createDirectories(srcDir)
+    val idx = base.resolve("idx").toString
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    // three crawl slices arriving as separate files; slice 2 re-crawls
+    // slice 0's docs with revised text (the FtsSpec pattern)
+    val slices = Seq(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 === 1),
+      docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("text", concat(col("text"), lit(" recrawl"))))
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val staging = base.resolve(s"stage$i")
+      df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = staging.toFile.listFiles
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part, srcDir.resolve(s"slice$i.parquet"))
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    val q = stream.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        graft.operators.DedupIndex.upsertSignatureIndex(batch, idx))
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    // drained index == one-shot build over the FINAL corpus
+    val finalCorpus = docs.filter(col("doc_id") % 3 === 1)
+      .unionByName(docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("text", concat(col("text"), lit(" recrawl"))))
+    val scratch = base.resolve("scratch").toString
+    graft.operators.DedupIndex.writeSignatureIndex(finalCorpus, scratch)
+    def bands(p: String) = spark.read.parquet(p + "/bands")
+      .collect().map(_.toSeq).toSet
+    assert(bands(idx).nonEmpty && bands(idx) == bands(scratch))
+  }
+
   test("containment pairs: word-aligned only, exact dups one-sided, short docs skipped") {
     import spark.implicits._
     val corpus = Seq(
