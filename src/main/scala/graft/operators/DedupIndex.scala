@@ -73,13 +73,17 @@ object DedupIndex {
       nBuckets: Int = 16, nDocBuckets: Int = 16): Unit = {
     val sg = Dedup.shingleSets(docs, n).cache()
     try {
+      // SHINGLES FIRST: the upsert's "index exists" probe keys on the
+      // bands table, so writing bands last means a crash mid-build leaves
+      // hasIndex=false and the same-batch retry bulk-rebuilds cleanly —
+      // bands-first would wedge every retry on a missing shingle read
+      sg.withColumn("dbk", bucketOf(col("doc_id"), nDocBuckets))
+        .write.partitionBy("dbk").mode("overwrite")
+        .parquet(path + "/shingles")
       Dedup.signatureBands(Dedup.minhashSignatures(sg, numHashes),
           numHashes, rowsPerBand)
         .withColumn("wb", bucketOf(col("bh"), nBuckets))
         .write.partitionBy("wb").mode("overwrite").parquet(path + "/bands")
-      sg.withColumn("dbk", bucketOf(col("doc_id"), nDocBuckets))
-        .write.partitionBy("dbk").mode("overwrite")
-        .parquet(path + "/shingles")
       writeConfig(docs.sparkSession, path,
         configOf(n, numHashes, rowsPerBand, nBuckets, nDocBuckets))
     } finally sg.unpersist()
@@ -110,27 +114,35 @@ object DedupIndex {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bandsPath = path + "/bands"
     val shPath = path + "/shingles"
-    // "index exists" = at least one band-bucket partition; a bare or
-    // emptied directory routes to the bulk branch (the Fts lesson)
-    val bp = new org.apache.hadoop.fs.Path(bandsPath)
-    val hasIndex = fs.exists(bp) &&
-      fs.listStatus(bp).exists(_.getPath.getName.startsWith("wb="))
-    if (!hasIndex) {
+    if (!PartitionedIndexOps.hasPartitions(fs, bandsPath, "wb")) {
+      // bulk branch — also heals a build that crashed mid-write, because
+      // writeSignatureIndex lands bands LAST (see its ordering comment)
       writeSignatureIndex(batch, path, n, numHashes, rowsPerBand,
         nBuckets, nDocBuckets)
       return
     }
     val bsg = Dedup.shingleSets(batch, n).cache()
+    val prunedSh = {
+      // ≤ nDocBuckets values by construction
+      val dbkHit = bsg.select(bucketOf(col("doc_id"), nDocBuckets).as("dbk"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      spark.read.parquet(shPath)
+        .filter(col("dbk").isInCollection(dbkHit)).cache()
+    }
     try {
+      // an unordered batch with the same doc twice has no deterministic
+      // winner — fail loudly; callers collapse re-crawls to one row first
+      require(bsg.count() == bsg.select(col("doc_id")).distinct().count(),
+        "upsert batch contains duplicate doc_id rows — collapse re-crawls " +
+          "to one row per doc before upserting")
       val newBands = Dedup.signatureBands(
           Dedup.minhashSignatures(bsg, numHashes), numHashes, rowsPerBand)
         .withColumn("wb", bucketOf(col("bh"), nBuckets))
       val batchIds = bsg.select(col("doc_id")).distinct()
-      // ≤ nDocBuckets values by construction
-      val dbkHit = bsg.select(bucketOf(col("doc_id"), nDocBuckets).as("dbk"))
-        .distinct().collect().map(_.getLong(0)).toSeq
-      val oldSg = spark.read.parquet(shPath)
-        .filter(col("dbk").isInCollection(dbkHit))
+      // re-crawled docs' OLD bands recompute from the stored shingles; the
+      // pruned buckets (the heavy side of the index) are read ONCE and
+      // cached for both the old-band recompute and the rewrite below
+      val oldSg = prunedSh
         .join(batchIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("sg"))
       val oldBands = Dedup.signatureBands(
@@ -139,24 +151,14 @@ object DedupIndex {
       // ≤ nBuckets values by construction
       val affected = newBands.select(col("wb"))
         .union(oldBands.select(col("wb")))
-        .distinct().collect().map(_.getLong(0)).toSet
+        .distinct().collect().map(_.get(0): Any).toSet
       val merged = spark.read.parquet(bandsPath)
-        .filter(col("wb").isInCollection(affected.toSeq))
+        .filter(col("wb").isInCollection(affected))
         .join(batchIds, Seq("doc_id"), "left_anti") // drop re-crawled docs
         .unionByName(newBands)
-      // pin before overwriting the path the plan lazily reads
-      val pinned = merged.localCheckpoint(true)
-      pinned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("wb").parquet(bandsPath)
-      // ≤ nBuckets values by construction
-      val present = pinned.select(col("wb")).distinct()
-        .collect().map(_.getLong(0)).toSet
-      (affected -- present).foreach { b =>
-        fs.delete(new org.apache.hadoop.fs.Path(bandsPath, s"wb=$b"), true)
-      }
-      val shMerged = spark.read.parquet(shPath)
-        .filter(col("dbk").isInCollection(dbkHit))
+      PartitionedIndexOps.overwriteAffected(merged, bandsPath, "wb",
+        affected, fs)
+      val shMerged = prunedSh
         .join(batchIds, Seq("doc_id"), "left_anti")
         .unionByName(
           bsg.withColumn("dbk", bucketOf(col("doc_id"), nDocBuckets)))
@@ -164,7 +166,11 @@ object DedupIndex {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("dbk").parquet(shPath)
-    } finally bsg.unpersist()
+      // self-heal the config pin: a bulk build that crashed before its
+      // config write would otherwise leave every future probe unvalidated
+      writeConfig(spark, path,
+        configOf(n, numHashes, rowsPerBand, nBuckets, nDocBuckets))
+    } finally { bsg.unpersist(); prunedSh.unpersist() }
   }
 
   /** Near-dup pairs (jr, da=indexed doc, db=batch doc) for a fresh batch

@@ -218,13 +218,7 @@ object Fts {
     val docsPath = path + "_docs"
     batch.persist() // reused by ids/meta/affected/merged below — built once
     try {
-      // "index exists" = the path holds at least one term-bucket partition;
-      // a bare pre-created (or fully emptied) directory routes to the bulk
-      // branch instead of a doomed schema-less merge read
-      val p = new org.apache.hadoop.fs.Path(path)
-      val hasIndex = fs.exists(p) &&
-        fs.listStatus(p).exists(_.getPath.getName.startsWith("wb="))
-      if (hasIndex) {
+      if (PartitionedIndexOps.hasPartitions(fs, path, "wb")) {
         // both collects are bucket-id sets, ≤ nDocBuckets / ≤ nBuckets values
         val dbs = batchMeta.select(col("db")).distinct()
           .collect().map(_.get(0)).toSeq
@@ -244,24 +238,10 @@ object Fts {
           .filter(col("wb").isInCollection(affected))
           .join(batchIds, Seq("doc_id"), "left_anti") // drop re-crawled docs
           .unionByName(batch)
-        val pinned = merged.localCheckpoint(true)
-        // WRITE FIRST, then delete: dynamic overwrite stages and commits
-        // the partitions present in the output, so co-bucketed postings of
-        // untouched docs are never exposed to a crash window. Only the
-        // VACATED buckets (affected but absent from the output — a
-        // re-crawl emptied them) need an explicit delete afterwards;
-        // dynamic overwrite never rewrites a partition with zero rows. A
-        // crash before the delete leaves stale vacated postings, which the
-        // foreachBatch retry of the same batch removes (its affected set
-        // re-covers them).
-        pinned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("wb").parquet(path)
-        val present = pinned.select(col("wb")).distinct()
-          .collect().map(_.get(0)).toSet // ≤ nBuckets values
-        (affected.toSet -- present).foreach { b =>
-          fs.delete(new org.apache.hadoop.fs.Path(path, s"wb=$b"), true)
-        }
+        // staged-overwrite-then-delete-vacated ordering — shared with the
+        // dedup signature index; rationale on PartitionedIndexOps
+        PartitionedIndexOps.overwriteAffected(merged, path, "wb",
+          affected.toSet, fs)
         // the side table second: if a failure lands between the two writes,
         // re-running the SAME batch (foreachBatch retry semantics) still
         // heals — old meta lists the doc's previous buckets, the retry's

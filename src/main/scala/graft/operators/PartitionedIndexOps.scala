@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** The delicate partition-replacement machinery shared by the persisted
+  * indexes ([[Fts]] postings, [[DedupIndex]] signatures): staged dynamic
+  * overwrite FIRST, then an explicit delete of buckets the batch vacated.
+  * Dynamic partition overwrite stages and commits the partitions present
+  * in the output, so co-bucketed rows of untouched docs are never exposed
+  * to a crash window; it never rewrites a partition with zero rows, so
+  * vacated buckets need the explicit delete afterwards. A crash before
+  * the delete leaves stale vacated rows, which a retry of the SAME batch
+  * removes (its affected set re-covers them). One copy of this ordering —
+  * a fix here applies to every index.
+  */
+object PartitionedIndexOps {
+
+  /** Does `path` hold at least one `<partCol>=` partition? A bare
+    * pre-created (or fully emptied) directory must route callers to their
+    * bulk-build branch instead of a doomed schema-less merge read. */
+  def hasPartitions(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      partCol: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith(partCol + "="))
+  }
+
+  /** Replace the `affected` partitions of `path` with `merged`'s rows:
+    * pin (localCheckpoint — the plan may lazily read the path being
+    * overwritten), write with dynamic overwrite, then delete the affected
+    * buckets absent from the output. The `present` collect is bounded by
+    * the caller's bucket count. */
+  def overwriteAffected(merged: DataFrame, path: String, partCol: String,
+      affected: Set[Any],
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val pinned = merged.localCheckpoint(true)
+    pinned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(path)
+    val present = pinned.select(pinned(partCol)).distinct()
+      .collect().map(_.get(0): Any).toSet
+    (affected -- present).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"$partCol=$b"), true)
+    }
+  }
+}

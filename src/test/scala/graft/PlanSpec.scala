@@ -179,9 +179,11 @@ class PlanSpec extends AnyFunSuite {
       "operators/Lakehouse.scala" ->
         (1, "CDC bucket merge: <= nBuckets affected-bucket ids"),
       "operators/Fts.scala" ->
-        (3, "postings upsert: doc-bucket, affected-term-bucket, and present-term-bucket id sets, each <= nBuckets"),
+        (2, "postings upsert: doc-bucket and affected-term-bucket id sets, each <= nBuckets"),
       "operators/DedupIndex.scala" ->
-        (5, "probe: hit band-bucket + candidate shingle-bucket id sets; upsert: doc-bucket, affected-band-bucket, present-band-bucket id sets — each <= nBuckets/nDocBuckets"),
+        (4, "probe: hit band-bucket + candidate shingle-bucket id sets; upsert: doc-bucket + affected-band-bucket id sets — each <= nBuckets/nDocBuckets"),
+      "operators/PartitionedIndexOps.scala" ->
+        (1, "overwriteAffected: present-partition id set, <= the caller's bucket count"),
       "operators/CurationQueries.scala" ->
         (1, "q109 CMS: one serialized sketch per language"),
       "llm/RagPipeline.scala" ->
