@@ -73,10 +73,17 @@ object DedupIndex {
       nBuckets: Int = 16, nDocBuckets: Int = 16): Unit = {
     val sg = Dedup.shingleSets(docs, n).cache()
     try {
-      // SHINGLES FIRST: the upsert's "index exists" probe keys on the
-      // bands table, so writing bands last means a crash mid-build leaves
-      // hasIndex=false and the same-batch retry bulk-rebuilds cleanly —
-      // bands-first would wedge every retry on a missing shingle read
+      requireUniqueIds(sg)
+      // CONFIG FIRST: a crash at any later point leaves the true build
+      // parameters on disk, so a retry (or a differently-configured
+      // caller) validates against reality instead of a vacuous pass that
+      // would let mixed bucket geometries corrupt the index silently.
+      // Then SHINGLES before BANDS: the upsert's "index exists" probe keys
+      // on the bands table, so a crash mid-build leaves hasIndex=false and
+      // the same-batch retry bulk-rebuilds cleanly — bands-first would
+      // wedge every retry on a missing shingle read.
+      writeConfig(docs.sparkSession, path,
+        configOf(n, numHashes, rowsPerBand, nBuckets, nDocBuckets))
       sg.withColumn("dbk", bucketOf(col("doc_id"), nDocBuckets))
         .write.partitionBy("dbk").mode("overwrite")
         .parquet(path + "/shingles")
@@ -84,9 +91,18 @@ object DedupIndex {
           numHashes, rowsPerBand)
         .withColumn("wb", bucketOf(col("bh"), nBuckets))
         .write.partitionBy("wb").mode("overwrite").parquet(path + "/bands")
-      writeConfig(docs.sparkSession, path,
-        configOf(n, numHashes, rowsPerBand, nBuckets, nDocBuckets))
     } finally sg.unpersist()
+  }
+
+  /** An unordered frame with the same doc twice has no deterministic
+    * winner — both the bulk build and the upsert fail loudly; callers
+    * collapse re-crawls to one row per doc first. One aggregation job. */
+  private def requireUniqueIds(sg: DataFrame): Unit = {
+    val r = sg.agg(count(lit(1)).as("n"),
+      countDistinct(col("doc_id")).as("nd")).head
+    require(r.getLong(0) == r.getLong(1),
+      "batch contains duplicate doc_id rows — collapse re-crawls to one " +
+        "row per doc before indexing")
   }
 
   /** Incremental maintenance — fold a (re-)crawled batch into the index
@@ -122,19 +138,15 @@ object DedupIndex {
       return
     }
     val bsg = Dedup.shingleSets(batch, n).cache()
-    val prunedSh = {
+    var prunedSh: Option[DataFrame] = None
+    try {
+      requireUniqueIds(bsg) // before any index read — reject cheaply
       // ≤ nDocBuckets values by construction
       val dbkHit = bsg.select(bucketOf(col("doc_id"), nDocBuckets).as("dbk"))
         .distinct().collect().map(_.getLong(0)).toSeq
-      spark.read.parquet(shPath)
+      val pruned = spark.read.parquet(shPath)
         .filter(col("dbk").isInCollection(dbkHit)).cache()
-    }
-    try {
-      // an unordered batch with the same doc twice has no deterministic
-      // winner — fail loudly; callers collapse re-crawls to one row first
-      require(bsg.count() == bsg.select(col("doc_id")).distinct().count(),
-        "upsert batch contains duplicate doc_id rows — collapse re-crawls " +
-          "to one row per doc before upserting")
+      prunedSh = Some(pruned)
       val newBands = Dedup.signatureBands(
           Dedup.minhashSignatures(bsg, numHashes), numHashes, rowsPerBand)
         .withColumn("wb", bucketOf(col("bh"), nBuckets))
@@ -142,7 +154,7 @@ object DedupIndex {
       // re-crawled docs' OLD bands recompute from the stored shingles; the
       // pruned buckets (the heavy side of the index) are read ONCE and
       // cached for both the old-band recompute and the rewrite below
-      val oldSg = prunedSh
+      val oldSg = pruned
         .join(batchIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("sg"))
       val oldBands = Dedup.signatureBands(
@@ -158,19 +170,12 @@ object DedupIndex {
         .unionByName(newBands)
       PartitionedIndexOps.overwriteAffected(merged, bandsPath, "wb",
         affected, fs)
-      val shMerged = prunedSh
+      val shMerged = pruned
         .join(batchIds, Seq("doc_id"), "left_anti")
         .unionByName(
           bsg.withColumn("dbk", bucketOf(col("doc_id"), nDocBuckets)))
-      shMerged.localCheckpoint(true)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("dbk").parquet(shPath)
-      // self-heal the config pin: a bulk build that crashed before its
-      // config write would otherwise leave every future probe unvalidated
-      writeConfig(spark, path,
-        configOf(n, numHashes, rowsPerBand, nBuckets, nDocBuckets))
-    } finally { bsg.unpersist(); prunedSh.unpersist() }
+      PartitionedIndexOps.pinWrite(shMerged, shPath, "dbk")
+    } finally { bsg.unpersist(); prunedSh.foreach(_.unpersist()) }
   }
 
   /** Near-dup pairs (jr, da=indexed doc, db=batch doc) for a fresh batch

@@ -25,18 +25,26 @@ object PartitionedIndexOps {
       fs.listStatus(p).exists(_.getPath.getName.startsWith(partCol + "="))
   }
 
-  /** Replace the `affected` partitions of `path` with `merged`'s rows:
-    * pin (localCheckpoint — the plan may lazily read the path being
-    * overwritten), write with dynamic overwrite, then delete the affected
-    * buckets absent from the output. The `present` collect is bounded by
-    * the caller's bucket count. */
-  def overwriteAffected(merged: DataFrame, path: String, partCol: String,
-      affected: Set[Any],
-      fs: org.apache.hadoop.fs.FileSystem): Unit = {
-    val pinned = merged.localCheckpoint(true)
+  /** Pin `df` (localCheckpoint — the plan may lazily read the very path
+    * being overwritten) and dynamic-overwrite its partitions into `path`.
+    * Returns the pinned frame for post-write inspection. The shared core
+    * for every self-referential partition rewrite. */
+  def pinWrite(df: DataFrame, path: String, partCol: String): DataFrame = {
+    val pinned = df.localCheckpoint(true)
     pinned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol).parquet(path)
+    pinned
+  }
+
+  /** Replace the `affected` partitions of `path` with `merged`'s rows:
+    * [[pinWrite]], then delete the affected buckets absent from the output
+    * (vacated by a re-crawl). The `present` collect is bounded by the
+    * caller's bucket count. */
+  def overwriteAffected(merged: DataFrame, path: String, partCol: String,
+      affected: Set[Any],
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val pinned = pinWrite(merged, path, partCol)
     val present = pinned.select(pinned(partCol)).distinct()
       .collect().map(_.get(0): Any).toSet
     (affected -- present).foreach { b =>
