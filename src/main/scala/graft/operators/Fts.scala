@@ -179,6 +179,13 @@ object Fts {
       .withColumn("wb", bucketCol(col("word"), nBuckets))
       .persist() // written below AND aggregated into the side table
     try {
+      // config FIRST: a crash at any later point leaves the true bucket
+      // geometry on disk, so every retry or later caller validates against
+      // reality (the merge branch never rewrites config — config-last left
+      // a window where the pin was lost forever)
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        postings.sparkSession.sparkContext.hadoopConfiguration)
+      writeBucketConfig(fs, path, nBuckets, nDocBuckets)
       bucketed.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("wb").parquet(path)
       // doc-bucketed side table (doc_id → occupied term buckets): what lets
@@ -187,9 +194,6 @@ object Fts {
       docMeta(bucketed, nDocBuckets)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("db").parquet(path + "_docs")
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-        postings.sparkSession.sparkContext.hadoopConfiguration)
-      writeBucketConfig(fs, path, nBuckets, nDocBuckets)
     } finally bucketed.unpersist()
   }
 
@@ -262,11 +266,13 @@ object Fts {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("db").parquet(docsPath)
       } else {
+        // config first — same crash-consistency rationale as
+        // writePostingsIndex
+        writeBucketConfig(fs, path, nBuckets, nDocBuckets)
         batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .partitionBy("wb").parquet(path)
         batchMeta.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .partitionBy("db").parquet(docsPath)
-        writeBucketConfig(fs, path, nBuckets, nDocBuckets)
       }
     } finally batch.unpersist()
   }
