@@ -264,6 +264,68 @@ object CurationQueries {
       |      FROM sha a CROSS JOIN shb b)
       |SELECT round(j, 4) AS jr, da, db FROM p WHERE j >= 0.5""".stripMargin
 
+  /** q145: streaming DEDUP-AT-INGEST — the full loop a crawl pipeline runs,
+    * as one Structured Streaming drain: each arriving slice is PROBED
+    * against the persisted signature index (pairs land in a parquet sink,
+    * no driver collect), then UPSERTED so later slices dedup against it.
+    * Slices arrive in doc_id%3 order (mtime-staged, one file per trigger),
+    * so the drained pair set is exactly "every verified near-dup pair
+    * whose container slice precedes its batch slice" — which the oracle
+    * computes directly with a slice-ordered brute join. First slice builds
+    * the index (empty-dir bulk routing), later slices exercise
+    * probe-then-upsert against live state. */
+  private def q145(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val all = docs(s, d).select(col("doc_id"), col("text"))
+    val base = graft.TempDirs.scratchAtExit("stream_ingest_dedup")
+    val srcDir = base.resolve("in"); java.nio.file.Files.createDirectories(srcDir)
+    val idx = base.resolve("idx").toString
+    val pairsDir = base.resolve("pairs").toString
+    (0 until 3).foreach { i =>
+      val staging = base.resolve(s"stage$i")
+      all.filter(col("doc_id") % 3 === i)
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = staging.toFile.listFiles
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      val dst = srcDir.resolve(s"slice$i.parquet")
+      java.nio.file.Files.copy(part, dst)
+      // file-source order = (mtime, path); pin it explicitly so slice i
+      // is always batch i
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 10000))
+    }
+    val q = s.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val b = batch.cache()
+        try {
+          val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+            s.sparkContext.hadoopConfiguration)
+          if (PartitionedIndexOps.hasPartitions(fs, idx + "/bands", "wb"))
+            DedupIndex.probeIndex(s, idx, b)
+              .write.mode("append").parquet(pairsDir)
+          DedupIndex.upsertSignatureIndex(b, idx)
+        } finally b.unpersist()
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    s.read.parquet(pairsDir)
+  }
+
+  private val q145Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+      |  THEN list_transform(generate_series(1, len(ws) - 2),
+      |       i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])
+      |  ELSE [] END) AS sg FROM w),
+      |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+      |        CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+      |          / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS j
+      |      FROM sh a JOIN sh b ON (a.doc_id % 3) < (b.doc_id % 3))
+      |SELECT round(j, 4) AS jr, da, db FROM p WHERE j >= 0.5""".stripMargin
+
   /** q96: int8 embedding quantization — the storage format a 100 TB vector
     * index actually persists (4× smaller than float32, SIMD-dot-product
     * friendly): per-vector max-abs scale, symmetric linear map to [-127,127],
@@ -917,5 +979,6 @@ object CurationQueries {
     QueryDef("q140_quality_floor", q140, Some(q140Sql)),
     QueryDef("q141_index_orphans", q141, Some(q141Sql)),
     QueryDef("q143_dedup_index_probe", q143, Some(q95Sql)),
-    QueryDef("q144_dedup_index_upsert", q144, Some(q144Sql)))
+    QueryDef("q144_dedup_index_upsert", q144, Some(q144Sql)),
+    QueryDef("q145_stream_ingest_dedup", q145, Some(q145Sql)))
 }
