@@ -139,10 +139,61 @@ object Similarity {
     * is the difference between scanning nProbe/nLists of the corpus and
     * scanning all of it. */
   def writeIvfIndex(index: DataFrame, embCol: String,
-      cents: Array[Array[Double]], path: String): Unit =
+      cents: Array[Array[Double]], path: String): Unit = {
+    // centroid pin FIRST (crash-consistency ordering shared with the
+    // Fts/DedupIndex configs): an upsert under different centroids would
+    // assign new vectors to the wrong lists, silently breaking probe
+    // pruning — exact bit-level fingerprint, validated on every upsert
+    writeCentroidPin(index.sparkSession, path, cents)
     ivfAssign(index, embCol, cents)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("list_id").parquet(path)
+  }
+
+  /** Incremental maintenance: vectors are immutable, so folding a new
+    * batch in is APPEND-ONLY — assign against the pinned centroids and
+    * append into the hit list partitions; no rewrite, no vacated buckets,
+    * no crash window beyond parquet's own commit. Probes see the new
+    * vectors immediately (same partition layout). */
+  def upsertIvfIndex(newVecs: DataFrame, embCol: String,
+      cents: Array[Array[Double]], path: String): Unit = {
+    requireCentroidPin(newVecs.sparkSession, path, cents)
+    ivfAssign(newVecs, embCol, cents)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("list_id").parquet(path)
+  }
+
+  private def centroidsFingerprint(cents: Array[Array[Double]]): String =
+    cents.map(_.map(v => java.lang.Long.toHexString(
+      java.lang.Double.doubleToRawLongBits(v))).mkString(","))
+      .mkString(";")
+
+  private def pinPath(path: String) =
+    new org.apache.hadoop.fs.Path(path + "_meta/centroids")
+
+  private def writeCentroidPin(spark: org.apache.spark.sql.SparkSession,
+      path: String, cents: Array[Array[Double]]): Unit = {
+    val p = pinPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(centroidsFingerprint(cents)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def requireCentroidPin(spark: org.apache.spark.sql.SparkSession,
+      path: String, cents: Array[Array[Double]]): Unit = {
+    val p = pinPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val stored = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      require(stored == centroidsFingerprint(cents),
+        s"IVF index at $path was built with different centroids — " +
+          "an upsert under retrained centroids would mis-assign lists")
+    }
+  }
 
   /** Probe a persisted IVF index: the list_id filter prunes partitions at
     * the file index, before any data is read. */

@@ -97,6 +97,28 @@ object SimilarityQueries {
     * checks the whole IVF path: k-means train, list assignment, probe
     * ranking, in-list exact cosine). Recall at nProbe < nLists is covered by
     * IvfSpec. */
+  /** q146: persisted IVF index UPSERT round trip — build on the even
+    * vec_ids (centroids trained on that half alone), append-upsert the odd
+    * half against the pinned centroids, probe every list. nProbe == nLists
+    * makes the result brute-force-exact regardless of centroid quality
+    * (the q62 trick), so the SAME oracle proves the appended vectors are
+    * probe-visible in their assigned lists. Vectors are immutable ⇒ the
+    * upsert is append-only: no rewrite, no vacated buckets. */
+  private def q146(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val qvec = e.filter(col("vec_id") === 1)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    val v1 = e.filter(col("vec_id") % 2 === 0)
+    val cents = Similarity.ivfCentroids(v1, "embedding", "vec_id", 8, 2)
+    val path = graft.TempDirs.scratchAtExit("ivf_upsert")
+      .resolve("idx").toString
+    Similarity.writeIvfIndex(v1, "embedding", cents, path)
+    Similarity.upsertIvfIndex(e.filter(col("vec_id") % 2 === 1),
+      "embedding", cents, path)
+    Similarity.probeIvfIndex(s, path, "embedding", "vec_id", qvec, 10,
+      0 until 8)
+  }
+
   private def q62(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     val qvec = e.filter(col("vec_id") === 1)
@@ -290,6 +312,7 @@ object SimilarityQueries {
     QueryDef("q42_embed_documents", q42, None),
     QueryDef("q43_rag_retrieve", q43, None),
     QueryDef("q62_ivf_knn", q62, Some(q62Sql)),
+    QueryDef("q146_ivf_index_upsert", q146, Some(q62Sql)),
     QueryDef("q66_sql_surface", q66, Some(q66Sql)),
     QueryDef("q72_embed_portable", q72, Some(q72Sql)),
     QueryDef("q73_rag_portable", q73, Some(q73Sql)),

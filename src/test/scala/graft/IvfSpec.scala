@@ -68,6 +68,35 @@ class IvfSpec extends AnyFunSuite {
     assert(dirs.nonEmpty && dirs.subsetOf((0 until 8).map(i => s"list_id=$i").toSet))
   }
 
+  test("IVF upsert appends under the pinned centroids; retrained centroids fail fast") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("ivf_upsert").toString
+    val half = e.filter(col("vec_id") % 2 === 0)
+    val cents = Similarity.ivfCentroids(half, "embedding", "vec_id", 8, 2)
+    Similarity.writeIvfIndex(half, "embedding", cents, dir)
+    Similarity.upsertIvfIndex(e.filter(col("vec_id") % 2 === 1),
+      "embedding", cents, dir)
+    // appended index holds every vector exactly once, in its assigned list
+    val stored = spark.read.parquet(dir)
+    assert(stored.count() == e.count())
+    assert(stored.select(col("vec_id")).distinct().count() == e.count())
+    val expect = Similarity.ivfAssign(e, "embedding", cents)
+      .select(col("vec_id"), col("list_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val got = stored.select(col("vec_id"), col("list_id").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == expect)
+    // an upsert with retrained (different) centroids must refuse
+    val retrained = Similarity.ivfCentroids(e, "embedding", "vec_id", 8, 2)
+    assert(!java.util.Arrays.deepEquals(
+      cents.map(_.map(Double.box)).asInstanceOf[Array[AnyRef]],
+      retrained.map(_.map(Double.box)).asInstanceOf[Array[AnyRef]]))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.upsertIvfIndex(e.limit(1), "embedding", retrained, dir)
+    }
+    assert(ex.getMessage.contains("different centroids"))
+  }
+
   test("centroid update collects one mean-vector row per list, not nLists x dim") {
     val cents = Similarity.ivfCentroids(e, "embedding", "vec_id", 8, 1)
     val means = Similarity.listMeans(e, "embedding", cents)
