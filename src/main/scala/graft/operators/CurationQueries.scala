@@ -298,15 +298,11 @@ object CurationQueries {
       .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        val b = batch.cache()
-        try {
-          val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
-            s.sparkContext.hadoopConfiguration)
-          if (PartitionedIndexOps.hasPartitions(fs, idx + "/bands", "wb"))
-            DedupIndex.probeIndex(s, idx, b)
-              .write.mode("append").parquet(pairsDir)
-          DedupIndex.upsertSignatureIndex(b, idx)
-        } finally b.unpersist()
+        // probe + fold-in with ONE shingle/signature pass over the batch;
+        // the first slice bulk-builds and returns no pairs (the empty
+        // append still creates the sink dir)
+        DedupIndex.ingestBatch(s, idx, batch)
+          .write.mode("append").parquet(pairsDir)
       }
       .option("checkpointLocation", base.resolve("ckpt").toString)
       .start()

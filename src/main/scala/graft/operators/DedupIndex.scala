@@ -33,35 +33,32 @@ object DedupIndex {
     * disk and re-validated at probe time — a probe under a different config
     * would SILENTLY miss duplicates (wrong buckets pruned, wrong band
     * hashes joined), the same footgun the Fts index pins against. */
+  private def configPath(path: String) =
+    new org.apache.hadoop.fs.Path(path + "/_meta/config.json")
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   private def writeConfig(spark: SparkSession, path: String,
-      cfg: Map[String, Int]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path + "/_meta/config.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(cfg.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":$v""" }
-      .mkString("{", ",", "}")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+      cfg: Map[String, Int]): Unit =
+    PartitionedIndexOps.writePin(fsOf(spark, path), configPath(path),
+      cfg.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}"))
 
   private def requireConfig(spark: SparkSession, path: String,
-      cfg: Map[String, Int]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path + "/_meta/config.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      val stored = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      cfg.foreach { case (k, v) =>
-        val got = ("\"" + k + "\":(\\d+)").r.findFirstMatchIn(stored)
-          .map(_.group(1).toInt)
-        require(got.forall(_ == v),
-          s"dedup index at $path was built with $k=${got.get}, " +
-            s"probed with $k=$v — duplicates would be silently missed")
+      cfg: Map[String, Int]): Unit =
+    PartitionedIndexOps.readPin(fsOf(spark, path), configPath(path))
+      .foreach { stored =>
+        cfg.foreach { case (k, v) =>
+          val got = ("\"" + k + "\":(\\d+)").r.findFirstMatchIn(stored)
+            .map(_.group(1).toInt)
+          require(got.forall(_ == v),
+            s"dedup index at $path was built with $k=${got.get}, " +
+              s"probed with $k=$v — duplicates would be silently missed")
+        }
       }
-    }
-  }
 
   private def configOf(n: Int, numHashes: Int, rowsPerBand: Int,
       nBuckets: Int, nDocBuckets: Int): Map[String, Int] =
@@ -138,6 +135,20 @@ object DedupIndex {
       return
     }
     val bsg = Dedup.shingleSets(batch, n).cache()
+    try upsertCore(spark, path, bsg, n, numHashes, rowsPerBand,
+      nBuckets, nDocBuckets, fs)
+    finally bsg.unpersist()
+  }
+
+  /** The merge over a precomputed (cached) shingle frame — shared by
+    * [[upsertSignatureIndex]] and [[ingestBatch]]. Caller owns bsg's
+    * lifecycle; assumes the index exists (bulk routing happens above). */
+  private def upsertCore(spark: SparkSession, path: String, bsg: DataFrame,
+      n: Int, numHashes: Int, rowsPerBand: Int,
+      nBuckets: Int, nDocBuckets: Int,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val bandsPath = path + "/bands"
+    val shPath = path + "/shingles"
     var prunedSh: Option[DataFrame] = None
     try {
       requireUniqueIds(bsg) // before any index read — reject cheaply
@@ -175,7 +186,7 @@ object DedupIndex {
         .unionByName(
           bsg.withColumn("dbk", bucketOf(col("doc_id"), nDocBuckets)))
       PartitionedIndexOps.pinWrite(shMerged, shPath, "dbk")
-    } finally { bsg.unpersist(); prunedSh.foreach(_.unpersist()) }
+    } finally prunedSh.foreach(_.unpersist())
   }
 
   /** Near-dup pairs (jr, da=indexed doc, db=batch doc) for a fresh batch
@@ -186,7 +197,17 @@ object DedupIndex {
       nDocBuckets: Int = 16): DataFrame = {
     requireConfig(spark, path,
       configOf(n, numHashes, rowsPerBand, nBuckets, nDocBuckets))
-    val bsg = Dedup.shingleSets(batch, n).cache()
+    probeCore(spark, path, Dedup.shingleSets(batch, n).cache(),
+      numHashes, rowsPerBand, threshold, nBuckets, nDocBuckets)
+  }
+
+  /** The probe over a precomputed (cached) shingle frame — shared by
+    * [[probeIndex]] and [[ingestBatch]] so the ingest loop pays the
+    * shingle/signature pass once. The bsg cache is left pinned: the
+    * returned plan reads it lazily. */
+  private def probeCore(spark: SparkSession, path: String, bsg: DataFrame,
+      numHashes: Int, rowsPerBand: Int, threshold: Double,
+      nBuckets: Int, nDocBuckets: Int): DataFrame = {
     val bb = Dedup.signatureBands(Dedup.minhashSignatures(bsg, numHashes),
         numHashes, rowsPerBand)
       .toDF("db", "band", "bh")
@@ -210,9 +231,50 @@ object DedupIndex {
       .filter(col("dbk").isin(dHit: _*))
       .select(col("doc_id").as("da"), col("sg").as("sga"))
     val j = TextFunctions.jaccard(col("sga"), col("sgb"))
+    // da =!= db: inert for a fresh batch (ids disjoint from the index) but
+    // keeps a foreachBatch RETRY — whose batch is already indexed — from
+    // emitting self-pairs
     cand.join(csg, "da")
       .join(bsg.select(col("doc_id").as("db"), col("sg").as("sgb")), "db")
-      .filter(j >= threshold)
+      .filter(col("da") =!= col("db") && j >= threshold)
       .select(round(j, 4).as("jr"), col("da"), col("db"))
+  }
+
+  /** The full ingest step a streaming crawl loop runs per batch: PROBE the
+    * arriving docs against the index, then FOLD them in — one
+    * shingle/signature pass serves both halves (probeIndex followed by
+    * upsertSignatureIndex would pay it twice). Returns the verified pairs
+    * against the PRE-upsert index, checkpointed before the upsert mutates
+    * the partitions the probe plan reads. First batch on an empty index
+    * bulk-builds and returns no pairs. */
+  def ingestBatch(spark: SparkSession, path: String, batch: DataFrame,
+      n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 2,
+      threshold: Double = 0.5, nBuckets: Int = 16,
+      nDocBuckets: Int = 16): DataFrame = {
+    requireConfig(spark, path,
+      configOf(n, numHashes, rowsPerBand, nBuckets, nDocBuckets))
+    val fs = fsOf(spark, path)
+    if (!PartitionedIndexOps.hasPartitions(fs, path + "/bands", "wb")) {
+      writeSignatureIndex(batch, path, n, numHashes, rowsPerBand,
+        nBuckets, nDocBuckets)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("jr",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("da",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("db",
+            org.apache.spark.sql.types.LongType))))
+    }
+    val bsg = Dedup.shingleSets(batch, n).cache()
+    try {
+      val pairs = probeCore(spark, path, bsg,
+        numHashes, rowsPerBand, threshold, nBuckets, nDocBuckets)
+        .localCheckpoint(true) // pin before the upsert rewrites the index
+      upsertCore(spark, path, bsg, n, numHashes, rowsPerBand,
+        nBuckets, nDocBuckets, fs)
+      pairs
+    } finally bsg.unpersist()
   }
 }

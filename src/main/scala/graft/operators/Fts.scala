@@ -133,38 +133,31 @@ object Fts {
     * (missing postings, no error). Written at bulk build; checked by
     * every load/upsert. */
   private def writeBucketConfig(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, nBuckets: Int, nDocBuckets: Int): Unit = {
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(path + "_meta/config.json"), true)
-    try out.write(
-      s"""{"nBuckets":$nBuckets,"nDocBuckets":$nDocBuckets}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+      path: String, nBuckets: Int, nDocBuckets: Int): Unit =
+    PartitionedIndexOps.writePin(fs,
+      new org.apache.hadoop.fs.Path(path + "_meta/config.json"),
+      s"""{"nBuckets":$nBuckets,"nDocBuckets":$nDocBuckets}""")
 
   private def requireBucketConfig(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, nBuckets: Int, nDocBuckets: Option[Int] = None): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path + "_meta/config.json")
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      val cfg = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      def stored(key: String) =
-        ("\"" + key + "\":(\\d+)").r.findFirstMatchIn(cfg).map(_.group(1).toInt)
-      val sb = stored("nBuckets")
-      require(sb.forall(_ == nBuckets),
-        s"index at $path was built with nBuckets=${sb.get}, " +
-          s"called with $nBuckets — bucket ids would not line up")
-      // the side table has the same footgun: a mismatched nDocBuckets
-      // mis-prunes the doc-meta read and misses a re-crawl's old buckets
-      val sdb = stored("nDocBuckets")
-      nDocBuckets.foreach { n =>
-        require(sdb.forall(_ == n),
-          s"index at $path was built with nDocBuckets=${sdb.get}, " +
-            s"called with $n — doc buckets would not line up")
+      path: String, nBuckets: Int, nDocBuckets: Option[Int] = None): Unit =
+    PartitionedIndexOps.readPin(fs,
+        new org.apache.hadoop.fs.Path(path + "_meta/config.json"))
+      .foreach { cfg =>
+        def stored(key: String) =
+          ("\"" + key + "\":(\\d+)").r.findFirstMatchIn(cfg).map(_.group(1).toInt)
+        val sb = stored("nBuckets")
+        require(sb.forall(_ == nBuckets),
+          s"index at $path was built with nBuckets=${sb.get}, " +
+            s"called with $nBuckets — bucket ids would not line up")
+        // the side table has the same footgun: a mismatched nDocBuckets
+        // mis-prunes the doc-meta read and misses a re-crawl's old buckets
+        val sdb = stored("nDocBuckets")
+        nDocBuckets.foreach { n =>
+          require(sdb.forall(_ == n),
+            s"index at $path was built with nDocBuckets=${sdb.get}, " +
+              s"called with $n — doc buckets would not line up")
+        }
       }
-    }
-  }
 
   /** The doc-bucketed side-table rows for a bucketed postings frame:
     * doc_id → sorted occupied term buckets, partitioned by doc bucket. */

@@ -15,6 +15,26 @@ import org.apache.spark.sql.DataFrame
   */
 object PartitionedIndexOps {
 
+  /** Write a small metadata/pin file (config json, centroid fingerprint).
+    * One copy of the create-overwrite-UTF8 idiom for every index. */
+  def writePin(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val out = fs.create(path, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a pin file back, None if absent. */
+  def readPin(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+
   /** Does `path` hold at least one `<partCol>=` partition? A bare
     * pre-created (or fully emptied) directory must route callers to their
     * bulk-build branch instead of a doomed schema-less merge read. */

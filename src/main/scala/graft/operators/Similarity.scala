@@ -140,28 +140,49 @@ object Similarity {
     * scanning all of it. */
   def writeIvfIndex(index: DataFrame, embCol: String,
       cents: Array[Array[Double]], path: String): Unit = {
-    // centroid pin FIRST (crash-consistency ordering shared with the
-    // Fts/DedupIndex configs): an upsert under different centroids would
-    // assign new vectors to the wrong lists, silently breaking probe
-    // pruning — exact bit-level fingerprint, validated on every upsert
-    writeCentroidPin(index.sparkSession, path, cents)
+    val fs = fsOf(index.sparkSession, path)
+    // data first, pin LAST: the upsert below REFUSES an index whose data
+    // exists without a pin, so a crashed build fails fast on the next
+    // upsert (rebuild required) instead of validating a pin that may not
+    // describe the data — an upsert can't heal a partial build the way
+    // the merge-branch indexes (Fts/DedupIndex) can
     ivfAssign(index, embCol, cents)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("list_id").parquet(path)
+    PartitionedIndexOps.writePin(fs, pinPath(path),
+      centroidsFingerprint(cents))
   }
 
   /** Incremental maintenance: vectors are immutable, so folding a new
     * batch in is APPEND-ONLY — assign against the pinned centroids and
     * append into the hit list partitions; no rewrite, no vacated buckets,
     * no crash window beyond parquet's own commit. Probes see the new
-    * vectors immediately (same partition layout). */
+    * vectors immediately (same partition layout). An empty index routes to
+    * the bulk build (which lays down the pin); data without a pin is a
+    * crashed build and fails fast. */
   def upsertIvfIndex(newVecs: DataFrame, embCol: String,
       cents: Array[Array[Double]], path: String): Unit = {
-    requireCentroidPin(newVecs.sparkSession, path, cents)
+    val spark = newVecs.sparkSession
+    val fs = fsOf(spark, path)
+    if (!PartitionedIndexOps.hasPartitions(fs, path, "list_id")) {
+      writeIvfIndex(newVecs, embCol, cents, path)
+      return
+    }
+    val stored = PartitionedIndexOps.readPin(fs, pinPath(path))
+    require(stored.isDefined,
+      s"IVF index at $path has data but no centroid pin (crashed build?) " +
+        "— rebuild it with writeIvfIndex before upserting")
+    require(stored.get == centroidsFingerprint(cents),
+      s"IVF index at $path was built with different centroids — " +
+        "an upsert under retrained centroids would mis-assign lists")
     ivfAssign(newVecs, embCol, cents)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("list_id").parquet(path)
   }
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def centroidsFingerprint(cents: Array[Array[Double]]): String =
     cents.map(_.map(v => java.lang.Long.toHexString(
@@ -170,30 +191,6 @@ object Similarity {
 
   private def pinPath(path: String) =
     new org.apache.hadoop.fs.Path(path + "_meta/centroids")
-
-  private def writeCentroidPin(spark: org.apache.spark.sql.SparkSession,
-      path: String, cents: Array[Array[Double]]): Unit = {
-    val p = pinPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(centroidsFingerprint(cents)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
-
-  private def requireCentroidPin(spark: org.apache.spark.sql.SparkSession,
-      path: String, cents: Array[Array[Double]]): Unit = {
-    val p = pinPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      val stored = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      require(stored == centroidsFingerprint(cents),
-        s"IVF index at $path was built with different centroids — " +
-          "an upsert under retrained centroids would mis-assign lists")
-    }
-  }
 
   /** Probe a persisted IVF index: the list_id filter prunes partitions at
     * the file index, before any data is read. */
