@@ -93,14 +93,10 @@ object DedupIndex {
 
   /** An unordered frame with the same doc twice has no deterministic
     * winner — both the bulk build and the upsert fail loudly; callers
-    * collapse re-crawls to one row per doc first. One aggregation job. */
-  private def requireUniqueIds(sg: DataFrame): Unit = {
-    val r = sg.agg(count(lit(1)).as("n"),
-      countDistinct(col("doc_id")).as("nd")).head
-    require(r.getLong(0) == r.getLong(1),
-      "batch contains duplicate doc_id rows — collapse re-crawls to one " +
-        "row per doc before indexing")
-  }
+    * collapse re-crawls to one row per doc first. One aggregation job
+    * (shared guard across the persisted indexes). */
+  private def requireUniqueIds(sg: DataFrame): Unit =
+    PartitionedIndexOps.requireUniqueIds(sg, "doc_id")
 
   /** Incremental maintenance — fold a (re-)crawled batch into the index
     * ([[Fts.upsertPostingsIndex]]'s ordering applied here; drive from
@@ -197,17 +193,22 @@ object DedupIndex {
       nDocBuckets: Int = 16): DataFrame = {
     requireConfig(spark, path,
       configOf(n, numHashes, rowsPerBand, nBuckets, nDocBuckets))
+    // bare probe: bsg and cand stay pinned — the returned plan reads them
+    // lazily and the caller owns the result's lifecycle
     probeCore(spark, path, Dedup.shingleSets(batch, n).cache(),
-      numHashes, rowsPerBand, threshold, nBuckets, nDocBuckets)
+      numHashes, rowsPerBand, threshold, nBuckets, nDocBuckets)._1
   }
 
   /** The probe over a precomputed (cached) shingle frame — shared by
     * [[probeIndex]] and [[ingestBatch]] so the ingest loop pays the
-    * shingle/signature pass once. The bsg cache is left pinned: the
-    * returned plan reads it lazily. */
+    * shingle/signature pass once. Returns (pairs plan, pinned candidate
+    * cache): the plan reads bsg and cand lazily, so the CALLER decides
+    * when cand can be released — ingestBatch unpersists it right after
+    * checkpointing the pairs; a bare probeIndex deliberately leaves it
+    * pinned for the consumer's read. */
   private def probeCore(spark: SparkSession, path: String, bsg: DataFrame,
       numHashes: Int, rowsPerBand: Int, threshold: Double,
-      nBuckets: Int, nDocBuckets: Int): DataFrame = {
+      nBuckets: Int, nDocBuckets: Int): (DataFrame, DataFrame) = {
     val bb = Dedup.signatureBands(Dedup.minhashSignatures(bsg, numHashes),
         numHashes, rowsPerBand)
       .toDF("db", "band", "bh")
@@ -234,10 +235,10 @@ object DedupIndex {
     // da =!= db: inert for a fresh batch (ids disjoint from the index) but
     // keeps a foreachBatch RETRY — whose batch is already indexed — from
     // emitting self-pairs
-    cand.join(csg, "da")
+    (cand.join(csg, "da")
       .join(bsg.select(col("doc_id").as("db"), col("sg").as("sgb")), "db")
       .filter(col("da") =!= col("db") && j >= threshold)
-      .select(round(j, 4).as("jr"), col("da"), col("db"))
+      .select(round(j, 4).as("jr"), col("da"), col("db")), cand)
   }
 
   /** The full ingest step a streaming crawl loop runs per batch: PROBE the
@@ -269,9 +270,14 @@ object DedupIndex {
     }
     val bsg = Dedup.shingleSets(batch, n).cache()
     try {
-      val pairs = probeCore(spark, path, bsg,
+      val (plan, cand) = probeCore(spark, path, bsg,
         numHashes, rowsPerBand, threshold, nBuckets, nDocBuckets)
+      val pairs = plan
         .localCheckpoint(true) // pin before the upsert rewrites the index
+      // pairs is fully materialized — release the candidate cache so a
+      // long-running foreachBatch ingest loop doesn't accumulate one
+      // CacheManager entry per micro-batch
+      cand.unpersist()
       upsertCore(spark, path, bsg, n, numHashes, rowsPerBand,
         nBuckets, nDocBuckets, fs)
       pairs

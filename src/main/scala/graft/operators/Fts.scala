@@ -208,6 +208,9 @@ object Fts {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireBucketConfig(fs, path, nBuckets, Some(nDocBuckets))
+    // a batch carrying the same doc twice would silently merge the copies'
+    // positions and double tf — same guard as the sibling indexes
+    PartitionedIndexOps.requireUniqueIds(newDocs, docIdCol)
     val batch = positionalPostings(newDocs, docIdCol, textCol)
       .withColumn("wb", bucketCol(col("word"), nBuckets))
     val batchIds = batch.select(col("doc_id")).distinct()

@@ -57,6 +57,19 @@ object PartitionedIndexOps {
     pinned
   }
 
+  /** Fail fast on a batch carrying the same id twice — an unordered frame
+    * with two rows per doc has no deterministic winner, and a silent merge
+    * corrupts the index (doubled tf, two vectors per id). One aggregation
+    * job; callers collapse re-crawls to one row per doc first. */
+  def requireUniqueIds(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.functions.{count, countDistinct, col, lit}
+    val r = df.agg(count(lit(1)).as("n"),
+      countDistinct(col(idCol)).as("nd")).head
+    require(r.getLong(0) == r.getLong(1),
+      s"batch contains duplicate $idCol rows — collapse re-crawls to one " +
+        "row per doc before indexing")
+  }
+
   /** Replace the `affected` partitions of `path` with `merged`'s rows:
     * [[pinWrite]], then delete the affected buckets absent from the output
     * (vacated by a re-crawl). The `present` collect is bounded by the

@@ -61,20 +61,38 @@ object SimilarityQueries {
       |GROUP BY label""".stripMargin
 
   /** q42: batched feature-hash embedding of the documents corpus (L1) —
-    * mapPartitions batching; output proves shape + unit-norm determinism.
-    * No SQL oracle (the hash isn't reproducible in DuckDB) → rows-only. */
+    * mapPartitions batching over the ENGINE hash (xxhash64-family, the
+    * scale configuration; q72 value-pins the identical pipeline on the
+    * portable hash). The hash isn't reproducible in DuckDB, so the oracle
+    * checks the embedder's per-row CONTRACT instead: one output row per
+    * document (the batching drops/duplicates nothing), fixed dim 64, and
+    * unit L2 norm (the embedder normalizes; a zero vector — no tokens, or
+    * total cancellation — is the documented exception). A wrong dim,
+    * non-normalized output, or lost row fails rows/hash. */
   private def q42(s: SparkSession, d: String): DataFrame = {
     val embedded = EmbedOps.embedText(
       docs(s, d).select(col("doc_id"), col("text")),
       "text", "embedding", new FeatureHashEmbedder(64))
+    val n = l2Norm(col("embedding"))
     embedded.select(col("doc_id"),
       size(col("embedding")).as("dim"),
-      round(l2Norm(col("embedding")), 2).as("norm"))
+      (abs(n - 1.0) < 0.01 || n < 0.01).as("norm_ok"))
   }
+
+  private val q42Sql =
+    """SELECT doc_id, CAST(64 AS INTEGER) AS dim, TRUE AS norm_ok
+      |FROM documents""".stripMargin
 
   /** q43: RAG retrieval (reference §3.2: embed query → top-k → "\n\n"-joined
     * context, pipeline.py:104-124): deterministic embedder + cosine top-3
-    * over embedded documents + ordered concat assembly. Rows-only. */
+    * over embedded documents + ordered concat assembly. WHICH docs rank
+    * top-3 depends on the engine hash (q73 value-pins the ranking on the
+    * portable hash), so the oracle checks the assembly CONTRACT: exactly
+    * k=3 docs retrieved, the context splits back into exactly 3 segments
+    * (the "\n\n" joiner), and every segment is verbatim a corpus document
+    * (n_matched counts segments that equal some document's text — the
+    * corpus has no duplicate texts, so a fabricated/truncated segment
+    * drops the count). */
   private def q43(s: SparkSession, d: String): DataFrame = {
     val embedder = new FeatureHashEmbedder(64)
     val qvec = embedder.embed("shuffle join performance")
@@ -87,10 +105,22 @@ object SimilarityQueries {
           array(qvec.map(v => lit(v)): _*)).as("sim"))
       .orderBy(col("sim").desc, col("doc_id"))
       .limit(3)
-    top.agg(
+    val ctx = top.agg(
       count(lit(1)).as("k"),
       concat_ws("\n\n", collect_list(col("text"))).as("context"))
+    val segs = ctx.select(explode(split(col("context"), "\n\n")).as("seg"))
+    val matched = segs.join(docs(s, d),
+        segs("seg") === col("text"), "left_semi")
+      .agg(count(lit(1)).as("n_matched"))
+    ctx.select(col("k"),
+        size(split(col("context"), "\n\n")).cast("long").as("n_segments"))
+      .crossJoin(matched)
   }
+
+  private val q43Sql =
+    """SELECT LEAST(count(*), 3) AS k, LEAST(count(*), 3) AS n_segments,
+      |  LEAST(count(*), 3) AS n_matched
+      |FROM documents""".stripMargin
 
   /** q62: IVF-ANN top-10 in its exact configuration (nProbe == nLists ⇒
     * every list probed ⇒ identical to brute force, so the DuckDB oracle
@@ -98,12 +128,12 @@ object SimilarityQueries {
     * ranking, in-list exact cosine). Recall at nProbe < nLists is covered by
     * IvfSpec. */
   /** q146: persisted IVF index UPSERT round trip — build on the even
-    * vec_ids (centroids trained on that half alone), append-upsert the odd
+    * vec_ids (centroids trained on that half alone), upsert the odd
     * half against the pinned centroids, probe every list. nProbe == nLists
     * makes the result brute-force-exact regardless of centroid quality
-    * (the q62 trick), so the SAME oracle proves the appended vectors are
-    * probe-visible in their assigned lists. Vectors are immutable ⇒ the
-    * upsert is append-only: no rewrite, no vacated buckets. */
+    * (the q62 trick), so the SAME oracle proves the upserted vectors are
+    * probe-visible in their assigned lists (disjoint ids ⇒ the merge
+    * degenerates to a pure append). */
   private def q146(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     val qvec = e.filter(col("vec_id") === 1)
@@ -112,12 +142,55 @@ object SimilarityQueries {
     val cents = Similarity.ivfCentroids(v1, "embedding", "vec_id", 8, 2)
     val path = graft.TempDirs.scratchAtExit("ivf_upsert")
       .resolve("idx").toString
-    Similarity.writeIvfIndex(v1, "embedding", cents, path)
+    Similarity.writeIvfIndex(v1, "embedding", "vec_id", cents, path)
     Similarity.upsertIvfIndex(e.filter(col("vec_id") % 2 === 1),
-      "embedding", cents, path)
+      "embedding", "vec_id", cents, path)
     Similarity.probeIvfIndex(s, path, "embedding", "vec_id", qvec, 10,
       0 until 8)
   }
+
+  /** q147: IVF RE-CRAWL upsert — the stale-vector kill path. Crawl 1
+    * indexes the even vec_ids with PERTURBED (reversed) embeddings plus
+    * the odd half as-is; crawl 2 re-crawls the even ids with their true
+    * embeddings, so most of them MOVE lists and their stale vectors must
+    * leave the index ([[Similarity.upsertIvfIndex]]'s anti-join +
+    * delete-vacated ordering; Chroma's delete-then-add upsert,
+    * scrape_store_embed.py:79-86). The query returns sim-to-query for
+    * EVERY stored vector (no top-k), so the oracle — brute cosine over
+    * the true embeddings table — fails on any stale survivor (extra row)
+    * or missed upsert (wrong sim), not just on top-k perturbations. */
+  private def q147(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val qvec = e.filter(col("vec_id") === 1)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    val cents = Similarity.ivfCentroids(e, "embedding", "vec_id", 8, 2)
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    val crawl1 = evens.withColumn("embedding", reverse(col("embedding")))
+      .unionByName(e.filter(col("vec_id") % 2 === 1))
+    val path = graft.TempDirs.scratchAtExit("ivf_recrawl")
+      .resolve("idx").toString
+    Similarity.writeIvfIndex(crawl1, "embedding", "vec_id", cents, path)
+    Similarity.upsertIvfIndex(evens, "embedding", "vec_id", cents, path)
+    val qv = array(qvec.map(lit): _*)
+    s.read.parquet(path)
+      .select(col("vec_id"),
+        round(graft.functions.CosineSimilarity(col("embedding"), qv), 4)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+  }
+
+  private val q147Sql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+      |s AS (SELECT vec_id,
+      |    list_sum(list_transform(list_zip(embedding, qe),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+      |    sqrt(list_sum(list_transform(qe,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+      |  FROM embeddings, q)
+      |SELECT vec_id, round(dot / (na * nb), 4) AS sim
+      |FROM s ORDER BY sim DESC, vec_id""".stripMargin
 
   private def q62(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
@@ -306,13 +379,15 @@ object SimilarityQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("q40_knn_cosine", q40, Some(q40Sql), bench = true),
     QueryDef("q41_label_centroids", q41, Some(q41Sql)),
-    // q42/q43 hash with the engine's xxhash64 (not SQL-portable); the
-    // driver's rows-only check applies here, and the SAME pipelines are
-    // value-pinned via their portable-hash siblings q72/q73 (oracle-green)
-    QueryDef("q42_embed_documents", q42, None),
-    QueryDef("q43_rag_retrieve", q43, None),
+    // q42/q43 hash with the engine's xxhash64 (not SQL-portable): their
+    // oracles gate the structural contract (row-per-doc, dim, norm;
+    // assembly shape) and the SAME pipelines are value-pinned via their
+    // portable-hash siblings q72/q73 (oracle-green)
+    QueryDef("q42_embed_documents", q42, Some(q42Sql)),
+    QueryDef("q43_rag_retrieve", q43, Some(q43Sql)),
     QueryDef("q62_ivf_knn", q62, Some(q62Sql)),
     QueryDef("q146_ivf_index_upsert", q146, Some(q62Sql)),
+    QueryDef("q147_ivf_recrawl_upsert", q147, Some(q147Sql)),
     QueryDef("q66_sql_surface", q66, Some(q66Sql)),
     QueryDef("q72_embed_portable", q72, Some(q72Sql)),
     QueryDef("q73_rag_portable", q73, Some(q73Sql)),

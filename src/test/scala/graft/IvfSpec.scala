@@ -48,7 +48,7 @@ class IvfSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
     val q = queryVec(5)
     val cents = Similarity.ivfCentroids(e, "embedding", "vec_id", 8, 2)
-    Similarity.writeIvfIndex(e, "embedding", cents, dir)
+    Similarity.writeIvfIndex(e, "embedding", "vec_id", cents, dir)
     val probes = Similarity.probeLists(q, cents, 3)
     val probed = Similarity.probeIvfIndex(spark, dir, "embedding", "vec_id",
       q, 10, probes)
@@ -68,15 +68,15 @@ class IvfSpec extends AnyFunSuite {
     assert(dirs.nonEmpty && dirs.subsetOf((0 until 8).map(i => s"list_id=$i").toSet))
   }
 
-  test("IVF upsert appends under the pinned centroids; retrained centroids fail fast") {
+  test("IVF upsert merges under the pinned centroids; retrained centroids fail fast") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("ivf_upsert").toString
     val half = e.filter(col("vec_id") % 2 === 0)
     val cents = Similarity.ivfCentroids(half, "embedding", "vec_id", 8, 2)
-    Similarity.writeIvfIndex(half, "embedding", cents, dir)
+    Similarity.writeIvfIndex(half, "embedding", "vec_id", cents, dir)
     Similarity.upsertIvfIndex(e.filter(col("vec_id") % 2 === 1),
-      "embedding", cents, dir)
-    // appended index holds every vector exactly once, in its assigned list
+      "embedding", "vec_id", cents, dir)
+    // merged index holds every vector exactly once, in its assigned list
     val stored = spark.read.parquet(dir)
     assert(stored.count() == e.count())
     assert(stored.select(col("vec_id")).distinct().count() == e.count())
@@ -92,9 +92,97 @@ class IvfSpec extends AnyFunSuite {
       cents.map(_.map(Double.box)).asInstanceOf[Array[AnyRef]],
       retrained.map(_.map(Double.box)).asInstanceOf[Array[AnyRef]]))
     val ex = intercept[IllegalArgumentException] {
-      Similarity.upsertIvfIndex(e.limit(1), "embedding", retrained, dir)
+      Similarity.upsertIvfIndex(e.limit(1), "embedding", "vec_id",
+        retrained, dir)
     }
     assert(ex.getMessage.contains("different centroids"))
+    // data without a pin (crashed build) must refuse an upsert
+    val pin = new java.io.File(dir + "_meta/centroids")
+    assert(pin.exists()); pin.delete()
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.upsertIvfIndex(e.limit(1), "embedding", "vec_id", cents, dir)
+    }
+    assert(ex2.getMessage.contains("crashed build"))
+  }
+
+  test("re-crawled vector that moved lists leaves no stale copy behind") {
+    import org.apache.spark.sql.functions.{col, reverse}
+    val dir = java.nio.file.Files.createTempDirectory("ivf_recrawl").toString
+    val cents = Similarity.ivfCentroids(e, "embedding", "vec_id", 8, 2)
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    val crawl1 = evens.withColumn("embedding", reverse(col("embedding")))
+      .unionByName(e.filter(col("vec_id") % 2 === 1))
+    Similarity.writeIvfIndex(crawl1, "embedding", "vec_id", cents, dir)
+    // the perturbation must actually move lists for the test to bite
+    val movedBefore = Similarity.ivfAssign(crawl1, "embedding", cents)
+      .select(col("vec_id"), col("list_id").as("l1"))
+      .join(Similarity.ivfAssign(e, "embedding", cents)
+        .select(col("vec_id"), col("list_id").as("l2")), "vec_id")
+      .filter(col("l1") =!= col("l2")).count()
+    assert(movedBefore > 0, "perturbed embeddings landed in identical lists — test is vacuous")
+    Similarity.upsertIvfIndex(evens, "embedding", "vec_id", cents, dir)
+    // final index == a scratch assignment of the true corpus: every id
+    // exactly once, no stale vector in any list
+    val stored = spark.read.parquet(dir)
+    assert(stored.count() == e.count())
+    val expect = Similarity.ivfAssign(e, "embedding", cents)
+      .select(col("vec_id"), col("list_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val got = stored.select(col("vec_id"), col("list_id").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == expect)
+    // side table tracks the final assignment too
+    val side = spark.read.parquet(dir + "_docs")
+      .select(col("vec_id"), col("list_id").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(side == expect)
+  }
+
+  test("randomized upsert sequence equals a scratch build of the final corpus") {
+    import org.apache.spark.sql.functions.{col, transform, when}
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rand").toString
+    val cents = Similarity.ivfCentroids(e, "embedding", "vec_id", 8, 2)
+    val rnd = new scala.util.Random(1347)
+    val ids = e.select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    // 3 crawls over random overlapping subsets; crawl i negates the first
+    // 7*i components, so a re-crawl genuinely changes the vector
+    def perturb(df: org.apache.spark.sql.DataFrame, i: Int) =
+      df.withColumn("embedding",
+        transform(col("embedding"),
+          (x, pos) => when(pos < i * 7, -x).otherwise(x)))
+    val batches = (1 to 3).map { i =>
+      val pick = ids.filter(_ => rnd.nextDouble() < 0.4)
+      (i, pick)
+    }.filter(_._2.nonEmpty)
+    batches.foreach { case (i, pick) =>
+      Similarity.upsertIvfIndex(
+        perturb(e.filter(col("vec_id").isInCollection(pick)), i),
+        "embedding", "vec_id", cents, dir, nDocBuckets = 4)
+    }
+    // final state per id = its LAST crawl's version
+    val lastCrawl = batches.flatMap { case (i, pick) => pick.map(_ -> i) }
+      .groupBy(_._1).map { case (id, v) => (id, v.map(_._2).max) }
+    val scratch = batches.map(_._1).distinct.map { i =>
+      val inLast = lastCrawl.filter(_._2 == i).keys.toSeq
+      Similarity.ivfAssign(
+        perturb(e.filter(col("vec_id").isInCollection(inLast)), i),
+        "embedding", cents)
+    }.reduce(_ unionByName _)
+      .select(col("vec_id"), col("list_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val got = spark.read.parquet(dir)
+      .select(col("vec_id"), col("list_id").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == scratch)
+    assert(spark.read.parquet(dir).count() == scratch.size)
+    // a batch with a duplicated id must refuse
+    val dup = e.filter(col("vec_id") === ids.head)
+      .unionByName(e.filter(col("vec_id") === ids.head))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.upsertIvfIndex(dup, "embedding", "vec_id", cents, dir,
+        nDocBuckets = 4)
+    }
+    assert(ex.getMessage.contains("duplicate"))
   }
 
   test("centroid update collects one mean-vector row per list, not nLists x dim") {

@@ -173,7 +173,7 @@ class PlanSpec extends AnyFunSuite {
     // and are not in scope.)
     val bounded: Map[String, (Int, String)] = Map(
       "operators/Similarity.scala" ->
-        (2, "IVF trainer: nLists-capped centroid init + one mean-vector row per list"),
+        (4, "IVF trainer: nLists-capped centroid init + one mean-vector row per list; upsert: doc-bucket + affected-list id sets, <= nDocBuckets / <= nLists"),
       "operators/BpeTrainer.scala" ->
         (1, "BPE argmax merge rule: limit(1), one row per round"),
       "operators/Lakehouse.scala" ->
