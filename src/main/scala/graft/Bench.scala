@@ -10,6 +10,14 @@ import org.apache.spark.sql.SparkSession
   * per-query MEDIAN is reported — single-shot timings on a shared box swing
   * 2-3× on scheduling noise, which is indistinguishable from a real
   * regression (the r1→r2 +29% drift problem).
+  *
+  * Besides wall-clock, each query's SHUFFLE VOLUME (records + bytes written
+  * across all its stages) is captured once via a SparkListener — records are
+  * deterministic for a given plan and data, so cross-round comparisons read
+  * regressions off volume instead of this box's ±25-50% wall-clock noise
+  * (PERF.md's five-run study). Attribution is exact: the metrics pass tags
+  * its jobs with a per-query job group, the listener maps the group's
+  * stages to the query, and task metrics sum per stage.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,26 +48,57 @@ object Bench {
     }
     val qs = SparkEntry.benchQueries
       .filter(q => only.forall(_.contains(q.name)))
+    // shuffle-volume capture: job group → stages → summed task write metrics
+    val stageToQuery = scala.collection.concurrent.TrieMap.empty[Int, String]
+    val shuffleAgg =
+      scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val g = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+          g.filter(_.startsWith("bench:")).foreach { grp =>
+            js.stageIds.foreach(sid => stageToQuery(sid) = grp.drop(6))
+          }
+        }
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          stageToQuery.get(te.stageId).foreach { qn =>
+            val m = te.taskMetrics
+            if (m != null) {
+              val w = m.shuffleWriteMetrics
+              val (r0, b0) = shuffleAgg.getOrElse(qn, (0L, 0L))
+              shuffleAgg(qn) = (r0 + w.recordsWritten, b0 + w.bytesWritten)
+            }
+          }
+      })
     // warm-up: JIT + codegen cache + file listing (failures surface in the
     // timed pass — don't double-report)
     qs.foreach(q => try exec(q) catch { case _: Throwable => () })
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    def timeOnce(q: QueryDef): Double = {
+    def timeOnce(q: QueryDef, metricsPass: Boolean): Double = {
+      if (metricsPass)
+        spark.sparkContext.setJobGroup(s"bench:${q.name}",
+          s"bench metrics pass: ${q.name}")
       val t0 = System.nanoTime()
       try { exec(q); (System.nanoTime() - t0) / 1e9 } catch {
         case t: Throwable =>
           System.err.println(s"BENCH FAILURE ${q.name}: ${t.getClass.getName}: ${t.getMessage}")
           errors(q.name) = Option(t.getMessage).getOrElse(t.getClass.getName).take(200)
           -1.0
-      }
+      } finally if (metricsPass) spark.sparkContext.clearJobGroup()
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     // interleaved rounds (q1..qn, q1..qn, ...) rather than q1×3, q2×3 — so a
-    // transient contention spike hits one ROUND, not all samples of one query
-    val samples = (1 to runs).map(_ => qs.map(q => q.name -> timeOnce(q)))
+    // transient contention spike hits one ROUND, not all samples of one query;
+    // shuffle volume is recorded on round 1 only (records are plan-
+    // deterministic; one execution's volume IS the number)
+    val samples = (1 to runs).map(r =>
+      qs.map(q => q.name -> timeOnce(q, metricsPass = r == 1)))
     val results = qs.map { q =>
       val vals = samples.map(_.find(_._1 == q.name).get._2)
       q.name -> (if (vals.exists(_ < 0)) -1.0 else median(vals))
@@ -72,7 +111,14 @@ object Bench {
       else errors.map { case (k, v) =>
         "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
       }.mkString(",\"errors\":{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"queries":$qJson$errJson,"sf":"$sfDir"}""")
+    // drain the async listener bus before reading the shuffle aggregates
+    // (task-end events may still be queued right after the last job)
+    Thread.sleep(1000)
+    val shJson = qs.map { q =>
+      val (r, b) = shuffleAgg.getOrElse(q.name, (0L, 0L))
+      "\"" + q.name + s"""":{"records":$r,"bytes":$b}"""
+    }.mkString(",\"shuffle\":{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"queries":$qJson$shJson$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -389,13 +389,39 @@ object AdvancedQueries {
 
   /** q47: multimodal feature extraction — synthetic binary media (decode is
     * a documented stub; the Spark-side schema/batching/shape is real).
-    * Output: per-kind feature aggregates. Rows-only. */
+    * Output: per-kind feature aggregates. Oracle-checked EXACTLY: the stub
+    * "signal" is md5-derived (first digest int, big-endian, as float32 over
+    * Int.MaxValue), and DuckDB replays it bit-for-bit — md5 hex fold to
+    * uint32, two's-complement to signed, REAL division forcing the same
+    * float32 rounding the JVM produces (verified against a float32
+    * simulation). The media table itself re-derives from its spec
+    * (64 rows, kind = id mod 3) via range(64). */
   private def q47(s: SparkSession, d: String): DataFrame = {
     val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 64))
     feats.groupBy(col("kind"))
       .agg(count(lit(1)).as("n"),
         round(avg(element_at(col("features"), 1)), 4).as("f0_avg"))
   }
+
+  private val q47Sql =
+    """WITH m AS (
+      |  SELECT i, CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+      |              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    md5('payload-' || i) AS h
+      |  FROM range(64) t(i)),
+      |v AS (
+      |  SELECT kind,
+      |    list_reduce(list_transform(string_split(substr(h, 1, 8), ''),
+      |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+      |      (a, c) -> a * 16 + c) AS u32
+      |  FROM m),
+      |f AS (
+      |  SELECT kind,
+      |    CAST(CASE WHEN u32 >= 2147483648 THEN u32 - 4294967296 ELSE u32 END
+      |      AS REAL) / CAST(2147483647 AS REAL) AS f0
+      |  FROM v)
+      |SELECT kind, count(*) AS n, round(avg(f0), 4) AS f0_avg
+      |FROM f GROUP BY kind""".stripMargin
 
   /** q48: language-ID over the documents corpus — prediction distribution
     * vs the synthetic label (the corpus is English-ish word salad, so this
@@ -616,23 +642,26 @@ object AdvancedQueries {
     // three deterministic part files, each its own micro-batch below)
     val base = java.nio.file.Files.createTempDirectory("hh_stream")
     val dir = base.resolve("events").toString
-    Tables.events(s, d)
-      .select(col("event_type"), pmod(col("event_id"), lit(3)).as("slice"))
-      .repartitionByRange(3, col("slice"))
-      .select(col("event_type"))
-      .write.parquet(dir)
-    val stream = s.readStream
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("event_type",
-          org.apache.spark.sql.types.StringType))))
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-    val drained = graft.streaming.EventsStream.runToMemory(s,
-      stream.agg(mg(col("event_type")).as("hh")), "q138_hh", "complete")
     // the drain is EAGER (processAllAvailable + stop; the memory sink holds
-    // the rows) — unlike q111/q132 nothing reads the staged files after
-    // this point, so reclaim them now rather than at JVM exit
-    graft.TempDirs.rmTree(base)
+    // the rows) — unlike q111/q132 nothing reads the staged files after the
+    // try block, so reclaim them now rather than at JVM exit; the finally
+    // covers a throwing stage/drain too (no leaked tree on failure)
+    val drained =
+      try {
+        Tables.events(s, d)
+          .select(col("event_type"), pmod(col("event_id"), lit(3)).as("slice"))
+          .repartitionByRange(3, col("slice"))
+          .select(col("event_type"))
+          .write.parquet(dir)
+        val stream = s.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType))))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(dir)
+        graft.streaming.EventsStream.runToMemory(s,
+          stream.agg(mg(col("event_type")).as("hh")), "q138_hh", "complete")
+      } finally graft.TempDirs.rmTree(base)
     val sketch = drained.select(explode(col("hh")).as(Seq("w", "est")))
     val exact = Tables.events(s, d)
       .groupBy(col("event_type").as("w")).agg(count(lit(1)).as("cnt"))
@@ -661,7 +690,7 @@ object AdvancedQueries {
     QueryDef("q46_fts_postings", q46, Some(q46Sql)),
     // binary-digest features (not SQL-portable) — rows-only in the driver
     // gate; value-pinned by its portable sibling q75 (oracle-green)
-    QueryDef("q47_media_features", q47, None),
+    QueryDef("q47_media_features", q47, Some(q47Sql)),
     QueryDef("q48_langid", q48, Some(q48Sql)),
     QueryDef("q49_above_part_avg", q49, Some(q49Sql)),
     QueryDef("q50_trade_volume", q50, Some(q50Sql), bench = true),

@@ -34,7 +34,7 @@ object DedupIndex {
     * would SILENTLY miss duplicates (wrong buckets pruned, wrong band
     * hashes joined), the same footgun the Fts index pins against. */
   private def configPath(path: String) =
-    new org.apache.hadoop.fs.Path(path + "/_meta/config.json")
+    new org.apache.hadoop.fs.Path(path + "/_meta/config")
 
   private def fsOf(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
@@ -42,23 +42,14 @@ object DedupIndex {
 
   private def writeConfig(spark: SparkSession, path: String,
       cfg: Map[String, Int]): Unit =
-    PartitionedIndexOps.writePin(fsOf(spark, path), configPath(path),
-      cfg.toSeq.sortBy(_._1)
-        .map { case (k, v) => s""""$k":$v""" }
-        .mkString("{", ",", "}"))
+    PartitionedIndexOps.writeConfigPin(fsOf(spark, path), configPath(path),
+      cfg.map { case (k, v) => k -> v.toString })
 
   private def requireConfig(spark: SparkSession, path: String,
       cfg: Map[String, Int]): Unit =
-    PartitionedIndexOps.readPin(fsOf(spark, path), configPath(path))
-      .foreach { stored =>
-        cfg.foreach { case (k, v) =>
-          val got = ("\"" + k + "\":(\\d+)").r.findFirstMatchIn(stored)
-            .map(_.group(1).toInt)
-          require(got.forall(_ == v),
-            s"dedup index at $path was built with $k=${got.get}, " +
-              s"probed with $k=$v — duplicates would be silently missed")
-        }
-      }
+    PartitionedIndexOps.requireConfigPin(fsOf(spark, path), configPath(path),
+      cfg.map { case (k, v) => k -> v.toString },
+      s"dedup index at $path")
 
   private def configOf(n: Int, numHashes: Int, rowsPerBand: Int,
       nBuckets: Int, nDocBuckets: Int): Map[String, Int] =

@@ -132,32 +132,23 @@ object Fts {
     * compute wrong bucket ids and silently prune to the wrong partitions
     * (missing postings, no error). Written at bulk build; checked by
     * every load/upsert. */
+  private def cfgPath(path: String) =
+    new org.apache.hadoop.fs.Path(path + "_meta/config")
+
   private def writeBucketConfig(fs: org.apache.hadoop.fs.FileSystem,
       path: String, nBuckets: Int, nDocBuckets: Int): Unit =
-    PartitionedIndexOps.writePin(fs,
-      new org.apache.hadoop.fs.Path(path + "_meta/config.json"),
-      s"""{"nBuckets":$nBuckets,"nDocBuckets":$nDocBuckets}""")
+    PartitionedIndexOps.writeConfigPin(fs, cfgPath(path),
+      Map("nBuckets" -> nBuckets.toString,
+        "nDocBuckets" -> nDocBuckets.toString))
 
+  // a mismatched nDocBuckets has the side-table version of the footgun:
+  // it mis-prunes the doc-meta read and misses a re-crawl's old buckets
   private def requireBucketConfig(fs: org.apache.hadoop.fs.FileSystem,
       path: String, nBuckets: Int, nDocBuckets: Option[Int] = None): Unit =
-    PartitionedIndexOps.readPin(fs,
-        new org.apache.hadoop.fs.Path(path + "_meta/config.json"))
-      .foreach { cfg =>
-        def stored(key: String) =
-          ("\"" + key + "\":(\\d+)").r.findFirstMatchIn(cfg).map(_.group(1).toInt)
-        val sb = stored("nBuckets")
-        require(sb.forall(_ == nBuckets),
-          s"index at $path was built with nBuckets=${sb.get}, " +
-            s"called with $nBuckets — bucket ids would not line up")
-        // the side table has the same footgun: a mismatched nDocBuckets
-        // mis-prunes the doc-meta read and misses a re-crawl's old buckets
-        val sdb = stored("nDocBuckets")
-        nDocBuckets.foreach { n =>
-          require(sdb.forall(_ == n),
-            s"index at $path was built with nDocBuckets=${sdb.get}, " +
-              s"called with $n — doc buckets would not line up")
-        }
-      }
+    PartitionedIndexOps.requireConfigPin(fs, cfgPath(path),
+      Map("nBuckets" -> nBuckets.toString) ++
+        nDocBuckets.map(n => "nDocBuckets" -> n.toString),
+      s"index at $path")
 
   /** The doc-bucketed side-table rows for a bucketed postings frame:
     * doc_id → sorted occupied term buckets, partitioned by doc bucket. */

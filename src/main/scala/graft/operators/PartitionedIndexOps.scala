@@ -35,6 +35,40 @@ object PartitionedIndexOps {
       finally in.close()
     }
 
+  /** THE typed config-pin format every persisted index shares: sorted
+    * `k=v` lines, one writer, one parser, one mismatch message — a new
+    * index reuses this instead of inventing a fourth format. Values are
+    * strings (numeric configs render via toString); keys and values must
+    * not contain '=' or newlines. */
+  def writeConfigPin(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, cfg: Map[String, String]): Unit =
+    writePin(fs, path, cfg.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString("\n"))
+
+  def readConfigPin(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): Option[Map[String, String]] =
+    readPin(fs, path).map(_.linesIterator
+      .filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+      .toMap)
+
+  /** Validate the caller's config against the stored pin — every pinned
+    * parameter that changes hashing, bucketing, or assignment must match,
+    * or probes/upserts would SILENTLY touch the wrong buckets. An absent
+    * pin is tolerated here (bare dirs route to bulk builds); an index for
+    * which absence means a crashed build checks presence itself first. */
+  def requireConfigPin(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, expected: Map[String, String],
+      what: String): Unit =
+    readConfigPin(fs, path).foreach { stored =>
+      expected.foreach { case (k, v) =>
+        val got = stored.get(k)
+        require(got.forall(_ == v),
+          s"$what was built with $k=${got.get}, used with $k=$v — " +
+            "bucket routing would not line up (silent wrong-bucket reads)")
+      }
+    }
+
   /** Does `path` hold at least one `<partCol>=` partition? A bare
     * pre-created (or fully emptied) directory must route callers to their
     * bulk-build branch instead of a doomed schema-less merge read. */

@@ -169,8 +169,8 @@ object Similarity {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("dbk").parquet(path + "_docs")
     } finally assigned.unpersist()
-    PartitionedIndexOps.writePin(fs, pinPath(path),
-      pinContent(cents, nDocBuckets))
+    PartitionedIndexOps.writeConfigPin(fs, pinPath(path),
+      ivfConfig(cents, nDocBuckets))
   }
 
   /** Incremental maintenance — fold a (re-)crawled batch into the index
@@ -197,11 +197,11 @@ object Similarity {
       writeIvfIndex(newVecs, embCol, idCol, cents, path, nDocBuckets)
       return
     }
-    val stored = PartitionedIndexOps.readPin(fs, pinPath(path))
+    val stored = PartitionedIndexOps.readConfigPin(fs, pinPath(path))
     require(stored.isDefined,
       s"IVF index at $path has data but no centroid pin (crashed build?) " +
         "— rebuild it with writeIvfIndex before upserting")
-    require(stored.get == pinContent(cents, nDocBuckets),
+    require(stored.get == ivfConfig(cents, nDocBuckets),
       s"IVF index at $path was built with different centroids or doc-bucket " +
         "geometry — an upsert under retrained centroids would mis-assign " +
         "lists, and a different nDocBuckets would prune the wrong side buckets")
@@ -250,9 +250,12 @@ object Similarity {
       .mkString(";")
 
   /** Everything that changes list assignment or side-bucket routing is
-    * pinned: the exact centroid bits plus the doc-bucket modulus. */
-  private def pinContent(cents: Array[Array[Double]], nDocBuckets: Int) =
-    s"nDocBuckets=$nDocBuckets\n" + centroidsFingerprint(cents)
+    * pinned: the exact centroid bits plus the doc-bucket modulus (the
+    * shared typed-pin format, [[PartitionedIndexOps.writeConfigPin]]). */
+  private def ivfConfig(cents: Array[Array[Double]],
+      nDocBuckets: Int): Map[String, String] =
+    Map("nDocBuckets" -> nDocBuckets.toString,
+      "centroids" -> centroidsFingerprint(cents))
 
   private def pinPath(path: String) =
     new org.apache.hadoop.fs.Path(path + "_meta/centroids")

@@ -243,15 +243,32 @@ object TextQueries {
       |  n_docs
       |FROM sel WHERE rk = 1""".stripMargin
 
-  /** q36: SimHash near-dup pairs (hamming ≤ 3 via 16-bit banding) — no SQL
-    * oracle (xxhash64 isn't reproducible in DuckDB; q69 runs the identical
-    * pipeline on the portable hash under the oracle gate); unit-tested
-    * against the Jaccard ground truth instead. This corpus's 31-word vocabulary makes
-    * frequency-vector simhashes unusually close, so the tight hamming bound
-    * trades some recall for precision (the Jaccard/MinHash ops are the
-    * oracle-exact dedup path; simhash is the cheap screen). */
-  private def q36(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashDupPairs(docs(s, d), maxHamming = 3, numChunks = 4)
+  /** q36: SimHash near-dup pairs (hamming ≤ 3 via 16-bit banding) on the
+    * ENGINE hash (xxhash64 — the scale configuration; q69 runs the
+    * identical pipeline on the portable hash with a full value oracle).
+    * xxhash64 isn't reproducible in DuckDB, so the oracle checks the
+    * operator's DETECTION GUARANTEE instead: 50 docs are re-crawled under
+    * shifted ids (+100000) with identical text — identical text ⇒
+    * identical word multiset ⇒ identical simhash ⇒ all chunks collide ⇒
+    * the pair MUST surface with hamming 0, under any hash function. The
+    * query emits exactly those injected pairs (db − da = 100000 can hold
+    * for no other pair: original ids < 100000 and injected-injected gaps
+    * are < 100000), so DuckDB enumerates the full expected result —
+    * a missed pair (recall bug), phantom pair, or nonzero hamming all
+    * hash-mismatch. Organic near-dup discovery stays covered by q69. */
+  private def q36(s: SparkSession, d: String): DataFrame = {
+    val d0 = docs(s, d)
+    val recrawl = d0.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    Dedup.simhashDupPairs(d0.unionByName(recrawl),
+        maxHamming = 3, numChunks = 4)
+      .filter(col("db") - col("da") === 100000L)
+      .select(col("da"), col("db"), col("hamming").cast("int").as("hamming"))
+  }
+
+  private val q36Sql =
+    """SELECT doc_id AS da, doc_id + 100000 AS db, CAST(0 AS INTEGER) AS hamming
+      |FROM documents WHERE doc_id < 50""".stripMargin
 
   /** q65: TF-IDF (the IR-classic two-level aggregation): term frequency per
     * (doc, word), document frequency per word, corpus size broadcast in as a
@@ -508,7 +525,7 @@ object TextQueries {
     QueryDef("q142_best_survivors", q142, Some(q142Sql)),
     // xxhash64 scale path — rows-only in the driver gate; value-pinned by
     // its portable-hash sibling q69_simhash_portable (oracle-green)
-    QueryDef("q36_simhash_dupes", q36, None),
+    QueryDef("q36_simhash_dupes", q36, Some(q36Sql)),
     QueryDef("q65_tfidf", q65, Some(q65Sql)),
     QueryDef("q69_simhash_portable", q69, Some(q69Sql)),
     QueryDef("q74_bpe_tokens", q74, Some(q74Sql)),

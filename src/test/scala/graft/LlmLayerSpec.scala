@@ -106,6 +106,49 @@ class LlmLayerSpec extends AnyFunSuite {
     assert(bare.results.isEmpty && bare.finalScript.startsWith("[refine:"))
   }
 
+  test("multi-turn agent loop: round 2 consumes round 1 output, FINAL stops early") {
+    // scripted planner: round 1 names the news agent; round 2 must SEE the
+    // news output in its scratchpad prompt and then names the analysis
+    // agent; round 3 answers FINAL. Non-plan ops delegate to the stub so
+    // the agents themselves stay deterministic.
+    val stub = new graft.llm.StubLlm
+    val planPrompts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val llm = new graft.llm.LlmClient {
+      override def completeBatch(op: String, prompts: Seq[String]): Seq[String] =
+        if (op != "plan") stub.completeBatch(op, prompts)
+        else {
+          planPrompts += prompts.head
+          planPrompts.size match {
+            case 1 => Seq("Topic: trade deadline\nAgents: NewsGatheringAgent\n" +
+              "Storylines: big trade\nNotes: n/a")
+            case 2 => Seq("Topic: trade deadline\nAgents: GameAnalysisAgent\n" +
+              "Storylines: big trade\nNotes: n/a")
+            case _ => Seq("FINAL: wrap it up")
+          }
+        }
+    }
+    val out = graft.llm.AgentDispatch.executeLoop("trade deadline", llm, maxRounds = 5)
+    assert(out.stoppedEarly && out.finalOutput == "wrap it up")
+    assert(out.rounds.map(_.map(_._1)) == Seq(Seq("news"), Seq("game_analysis")))
+    assert(out.scratchpad.map(_._1) == Seq("news", "game_analysis"))
+    // the re-plan threading: round-2's planner prompt carries round-1's
+    // actual news output, round-3's carries both sections
+    val newsOut = out.scratchpad.toMap.apply("news")
+    assert(planPrompts(1).contains("## news") && planPrompts(1).contains(newsOut))
+    assert(planPrompts(2).contains("## game_analysis"))
+    assert(!planPrompts(0).contains("Intermediate results"))
+    // cap-out path: a planner that never says FINAL stops at maxRounds and
+    // generates from the gathered sections
+    val never = new graft.llm.LlmClient {
+      override def completeBatch(op: String, prompts: Seq[String]): Seq[String] =
+        if (op != "plan") stub.completeBatch(op, prompts)
+        else Seq("Topic: t\nAgents: NewsGatheringAgent\nStorylines: s\nNotes: n")
+    }
+    val capped = graft.llm.AgentDispatch.executeLoop("t", never, maxRounds = 2)
+    assert(!capped.stoppedEarly && capped.rounds.size == 2)
+    assert(capped.finalOutput.startsWith("[generate:"))
+  }
+
   test("RAG upsert: same-id row replaced, new id appended (D2/D3)") {
     import spark.implicits._
     val rag = new RagPipeline(embedder, new StubLlm)

@@ -188,9 +188,13 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("simhash finds the near-dup pairs with high recall (sf0.01)") {
+    // the raw operator on the raw corpus — q36's QUERY now filters to its
+    // injected guaranteed-detection pairs for the oracle, so organic
+    // recall is pinned here instead
     val truth = SparkEntry.queries("q34_jaccard_dupes")(spark, TestSpark.sf001)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val sim = SparkEntry.queries("q36_simhash_dupes")(spark, TestSpark.sf001)
+    val sim = graft.operators.Dedup.simhashDupPairs(
+        Tables.documents(spark, TestSpark.sf001), maxHamming = 3, numChunks = 4)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // This corpus's 31-word vocabulary keeps many frequency-vector
     // simhashes close, so hamming≤3 is a precision-first screen: expect

@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Replicate a driver-generated SF directory N-fold into a bench-only
+scale rehearsal set (default: sf0.1 x10 ~ "sf1"). Primary/foreign keys are
+offset consistently per copy so joins keep their selectivity; dims
+(region/nation) are shared. Dev tooling only -- correctness always gates
+on the driver's own parquet at sf0.01.
+
+Usage: python3 tools/make_scale.py [src_dir] [dst_dir] [copies]
+"""
+import sys
+
+import duckdb
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
+N = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+OFF = 1_000_000_000  # far above any base id, and above q36's +100000 probe ids
+
+# per-copy key offsets; unlisted columns pass through unchanged
+KEYED = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+SHARED = ["region", "nation"]
+
+
+def main():
+    import os
+
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    for t in SHARED:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
+            f"TO '{DST}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        print(t, "copied")
+    for t, keys in KEYED.items():
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
+            ).fetchall()
+        ]
+        sel = ", ".join(
+            f"{c} + i * {OFF} AS {c}" if c in keys else c for c in cols
+        )
+        con.execute(
+            f"COPY (SELECT {sel} FROM read_parquet('{SRC}/{t}.parquet'), "
+            f"range({N}) r(i)) TO '{DST}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{DST}/{t}.parquet')"
+        ).fetchone()[0]
+        print(t, n, "rows")
+
+
+if __name__ == "__main__":
+    main()
