@@ -51,10 +51,29 @@ def main():
         sel = ", ".join(
             f"{c} + i * {OFF} AS {c}" if c in keys else c for c in cols
         )
-        con.execute(
-            f"COPY (SELECT {sel} FROM read_parquet('{SRC}/{t}.parquet'), "
-            f"range({N}) r(i)) TO '{DST}/{t}.parquet' (FORMAT PARQUET)"
-        )
+        if t == "events":
+            # the driver's events.parquet stores ts as TIMESTAMP(NANOS) --
+            # Spark reads that as a nanos LONG (Tables.load converts) and
+            # DuckDB reads it natively. DuckDB's parquet writer downcasts
+            # to micros, so route this table through pyarrow to keep the
+            # exact physical type.
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tbl = con.execute(
+                f"SELECT {sel} FROM read_parquet('{SRC}/{t}.parquet'), "
+                f"range({N}) r(i)"
+            ).arrow()
+            i = tbl.schema.get_field_index("ts")
+            tbl = tbl.set_column(
+                i, "ts", tbl.column("ts").cast(pa.timestamp("ns"))
+            )
+            pq.write_table(tbl, f"{DST}/{t}.parquet")
+        else:
+            con.execute(
+                f"COPY (SELECT {sel} FROM read_parquet('{SRC}/{t}.parquet'), "
+                f"range({N}) r(i)) TO '{DST}/{t}.parquet' (FORMAT PARQUET)"
+            )
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{DST}/{t}.parquet')"
         ).fetchone()[0]
