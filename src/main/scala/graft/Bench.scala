@@ -112,8 +112,19 @@ object Bench {
         "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
       }.mkString(",\"errors\":{", ",", "}")
     // drain the async listener bus before reading the shuffle aggregates
-    // (task-end events may still be queued right after the last job)
-    Thread.sleep(1000)
+    // (task-end events may still be queued right after the last job). A
+    // fixed sleep undercounts on a loaded box — poll until two consecutive
+    // snapshots agree (bounded at 15 s so a wedged bus can't hang bench)
+    def snapshot(): Map[String, (Long, Long)] = shuffleAgg.toMap
+    var prev = snapshot()
+    var stable = false
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (!stable && System.nanoTime() < deadline) {
+      Thread.sleep(250)
+      val cur = snapshot()
+      stable = cur == prev
+      prev = cur
+    }
     val shJson = qs.map { q =>
       val (r, b) = shuffleAgg.getOrElse(q.name, (0L, 0L))
       "\"" + q.name + s"""":{"records":$r,"bytes":$b}"""

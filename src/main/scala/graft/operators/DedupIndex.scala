@@ -33,8 +33,12 @@ object DedupIndex {
     * disk and re-validated at probe time — a probe under a different config
     * would SILENTLY miss duplicates (wrong buckets pruned, wrong band
     * hashes joined), the same footgun the Fts index pins against. */
+  // filename kept from the JSON-era pin: an index written by older code
+  // still has ITS pin read (and fails loudly on the format mismatch via
+  // requireConfigPin's missing-key check) instead of being silently
+  // treated as unpinned
   private def configPath(path: String) =
-    new org.apache.hadoop.fs.Path(path + "/_meta/config")
+    new org.apache.hadoop.fs.Path(path + "/_meta/config.json")
 
   private def fsOf(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
@@ -184,8 +188,14 @@ object DedupIndex {
       nDocBuckets: Int = 16): DataFrame = {
     requireConfig(spark, path,
       configOf(n, numHashes, rowsPerBand, nBuckets, nDocBuckets))
-    // bare probe: bsg and cand stay pinned — the returned plan reads them
-    // lazily and the caller owns the result's lifecycle
+    // DELIBERATE: the returned plan lazily reads the two probe-scoped
+    // caches (bsg, cand), so a bare probe leaves them pinned — the lazy
+    // plan is what lets callers inspect/compose the pruned-scan probe
+    // (QueriesSpec asserts its PartitionFilters). A long-running ingest
+    // LOOP must use ingestBatch, which owns both caches and releases them
+    // after checkpointing; repeated bare probeIndex calls in a persistent
+    // session accumulate cache entries (Spark evicts LRU, but the entries
+    // linger) — that trade is documented here by design.
     probeCore(spark, path, Dedup.shingleSets(batch, n).cache(),
       numHashes, rowsPerBand, threshold, nBuckets, nDocBuckets)._1
   }
@@ -196,7 +206,7 @@ object DedupIndex {
     * cache): the plan reads bsg and cand lazily, so the CALLER decides
     * when cand can be released — ingestBatch unpersists it right after
     * checkpointing the pairs; a bare probeIndex deliberately leaves it
-    * pinned for the consumer's read. */
+    * pinned so the pruned-scan plan stays inspectable/composable. */
   private def probeCore(spark: SparkSession, path: String, bsg: DataFrame,
       numHashes: Int, rowsPerBand: Int, threshold: Double,
       nBuckets: Int, nDocBuckets: Int): (DataFrame, DataFrame) = {

@@ -132,8 +132,9 @@ object Fts {
     * compute wrong bucket ids and silently prune to the wrong partitions
     * (missing postings, no error). Written at bulk build; checked by
     * every load/upsert. */
+  // filename kept from the JSON-era pin — see DedupIndex.configPath
   private def cfgPath(path: String) =
-    new org.apache.hadoop.fs.Path(path + "_meta/config")
+    new org.apache.hadoop.fs.Path(path + "_meta/config.json")
 
   private def writeBucketConfig(fs: org.apache.hadoop.fs.FileSystem,
       path: String, nBuckets: Int, nDocBuckets: Int): Unit =
@@ -248,10 +249,7 @@ object Fts {
               .join(batchIds, Seq("doc_id"), "left_anti")
               .unionByName(batchMeta)
           else docMeta(spark.read.parquet(path), nDocBuckets)
-        docsMerged.localCheckpoint(true)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("db").parquet(docsPath)
+        PartitionedIndexOps.pinWrite(docsMerged, docsPath, "db")
       } else {
         // config first — same crash-consistency rationale as
         // writePostingsIndex

@@ -55,15 +55,21 @@ object PartitionedIndexOps {
   /** Validate the caller's config against the stored pin — every pinned
     * parameter that changes hashing, bucketing, or assignment must match,
     * or probes/upserts would SILENTLY touch the wrong buckets. An absent
-    * pin is tolerated here (bare dirs route to bulk builds); an index for
-    * which absence means a crashed build checks presence itself first. */
+    * pin FILE is tolerated here (bare dirs route to bulk builds; an index
+    * for which absence means a crashed build checks presence itself
+    * first) — but a pin that exists while MISSING a checked key is an
+    * error, not a pass: a truncated or legacy-format pin must fail loudly
+    * (rebuild) rather than validate any caller geometry. */
   def requireConfigPin(fs: org.apache.hadoop.fs.FileSystem,
       path: org.apache.hadoop.fs.Path, expected: Map[String, String],
       what: String): Unit =
     readConfigPin(fs, path).foreach { stored =>
       expected.foreach { case (k, v) =>
         val got = stored.get(k)
-        require(got.forall(_ == v),
+        require(got.isDefined,
+          s"$what has a config pin without the $k key (truncated or " +
+            "legacy-format pin?) — rebuild the index rather than trusting it")
+        require(got.get == v,
           s"$what was built with $k=${got.get}, used with $k=$v — " +
             "bucket routing would not line up (silent wrong-bucket reads)")
       }

@@ -105,9 +105,13 @@ object SimilarityQueries {
           array(qvec.map(v => lit(v)): _*)).as("sim"))
       .orderBy(col("sim").desc, col("doc_id"))
       .limit(3)
+    // pin the ONE assembled row before branching — ctx feeds both the
+    // segment-verification branch and the final projection, and Spark
+    // would otherwise execute the whole embed+top-k subtree twice
     val ctx = top.agg(
       count(lit(1)).as("k"),
       concat_ws("\n\n", collect_list(col("text"))).as("context"))
+      .localCheckpoint(true)
     val segs = ctx.select(explode(split(col("context"), "\n\n")).as("seg"))
     val matched = segs.join(docs(s, d),
         segs("seg") === col("text"), "left_semi")

@@ -160,6 +160,24 @@ class FtsSpec extends AnyFunSuite {
     assert(Fts.loadPostings(spark, dir, Seq("gamma"), nBuckets = 64).count() == 0)
   }
 
+  test("a legacy/truncated config pin fails loudly instead of validating any geometry") {
+    val dir = java.nio.file.Files.createTempDirectory("fts_legacy").toString
+    Fts.writePostingsIndex(Fts.positionalPostings(
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), "doc_id", "text"),
+      dir, nBuckets = 16)
+    // overwrite the pin with the JSON-era format: no k=v lines parse, so
+    // every checked key is MISSING — must fail (rebuild), never pass
+    // (written through the hadoop fs so the .crc sidecar stays in sync)
+    val pinPath = new org.apache.hadoop.fs.Path(dir + "_meta/config.json")
+    val fs = pinPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.PartitionedIndexOps.writePin(fs, pinPath,
+      """{"nBuckets":16,"nDocBuckets":64}""")
+    val e = intercept[IllegalArgumentException] {
+      Fts.loadPostings(spark, dir, Seq("alpha"), nBuckets = 16)
+    }
+    assert(e.getMessage.contains("without the nBuckets key"))
+  }
+
   test("querying or upserting with the wrong nBuckets fails fast instead of mis-pruning") {
     val dir = java.nio.file.Files.createTempDirectory("fts_cfg").toString
     Fts.writePostingsIndex(Fts.positionalPostings(
