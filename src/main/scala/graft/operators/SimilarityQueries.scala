@@ -380,6 +380,89 @@ object SimilarityQueries {
       |FROM lex JOIN sem USING (doc_id)
       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** q148: hybrid retrieval by RECIPROCAL-RANK FUSION ([[Hybrid.rrfFuse]],
+    * k=60), both legs served from PERSISTED indexes — the capstone
+    * composition of the index work: BM25 top-20 reads only the query
+    * terms' buckets of the postings index (q127/q129's path), ANN top-20
+    * probes the IVF index with nProbe == nLists so the leg is
+    * brute-force-exact (the q62 trick) and the oracle can recompute it.
+    * Ranks are taken on the ROUNDED scores with id tiebreaks, so both
+    * engines agree on every rank; the fused score is a fixed-order
+    * two-term double sum. Docs absent from a leg carry rank 0. */
+  private def q148(s: SparkSession, d: String): DataFrame = {
+    val d0 = docs(s, d)
+    val e = emb(s, d)
+    val terms = Seq("table", "join", "scan")
+    val base = graft.TempDirs.scratchAtExit("hybrid_rrf")
+    val fpath = base.resolve("fts").toString
+    Fts.writePostingsIndex(
+      Fts.positionalPostings(d0, "doc_id", "text"), fpath,
+      nBuckets = 16, nDocBuckets = 16)
+    val bm = Fts.bm25Scores(
+        Fts.loadPostings(s, fpath, terms, nBuckets = 16),
+        Fts.docLengths(d0, "doc_id", "text"), terms)
+      .select(col("doc_id"), round(col("bm25"), 4).as("s"))
+    val qvec = e.filter(col("vec_id") === 1)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    val cents = Similarity.ivfCentroids(e, "embedding", "vec_id", 8, 2)
+    val ipath = base.resolve("ivf").toString
+    Similarity.writeIvfIndex(e, "embedding", "vec_id", cents, ipath)
+    val ann = Similarity.probeIvfIndex(s, ipath, "embedding", "vec_id",
+        qvec, 20, 0 until 8)
+      .select(col("vec_id").as("doc_id"), col("sim").as("s"))
+    Hybrid.rrfFuse(Seq(
+        "lex" -> Hybrid.topRanks(bm, "doc_id", "s", 20),
+        "sem" -> Hybrid.topRanks(ann, "doc_id", "s", 20)),
+      "doc_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  private val q148Sql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS word
+      |             FROM documents),
+      |p AS (SELECT word, doc_id, count(*) AS tf FROM tok
+      |      WHERE word IN ('join','scan','table') GROUP BY 1,2),
+      |dft AS (SELECT word, count(*) AS df FROM p GROUP BY 1),
+      |dl AS (SELECT doc_id, len(string_split(text,' ')) AS doc_len
+      |       FROM documents),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(doc_len) AS avgdl
+      |       FROM dl),
+      |sc AS (SELECT p.doc_id, p.word,
+      |    ln((st.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1)
+      |      * (p.tf * 2.2)
+      |      / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doc_len / st.avgdl)) AS score
+      |  FROM p JOIN dft USING (word) JOIN dl USING (doc_id), st),
+      |bm AS (SELECT doc_id,
+      |  round(coalesce(sum(CASE WHEN word='join' THEN score END), 0)
+      |      + coalesce(sum(CASE WHEN word='scan' THEN score END), 0)
+      |      + coalesce(sum(CASE WHEN word='table' THEN score END), 0), 4) AS s
+      |  FROM sc GROUP BY doc_id),
+      |lexr AS (SELECT doc_id, r FROM (
+      |    SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+      |    FROM bm) WHERE r <= 20),
+      |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+      |sim AS (SELECT vec_id AS doc_id,
+      |    round(list_sum(list_transform(list_zip(embedding, qe),
+      |        pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(embedding,
+      |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(qe,
+      |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS s
+      |  FROM embeddings, q),
+      |semr AS (SELECT doc_id, r FROM (
+      |    SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+      |    FROM sim) WHERE r <= 20),
+      |f AS (SELECT coalesce(l.doc_id, m.doc_id) AS doc_id,
+      |        CAST(coalesce(l.r, 0) AS BIGINT) AS lex_rank,
+      |        CAST(coalesce(m.r, 0) AS BIGINT) AS sem_rank
+      |      FROM lexr l FULL OUTER JOIN semr m ON l.doc_id = m.doc_id)
+      |SELECT doc_id, lex_rank, sem_rank,
+      |  round((CASE WHEN lex_rank > 0 THEN 1.0/(60 + lex_rank) ELSE 0 END)
+      |      + (CASE WHEN sem_rank > 0 THEN 1.0/(60 + sem_rank) ELSE 0 END),
+      |    6) AS rrf
+      |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q40_knn_cosine", q40, Some(q40Sql), bench = true),
     QueryDef("q41_label_centroids", q41, Some(q41Sql)),
@@ -395,5 +478,6 @@ object SimilarityQueries {
     QueryDef("q66_sql_surface", q66, Some(q66Sql)),
     QueryDef("q72_embed_portable", q72, Some(q72Sql)),
     QueryDef("q73_rag_portable", q73, Some(q73Sql)),
-    QueryDef("q119_hybrid_rank", q119, Some(q119Sql)))
+    QueryDef("q119_hybrid_rank", q119, Some(q119Sql)),
+    QueryDef("q148_hybrid_rrf", q148, Some(q148Sql)))
 }
