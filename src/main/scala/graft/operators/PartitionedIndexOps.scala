@@ -110,6 +110,60 @@ object PartitionedIndexOps {
         "row per doc before indexing")
   }
 
+  /** Compact an index table in place: every incremental upsert appends at
+    * least one file to each partition it touches, so a long-running ingest
+    * loop (q145's shape) accretes one file per batch per hit bucket — and
+    * probe cost degrades from "read K buckets" to "open K × batches
+    * files". Compaction rewrites ONLY partitions holding more than
+    * `maxFiles` data files, one file per partition afterwards
+    * (`repartition(partCol)` routes each key to exactly one task).
+    *
+    * The enumeration is a driver-side directory listing, bounded by the
+    * index's bucket geometry (every persisted index here has a fixed
+    * partition count by construction). Content is pinned before the
+    * overwrite ([[pinWrite]]'s localCheckpoint — the plan reads the very
+    * partitions being replaced) and the rewrite is content-identical, so
+    * a crash mid-commit leaves a mix of compacted and uncompacted
+    * partitions that is still CORRECT and re-compactable — no vacated
+    * buckets, no delete pass, pins untouched. Returns the partition
+    * values it rewrote (empty = nothing exceeded the threshold).
+    *
+    * Partition values must be numeric (true for every index here: term/
+    * doc buckets, IVF list ids) — the threshold filter casts through
+    * long so the read prunes to the over-threshold partitions only. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      partCol: String, maxFiles: Int = 4): Seq[Long] = {
+    import org.apache.spark.sql.functions.col
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) return Seq.empty
+    val over = fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith(partCol + "="))
+      .filter { d =>
+        fs.listStatus(d.getPath)
+          .count(_.getPath.getName.endsWith(".parquet")) > maxFiles
+      }
+      .map(_.getPath.getName.drop(partCol.length + 1).toLong)
+      .toSeq
+    if (over.isEmpty) return Seq.empty
+    pinWrite(compactionSlice(spark, path, partCol, over)
+      .repartition(col(partCol)), path, partCol)
+    over
+  }
+
+  /** The pruned read compaction rewrites from — factored out so the spec
+    * can assert the long-cast threshold filter lands as a PARTITION
+    * filter (file-index pruning), not a data filter over the whole index:
+    * at scale, compacting 3 hot buckets must not scan the other 61. */
+  private[graft] def compactionSlice(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      partCol: String, over: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(path)
+      .filter(col(partCol).cast("long").isInCollection(over))
+  }
+
   /** Replace the `affected` partitions of `path` with `merged`'s rows:
     * [[pinWrite]], then delete the affected buckets absent from the output
     * (vacated by a re-crawl). The `present` collect is bounded by the

@@ -389,24 +389,48 @@ object SimilarityQueries {
     * Ranks are taken on the ROUNDED scores with id tiebreaks, so both
     * engines agree on every rank; the fused score is a fixed-order
     * two-term double sum. Docs absent from a leg carry rank 0. */
-  private def q148(s: SparkSession, d: String): DataFrame = {
+  private def q148(s: SparkSession, d: String): DataFrame =
+    hybridRrf(s, d, compactFirst = false)
+
+  /** q149: the SAME pipeline with a [[PartitionedIndexOps.compact]] pass
+    * over both indexes (and their side tables) between build and probe —
+    * maxFiles=0 forces every partition through the rewrite, so the shared
+    * q148 oracle hash-fails on ANY row compaction loses, duplicates, or
+    * reroutes. Gates the maintenance op a long ingest loop needs (every
+    * upsert appends files; probe cost degrades with file count) through
+    * the driver, not just CompactionSpec. */
+  private def q149(s: SparkSession, d: String): DataFrame =
+    hybridRrf(s, d, compactFirst = true)
+
+  private def hybridRrf(s: SparkSession, d: String,
+      compactFirst: Boolean): DataFrame = {
     val d0 = docs(s, d)
     val e = emb(s, d)
     val terms = Seq("table", "join", "scan")
-    val base = graft.TempDirs.scratchAtExit("hybrid_rrf")
+    val base = graft.TempDirs.scratchAtExit(
+      if (compactFirst) "hybrid_rrf_c" else "hybrid_rrf")
     val fpath = base.resolve("fts").toString
     Fts.writePostingsIndex(
       Fts.positionalPostings(d0, "doc_id", "text"), fpath,
       nBuckets = 16, nDocBuckets = 16)
-    val bm = Fts.bm25Scores(
-        Fts.loadPostings(s, fpath, terms, nBuckets = 16),
-        Fts.docLengths(d0, "doc_id", "text"), terms)
-      .select(col("doc_id"), round(col("bm25"), 4).as("s"))
     val qvec = e.filter(col("vec_id") === 1)
       .select(col("embedding")).head.getSeq[Float](0).toArray
     val cents = Similarity.ivfCentroids(e, "embedding", "vec_id", 8, 2)
     val ipath = base.resolve("ivf").toString
     Similarity.writeIvfIndex(e, "embedding", "vec_id", cents, ipath)
+    // compaction must precede ANY index read: a DataFrame captures its
+    // file listing when read.parquet plans the scan, and compaction
+    // replaces those files (FILE_NOT_EXIST on a stale plan otherwise)
+    if (compactFirst) {
+      PartitionedIndexOps.compact(s, fpath, "wb", maxFiles = 0)
+      PartitionedIndexOps.compact(s, fpath + "_docs", "db", maxFiles = 0)
+      PartitionedIndexOps.compact(s, ipath, "list_id", maxFiles = 0)
+      PartitionedIndexOps.compact(s, ipath + "_docs", "dbk", maxFiles = 0)
+    }
+    val bm = Fts.bm25Scores(
+        Fts.loadPostings(s, fpath, terms, nBuckets = 16),
+        Fts.docLengths(d0, "doc_id", "text"), terms)
+      .select(col("doc_id"), round(col("bm25"), 4).as("s"))
     val ann = Similarity.probeIvfIndex(s, ipath, "embedding", "vec_id",
         qvec, 20, 0 until 8)
       .select(col("vec_id").as("doc_id"), col("sim").as("s"))
@@ -479,5 +503,6 @@ object SimilarityQueries {
     QueryDef("q72_embed_portable", q72, Some(q72Sql)),
     QueryDef("q73_rag_portable", q73, Some(q73Sql)),
     QueryDef("q119_hybrid_rank", q119, Some(q119Sql)),
-    QueryDef("q148_hybrid_rrf", q148, Some(q148Sql)))
+    QueryDef("q148_hybrid_rrf", q148, Some(q148Sql)),
+    QueryDef("q149_compacted_rrf", q149, Some(q148Sql)))
 }

@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{Fts, PartitionedIndexOps, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Index compaction: fragmented partitions (one file per writing task —
+  * the shape a many-partition bulk build or a long ingest loop leaves)
+  * rewrite to one file each, content-identical, pins untouched. */
+class CompactionSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def parquetFiles(dir: String): Map[String, Int] = {
+    val root = new java.io.File(dir)
+    root.listFiles().filter(f => f.isDirectory && f.getName.contains("="))
+      .map(d => d.getName ->
+        d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+  }
+
+  test("fts index: compact rewrites only fragmented buckets, queries unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("compact_fts")
+      .resolve("idx").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta"), (3L, "beta gamma"),
+      (4L, "alpha gamma delta"), (5L, "delta beta alpha"), (6L, "gamma alpha"))
+      .toDF("doc_id", "text")
+      .repartition(6) // one file per task per hit bucket — the fragmented shape
+    Fts.writePostingsIndex(
+      Fts.positionalPostings(docs, "doc_id", "text"), dir,
+      nBuckets = 2, nDocBuckets = 2)
+    val before = parquetFiles(dir)
+    assert(before.values.exists(_ > 2), s"expected fragmentation, got $before")
+    val resultsBefore = Fts.conjunctiveQuery(
+      Fts.loadPostings(spark, dir, Seq("alpha", "beta"), nBuckets = 2),
+      Seq("alpha", "beta")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // the rewrite read must prune at the file index — compacting a few hot
+    // buckets cannot scan the rest of the index at scale
+    val slicePlan = PartitionedIndexOps
+      .compactionSlice(spark, dir, "wb", Seq(0L))
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*wb".r.findFirstIn(slicePlan).isDefined,
+      s"expected wb partition pruning in plan:\n$slicePlan")
+
+    val rewritten = PartitionedIndexOps.compact(spark, dir, "wb", maxFiles = 2)
+    assert(rewritten.nonEmpty)
+    val after = parquetFiles(dir)
+    rewritten.foreach(b => assert(after(s"wb=$b") == 1,
+      s"bucket $b not compacted: $after"))
+    // under-threshold buckets untouched
+    before.filter(_._2 <= 2).foreach { case (d, n) => assert(after(d) == n) }
+
+    val resultsAfter = Fts.conjunctiveQuery(
+      Fts.loadPostings(spark, dir, Seq("alpha", "beta"), nBuckets = 2),
+      Seq("alpha", "beta")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(resultsAfter == resultsBefore)
+
+    // the index stays maintainable: pin intact, upsert + side table healthy
+    Fts.upsertPostingsIndex(Seq((7L, "alpha epsilon")).toDF("doc_id", "text"),
+      dir, "doc_id", "text", nBuckets = 2, nDocBuckets = 2)
+    assert(Fts.conjunctiveQuery(
+      Fts.loadPostings(spark, dir, Seq("epsilon"), nBuckets = 2),
+      Seq("epsilon")).count() == 1)
+  }
+
+  test("ivf index: compacted lists probe identically") {
+    val dir = java.nio.file.Files.createTempDirectory("compact_ivf")
+      .resolve("idx").toString
+    val vecs = (0L until 40L)
+      .map(i => (i, Array.tabulate(4)(j => (((i + j) % 7).toFloat + 1f))))
+      .toDF("vec_id", "embedding")
+      .repartition(8)
+    val cents = Similarity.ivfCentroids(vecs, "embedding", "vec_id", 4, 2)
+    Similarity.writeIvfIndex(vecs, "embedding", "vec_id", cents, dir,
+      nDocBuckets = 2)
+    val q = Array.tabulate(4)(_.toFloat + 1f)
+    val pre = Similarity.probeIvfIndex(spark, dir, "embedding", "vec_id",
+      q, 10, 0 until 4).collect().map(r => (r.getLong(0), r.getDouble(1)))
+
+    val rewritten = PartitionedIndexOps.compact(spark, dir, "list_id",
+      maxFiles = 1)
+    assert(rewritten.nonEmpty)
+    rewritten.foreach(l => assert(parquetFiles(dir)(s"list_id=$l") == 1))
+    val post = Similarity.probeIvfIndex(spark, dir, "embedding", "vec_id",
+      q, 10, 0 until 4).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(post.toSeq == pre.toSeq)
+    // side table compacts with the same call
+    PartitionedIndexOps.compact(spark, dir + "_docs", "dbk", maxFiles = 1)
+    Similarity.upsertIvfIndex(
+      Seq((100L, Array(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", cents, dir, nDocBuckets = 2)
+  }
+
+  test("compact on a missing or un-fragmented index is a no-op") {
+    assert(PartitionedIndexOps.compact(spark, "/tmp/graft_no_such_idx",
+      "wb").isEmpty)
+  }
+}
