@@ -184,6 +184,8 @@ class PlanSpec extends AnyFunSuite {
         (4, "probe: hit band-bucket + candidate shingle-bucket id sets; upsert: doc-bucket + affected-band-bucket id sets — each <= nBuckets/nDocBuckets"),
       "operators/PartitionedIndexOps.scala" ->
         (1, "overwriteAffected: present-partition id set, <= the caller's bucket count"),
+      "operators/Pq.scala" ->
+        (2, "PQ trainer: k-row codebook init (k <= 256) + one mean row per occupied code per subspace"),
       "operators/CurationQueries.scala" ->
         (1, "q109 CMS: one serialized sketch per language"),
       "llm/RagPipeline.scala" ->
