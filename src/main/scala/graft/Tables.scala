@@ -23,6 +23,15 @@ object Tables {
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
+    // A writer flagging the micros column isAdjustedToUTC=false surfaces as
+    // TIMESTAMP_NTZ, which time-arithmetic functions (unix_micros, windows)
+    // reject. The session timezone is pinned UTC (GraftSession), so casting
+    // to TimestampType keeps the exact same micros — and matches DuckDB,
+    // which reads the naive value as a plain TIMESTAMP either way.
+    else if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      df.withColumn("ts",
+        df("ts").cast(org.apache.spark.sql.types.TimestampType))
     else df
   }
 

@@ -97,6 +97,15 @@ object PartitionedIndexOps {
     pinned
   }
 
+  /** Exact-bits fingerprint of a model matrix (IVF centroids, PQ
+    * codebooks) for config pins: hex of every double's raw bits — two
+    * matrices fingerprint equal iff bit-identical, so a retrained model
+    * can never validate against an index built under the old one. */
+  def matrixFingerprint(m: Array[Array[Double]]): String =
+    m.map(_.map(v => java.lang.Long.toHexString(
+      java.lang.Double.doubleToRawLongBits(v))).mkString(","))
+      .mkString(";")
+
   /** Fail fast on a batch carrying the same id twice — an unordered frame
     * with two rows per doc has no deterministic winner, and a silent merge
     * corrupts the index (doubled tf, two vectors per id). One aggregation

@@ -245,9 +245,7 @@ object Similarity {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def centroidsFingerprint(cents: Array[Array[Double]]): String =
-    cents.map(_.map(v => java.lang.Long.toHexString(
-      java.lang.Double.doubleToRawLongBits(v))).mkString(","))
-      .mkString(";")
+    PartitionedIndexOps.matrixFingerprint(cents)
 
   /** Everything that changes list assignment or side-bucket routing is
     * pinned: the exact centroid bits plus the doc-bucket modulus (the

@@ -527,6 +527,57 @@ object SimilarityQueries {
       |SELECT vec_id, round(dot / (na * nb), 4) AS sim, true AS recall_ok
       |FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
+  /** q151: the persisted IVF-PQ index ([[IvfPq]]) driven through its whole
+    * lifecycle — bulk build over a perturbed crawl 1 (reversed even
+    * embeddings + true odds, q147's setup), RE-CRAWL upsert of the true
+    * evens (codes AND lists change; stale rows must leave both tables),
+    * then a full-probe ADC query with exact re-rank. Output = exact
+    * cosine for EVERY vector in the post-upsert refine table (so the
+    * brute-force oracle fails on any stale survivor or missed upsert,
+    * q147-style) + `recall_ok`: the PQ probe (8 B/vector candidate scan,
+    * 64-row point-lookup re-rank) recovered ≥7 of the true top-10 — the
+    * q150 contract, here served from the persisted index rather than an
+    * inline encode. */
+  private def q151(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val qvec = e.filter(col("vec_id") === 1)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    val cents = Similarity.ivfCentroids(e, "embedding", "vec_id", 8, 2)
+    val books = Pq.trainCodebooks(e, "embedding", "vec_id", m = 8, k = 16)
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    val crawl1 = evens.withColumn("embedding", reverse(col("embedding")))
+      .unionByName(e.filter(col("vec_id") % 2 === 1))
+    val path = graft.TempDirs.scratchAtExit("ivfpq")
+      .resolve("idx").toString
+    IvfPq.writeIvfPqIndex(crawl1, "embedding", "vec_id", cents, books, path)
+    IvfPq.upsertIvfPqIndex(evens, "embedding", "vec_id", cents, books, path)
+    val pq10 = IvfPq.probeIvfPqIndex(s, path, "embedding", "vec_id",
+      qvec, 10, 0 until 8, books, rerank = 64)
+    val qv = array(qvec.map(lit): _*)
+    val exactAll = s.read.parquet(path + "_refine")
+      .select(col("vec_id"),
+        round(graft.functions.CosineSimilarity(col("embedding"), qv), 4)
+          .as("sim"))
+    val exact10 = exactAll.orderBy(col("sim").desc, col("vec_id"))
+      .limit(10).select(col("vec_id"))
+    val hits = pq10.select(col("vec_id")).join(exact10, "vec_id").count()
+    exactAll.withColumn("recall_ok", lit(hits >= 7))
+      .orderBy(col("sim").desc, col("vec_id"))
+  }
+
+  private val q151Sql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+      |s AS (SELECT vec_id,
+      |    list_sum(list_transform(list_zip(embedding, qe),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+      |    sqrt(list_sum(list_transform(qe,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+      |  FROM embeddings, q)
+      |SELECT vec_id, round(dot / (na * nb), 4) AS sim, true AS recall_ok
+      |FROM s ORDER BY sim DESC, vec_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q40_knn_cosine", q40, Some(q40Sql), bench = true),
     QueryDef("q41_label_centroids", q41, Some(q41Sql)),
@@ -545,5 +596,6 @@ object SimilarityQueries {
     QueryDef("q119_hybrid_rank", q119, Some(q119Sql)),
     QueryDef("q148_hybrid_rrf", q148, Some(q148Sql)),
     QueryDef("q149_compacted_rrf", q149, Some(q148Sql)),
-    QueryDef("q150_pq_ann", q150, Some(q150Sql)))
+    QueryDef("q150_pq_ann", q150, Some(q150Sql)),
+    QueryDef("q151_ivfpq_index", q151, Some(q151Sql)))
 }

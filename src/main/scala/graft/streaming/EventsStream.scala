@@ -13,8 +13,9 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events.parquet physical schema (ts is TIMESTAMP(NANOS) → read as nanos
-    * LONG, converted below). */
+  /** events schema with `ts` as raw LONG — the shape of BOTH the legacy
+    * TIMESTAMP(NANOS) file read under nanosAsLong and spec-staged files
+    * that store epoch micros directly. */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -23,22 +24,42 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** The events file's `ts` physical type has drifted across test-data
+    * generations (TIMESTAMP(NANOS)→nanos LONG, then micros with
+    * isAdjustedToUTC=false→TIMESTAMP_NTZ). A streaming source needs its
+    * schema declared up front, so peek at the batch-read schema of the
+    * same file and pair it with the matching normalizer — one place that
+    * tracks the drift for every streaming query ([[graft.Tables.load]] is
+    * the batch twin). */
+  private def readNormalized(spark: SparkSession, peekPath: String,
+      streamDir: String, glob: Option[String]): DataFrame = {
+    val batchTs = spark.read.parquet(peekPath).schema("ts").dataType
+    val schema = StructType(eventsRawSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = batchTs)
+      case f => f
+    })
+    val reader = spark.readStream.schema(schema)
+    glob.foreach(g => reader.option("pathGlobFilter", g))
+    val raw = reader.parquet(streamDir)
+    batchTs match {
+      case LongType => // legacy nanos-as-long
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // naive micros; session tz is pinned UTC
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
+
   /** Streaming read of an events parquet path glob. */
   def readEvents(spark: SparkSession, pathGlob: String): DataFrame =
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(pathGlob)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    readNormalized(spark, pathGlob, pathGlob, None)
 
   /** Streaming read of `events.parquet` inside a multi-table directory
     * (file sources require a directory path; pathGlobFilter selects the one
     * table file). */
   def readEventsDir(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    readNormalized(spark, s"$dir/events.parquet", dir,
+      Some("events.parquet"))
 
   /** ST4: watermarked keyed dedup — duplicates within the watermark horizon
     * are dropped by event_id (the reference's URL-keyed upsert semantics). */

@@ -186,6 +186,8 @@ class PlanSpec extends AnyFunSuite {
         (1, "overwriteAffected: present-partition id set, <= the caller's bucket count"),
       "operators/Pq.scala" ->
         (2, "PQ trainer: k-row codebook init (k <= 256) + one mean row per occupied code per subspace"),
+      "operators/IvfPq.scala" ->
+        (3, "probe: rerank-capped candidate-id point-lookup keys (<= 1024); upsert: doc-bucket + affected-list id sets, <= nDocBuckets / <= nLists"),
       "operators/CurationQueries.scala" ->
         (1, "q109 CMS: one serialized sketch per language"),
       "llm/RagPipeline.scala" ->
