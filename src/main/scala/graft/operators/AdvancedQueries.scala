@@ -129,6 +129,67 @@ object AdvancedQueries {
       |  1 AS merged_within_5pct
       |FROM lineitem""".stripMargin
 
+  /** q155: set-OVERLAP estimation from mergeable sketches — the way a
+    * 100 TB pipeline estimates benchmark contamination / audience overlap
+    * WITHOUT the distinct-join: one HLL sketch per side (each a one-pass
+    * combinable aggregate, persistable in a mart), |A∩B| by
+    * inclusion-exclusion over the side sketches and their lossless union
+    * (`hll_union_agg` — the sketch algebra q101 established). Contract
+    * oracle: exact values from a single Expand-free pass (engine) /
+    * conditional distincts (DuckDB); the booleans pin the side estimates
+    * within 5% and the derived overlap within 10% (inclusion-exclusion
+    * compounds the per-sketch error; measured ≪1% at lgK=14). */
+  private def q155(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("view", "purchase")
+    val perType = ev(s, d)
+      .filter(col("event_type").isInCollection(types))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+    val ests = perType.agg(
+      max(when(col("event_type") === "view",
+        hll_sketch_estimate(col("sk")))).as("est_v"),
+      max(when(col("event_type") === "purchase",
+        hll_sketch_estimate(col("sk")))).as("est_p"),
+      hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est_u"))
+    val exact = ev(s, d).agg(
+      countDistinct(when(col("event_type") === "view", col("user_id")))
+        .as("exact_view"),
+      countDistinct(when(col("event_type") === "purchase", col("user_id")))
+        .as("exact_purchase"),
+      countDistinct(when(col("event_type").isInCollection(types),
+        col("user_id"))).as("exact_u"))
+    ests.crossJoin(broadcast(exact))
+      .select(col("exact_view"), col("exact_purchase"),
+        (col("exact_view") + col("exact_purchase") - col("exact_u"))
+          .as("exact_overlap"),
+        ((abs(col("est_v") - col("exact_view")).cast("double") /
+            col("exact_view") <= 0.05) &&
+          (abs(col("est_p") - col("exact_purchase")).cast("double") /
+            col("exact_purchase") <= 0.05)).cast("int")
+          .as("sides_within_5pct"),
+        (abs(col("est_v") + col("est_p") - col("est_u") -
+            (col("exact_view") + col("exact_purchase") - col("exact_u")))
+          .cast("double") /
+          (col("exact_view") + col("exact_purchase") - col("exact_u"))
+          <= 0.10).cast("int").as("overlap_within_10pct"))
+  }
+
+  private val q155Sql =
+    """SELECT
+      |  CAST(count(DISTINCT CASE WHEN event_type = 'view'
+      |    THEN user_id END) AS BIGINT) AS exact_view,
+      |  CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+      |    THEN user_id END) AS BIGINT) AS exact_purchase,
+      |  CAST(count(DISTINCT CASE WHEN event_type = 'view'
+      |      THEN user_id END) AS BIGINT)
+      |  + CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+      |      THEN user_id END) AS BIGINT)
+      |  - CAST(count(DISTINCT CASE WHEN event_type IN ('view', 'purchase')
+      |      THEN user_id END) AS BIGINT) AS exact_overlap,
+      |  1 AS sides_within_5pct,
+      |  1 AS overlap_within_10pct
+      |FROM events""".stripMargin
+
   /** q45: embedding-cosine near-dup pairs (north-star dedup family) —
     * brute-force oracle baseline; the scale path reuses Similarity's LSH
     * buckets as the candidate generator. Integer ids + identical double
@@ -704,6 +765,7 @@ object AdvancedQueries {
     QueryDef("q88_stream_attribution", q88, Some(q88Sql)),
     QueryDef("q98_stream_session_window", q98, Some(q98Sql)),
     QueryDef("q101_sketch_merge", q101, Some(q101Sql)),
+    QueryDef("q155_overlap_sketch", q155, Some(q155Sql)),
     QueryDef("q115_stream_enrich", q115, Some(q115Sql)),
     QueryDef("q118_stream_dedup_ttl", q118, Some(q118Sql)))
 }

@@ -83,6 +83,50 @@ object Curation {
         sum(when(col("nd") >= minDocs, 1L).otherwise(0L)).as("n_shared"))
   }
 
+  /** Exact duplicated-SPAN excision — the end-step of exact substring
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): every word covered by an n-gram that occurs in at
+    * least `minDocs` distinct docs is cut from every doc, and the doc is
+    * rebuilt from its surviving words in order. [[crossDocDupCounts]]
+    * MEASURES cross-doc duplication; this operator REMOVES it at word
+    * granularity.
+    *
+    * Scale shape: occurrences shuffle on xxhash64(gram) (8 B keys, like
+    * crossDocDupCounts); covered positions expand only for duplicated
+    * grams (≤ n rows per duplicated occurrence); the rebuild is a keyed
+    * aggregation whose per-group state is one doc's words — no global
+    * sort, no driver text. Returns (doc_id, n_words, n_kept, scrubbed). */
+  def scrubDuplicatedSpans(docs: DataFrame, n: Int = 5,
+      minDocs: Int = 2): DataFrame = {
+    val occ = docs.select(col("doc_id"),
+        posexplode(WordNgrams(col("text"), n)).as(Seq("i", "g")))
+      .select(col("doc_id"), (col("i") + 1).as("start"),
+        xxhash64(col("g")).as("gram"))
+    val dupGrams = occ.select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("gram"))
+    val covered = occ.join(dupGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (n - 1))).as("p"))
+      .distinct()
+    val pos = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+      .select(col("doc_id"), (col("i") + 1).as("p"), col("w"))
+    val rebuilt = pos.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        sort_array(collect_list(struct(col("p"), col("w")))).as("sw"))
+      .select(col("doc_id"), col("n_kept"),
+        concat_ws(" ", transform(col("sw"), s => s.getField("w")))
+          .as("scrubbed"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"))
+  }
+
   /** Concat-and-chunk sequence packing: per `sourceCol`, docs concatenated
     * in `orderCol` order and chunked into `capacity`-token windows; a doc
     * belongs to the pack its first token lands in. Adds (toks, pack).

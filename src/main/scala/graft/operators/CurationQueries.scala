@@ -948,6 +948,128 @@ object CurationQueries {
       |SELECT doc_id, n_grams, n_shared, (10000 * n_shared) // n_grams AS dup_bp
       |FROM r WHERE n_grams > 0""".stripMargin
 
+  /** q152: a quality classifier TRAINED IN THE ENGINE ([[Classifier]] —
+    * the CCNet/fastText filter shape): label = whether the doc contains
+    * the word "table", features = 16 hashed bag-of-words counts, 3
+    * batch-perceptron rounds (each ONE combinable aggregation; the model
+    * is 17 driver-side longs), then the trained scorer applied back to
+    * the corpus. All integer arithmetic, so the DuckDB oracle replays
+    * the IDENTICAL training loop as unrolled CTEs (the q126 BPE
+    * discipline) and every score/prediction must hash-match exactly. */
+  private def q152(s: SparkSession, d: String): DataFrame = {
+    val labeled = docs(s, d).select(col("doc_id"), col("text"),
+      when(array_contains(split(col("text"), " "), "table"), 1L)
+        .otherwise(-1L).as("y"))
+    val (w, b) = Classifier.trainPerceptron(labeled, "text", "y",
+      nF = 16, iters = 3)
+    val scored = labeled.select(col("doc_id"), col("y"),
+      Classifier.scoreExpr(
+        Classifier.hashedCounts(col("text"), 16), w, b).as("score"))
+    scored.select(col("doc_id"), col("score"),
+        Classifier.predExpr(col("score")).as("pred"), col("y"))
+      .filter(col("doc_id") < 50)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The perceptron loop unrolled to SQL: wT/biasT carry the model after
+    * round T; sT scores every doc under the round-entry model; gT is the
+    * misclassified-row gradient. Integer-exact end to end. */
+  private val q152Sql: String = {
+    val nF = 16
+    val iters = 3
+    val base =
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |             FROM documents),
+        |hb AS (SELECT doc_id,
+        |         list_reduce(list_transform(string_split(word, ''),
+        |             c -> CAST(ascii(c) AS BIGINT)),
+        |           (a, c) -> (a * 31 + c) % 2147483647) % $nF AS b
+        |       FROM tok WHERE word <> ''),
+        |x AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+        |      FROM hb GROUP BY 1, 2),
+        |lab AS (SELECT doc_id,
+        |          CASE WHEN list_contains(string_split(text, ' '), 'table')
+        |               THEN 1 ELSE -1 END AS y
+        |        FROM documents),
+        |bk AS (SELECT unnest(generate_series(0, ${nF - 1})) AS b),
+        |w0 AS (SELECT b, CAST(0 AS BIGINT) AS w FROM bk),
+        |bias0 AS (SELECT CAST(0 AS BIGINT) AS bb)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""dot$t AS (SELECT x.doc_id, CAST(sum(x.c * w.w) AS BIGINT) AS dp
+        |          FROM x JOIN w${t - 1} w USING (b) GROUP BY 1),
+        |s$t AS (SELECT lab.doc_id, lab.y,
+        |          coalesce(d.dp, 0) + (SELECT bb FROM bias${t - 1}) AS sc
+        |        FROM lab LEFT JOIN dot$t d USING (doc_id)),
+        |g$t AS (SELECT x.b, CAST(sum(s.y * x.c) AS BIGINT) AS g
+        |        FROM s$t s JOIN x USING (doc_id)
+        |        WHERE (CASE WHEN s.sc > 0 THEN 1 ELSE -1 END) <> s.y
+        |        GROUP BY 1),
+        |w$t AS (SELECT bk.b, CAST(w.w + coalesce(g.g, 0) AS BIGINT) AS w
+        |        FROM bk JOIN w${t - 1} w USING (b)
+        |        LEFT JOIN g$t g USING (b)),
+        |bias$t AS (SELECT CAST((SELECT bb FROM bias${t - 1}) +
+        |             coalesce((SELECT sum(y) FROM s$t
+        |               WHERE (CASE WHEN sc > 0 THEN 1 ELSE -1 END) <> y),
+        |               0) AS BIGINT) AS bb)""".stripMargin
+    }
+    val fin = iters + 1
+    val score =
+      s"""dot$fin AS (SELECT x.doc_id, CAST(sum(x.c * w.w) AS BIGINT) AS dp
+        |          FROM x JOIN w$iters w USING (b) GROUP BY 1),
+        |s$fin AS (SELECT lab.doc_id, lab.y,
+        |          coalesce(d.dp, 0) + (SELECT bb FROM bias$iters) AS sc
+        |        FROM lab LEFT JOIN dot$fin d USING (doc_id))
+        |SELECT doc_id, CAST(sc AS BIGINT) AS score,
+        |  CAST(CASE WHEN sc > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+        |  CAST(y AS BIGINT) AS y
+        |FROM s$fin WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
+    (Seq(base) ++ rounds ++ Seq(score)).mkString(",\n")
+  }
+
+  /** q153: exact duplicated-span EXCISION
+    * ([[Curation.scrubDuplicatedSpans]]) — q134 measures cross-doc 5-gram
+    * duplication, this removes it: every word covered by a 5-gram
+    * appearing in ≥2 distinct docs is cut, docs are rebuilt from the
+    * survivors in order, and the oracle re-derives the full rebuilt text
+    * (compared by md5 so rows stay small — any divergence in which words
+    * survive or their order flips the digest). */
+  private def q153(s: SparkSession, d: String): DataFrame =
+    Curation.scrubDuplicatedSpans(docs(s, d), n = 5, minDocs = 2)
+      .select(col("doc_id"), col("n_words"), col("n_kept"),
+        (col("n_words") - col("n_kept")).as("n_removed"),
+        md5(col("scrubbed")).as("sig"))
+      .orderBy(col("doc_id"))
+
+  private val q153Sql =
+    """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      |st AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 5
+      |         THEN generate_series(1, len(ws)-4) ELSE [] END) AS s FROM w),
+      |gr AS (SELECT st.doc_id, st.s,
+      |         w.ws[st.s]||' '||w.ws[st.s+1]||' '||w.ws[st.s+2]||' '||
+      |           w.ws[st.s+3]||' '||w.ws[st.s+4] AS gram
+      |       FROM st JOIN w USING (doc_id)),
+      |dup AS (SELECT gram FROM (
+      |         SELECT gram, count(DISTINCT doc_id) AS nd FROM gr GROUP BY 1)
+      |        WHERE nd >= 2),
+      |cov AS (SELECT DISTINCT doc_id, p FROM (
+      |         SELECT doc_id, unnest(generate_series(s, s+4)) AS p
+      |         FROM gr WHERE gram IN (SELECT gram FROM dup))),
+      |pos AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS p FROM w),
+      |pw AS (SELECT pos.doc_id, pos.p, w.ws[pos.p] AS word
+      |       FROM pos JOIN w USING (doc_id)),
+      |kept AS (SELECT pw.doc_id, pw.p, pw.word
+      |         FROM pw LEFT JOIN cov ON pw.doc_id = cov.doc_id AND pw.p = cov.p
+      |         WHERE cov.p IS NULL),
+      |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |               string_agg(word, ' ' ORDER BY p) AS scrubbed
+      |        FROM kept GROUP BY 1)
+      |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+      |       coalesce(r.n_kept, 0) AS n_kept,
+      |       CAST(len(w.ws) AS BIGINT) - coalesce(r.n_kept, 0) AS n_removed,
+      |       md5(coalesce(r.scrubbed, '')) AS sig
+      |FROM w LEFT JOIN reb r USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q90_contamination", q90, Some(q90Sql), bench = true),
     QueryDef("q91_stratified_sample", q91, Some(q91Sql)),
@@ -976,5 +1098,7 @@ object CurationQueries {
     QueryDef("q141_index_orphans", q141, Some(q141Sql)),
     QueryDef("q143_dedup_index_probe", q143, Some(q95Sql)),
     QueryDef("q144_dedup_index_upsert", q144, Some(q144Sql)),
-    QueryDef("q145_stream_ingest_dedup", q145, Some(q145Sql)))
+    QueryDef("q145_stream_ingest_dedup", q145, Some(q145Sql)),
+    QueryDef("q152_trained_filter", q152, Some(q152Sql)),
+    QueryDef("q153_span_scrub", q153, Some(q153Sql)))
 }

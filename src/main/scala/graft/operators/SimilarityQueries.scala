@@ -578,6 +578,61 @@ object SimilarityQueries {
       |SELECT vec_id, round(dot / (na * nb), 4) AS sim, true AS recall_ok
       |FROM s ORDER BY sim DESC, vec_id""".stripMargin
 
+  /** q154: streaming ANN INGEST — the IVF-PQ index maintained from a
+    * Structured Streaming foreachBatch loop (q145's drain shape applied
+    * to vectors): slice 0 bulk-builds (perturbed even embeddings +
+    * odds), slice 1 is a no-op-overlap append, slice 2 RE-CRAWLS the
+    * evens with their true embeddings — so one drain exercises empty-dir
+    * bulk routing, append merge, and the stale-vector kill path against
+    * live checkpointed state. Output = exact sim for every vector left
+    * in the refine table, so the q147 brute-force oracle fails on any
+    * stale survivor, lost row, or duplicate. */
+  private def q154(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val e = emb(s, d)
+    val qvec = e.filter(col("vec_id") === 1)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    val cents = Similarity.ivfCentroids(e, "embedding", "vec_id", 8, 2)
+    val books = Pq.trainCodebooks(e, "embedding", "vec_id", m = 8, k = 16)
+    val base = graft.TempDirs.scratchAtExit("stream_ann")
+    val srcDir = base.resolve("in")
+    java.nio.file.Files.createDirectories(srcDir)
+    val idx = base.resolve("idx").toString
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    val slices = Seq(
+      evens.withColumn("embedding", reverse(col("embedding")))
+        .unionByName(e.filter(col("vec_id") % 4 === 1)),
+      e.filter(col("vec_id") % 4 === 3),
+      evens)
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val staging = base.resolve(s"stage$i")
+      df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = staging.toFile.listFiles
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      val dst = srcDir.resolve(s"slice$i.parquet")
+      java.nio.file.Files.copy(part, dst)
+      // file-source order = (mtime, path); pin it so slice i is batch i
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 10000))
+    }
+    val q = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        IvfPq.upsertIvfPqIndex(batch, "embedding", "vec_id", cents, books,
+          idx)
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    val qv = array(qvec.map(lit): _*)
+    s.read.parquet(idx + "_refine")
+      .select(col("vec_id"),
+        round(graft.functions.CosineSimilarity(col("embedding"), qv), 4)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q40_knn_cosine", q40, Some(q40Sql), bench = true),
     QueryDef("q41_label_centroids", q41, Some(q41Sql)),
@@ -597,5 +652,6 @@ object SimilarityQueries {
     QueryDef("q148_hybrid_rrf", q148, Some(q148Sql)),
     QueryDef("q149_compacted_rrf", q149, Some(q148Sql)),
     QueryDef("q150_pq_ann", q150, Some(q150Sql)),
-    QueryDef("q151_ivfpq_index", q151, Some(q151Sql)))
+    QueryDef("q151_ivfpq_index", q151, Some(q151Sql)),
+    QueryDef("q154_stream_ann_ingest", q154, Some(q147Sql)))
 }
