@@ -136,8 +136,10 @@ object IvfPq {
       s"rerank=$rerank out of range (candidate ids are collected)")
     val fs = fsOf(spark, path)
     val stored = PartitionedIndexOps.readConfigPin(fs, pinPath(path))
-    require(stored.exists(_.get("codebooks")
-        .contains(booksFingerprint(books))),
+    require(stored.isDefined,
+      s"IVF-PQ index at $path has no config pin (never built, or a " +
+        "crashed build) — build it with writeIvfPqIndex before probing")
+    require(stored.get.get("codebooks").contains(booksFingerprint(books)),
       s"IVF-PQ index at $path was built under different codebooks — ADC " +
         "scores against these lookup tables would be meaningless")
     val qn = {
@@ -178,14 +180,19 @@ object IvfPq {
 
   /** A batch's full index row set: id, codes, assigned list, doc bucket.
     * Codes encode the NORMALIZED vector (ADC dots then approximate
-    * cosine); the refine table keeps the raw embedding. */
+    * cosine); the refine table keeps the raw embedding. The norm is
+    * hoisted into its own column so it is computed once per row, not
+    * once per codeword (Pq's codegen note). */
   private def assign(vecs: DataFrame, embCol: String, idCol: String,
       cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
-      nDocBuckets: Int): DataFrame =
-    vecs.select(col(idCol), col(embCol),
-      Similarity.nearestListExpr(col(embCol), cents).as("list_id"),
-      Pq.encodeExpr(Pq.normalizedExpr(col(embCol)), books).as("codes"),
-      pmod(col(idCol), lit(nDocBuckets.toLong)).as("dbk"))
+      nDocBuckets: Int): DataFrame = {
+    val dim = books.length * books(0)(0).length
+    vecs.withColumn("__pqn", Pq.vecNorm(col(embCol), dim))
+      .select(col(idCol), col(embCol),
+        Similarity.nearestListExpr(col(embCol), cents).as("list_id"),
+        Pq.encodeExpr(col(embCol), col("__pqn"), books).as("codes"),
+        pmod(col(idCol), lit(nDocBuckets.toLong)).as("dbk"))
+  }
 
   private def booksFingerprint(books: Array[Array[Array[Double]]]): String =
     books.map(PartitionedIndexOps.matrixFingerprint).mkString("|")

@@ -21,36 +21,61 @@ import org.apache.spark.sql.functions._
   * (like IVF centroids — train on a sample; a codebook is a model, not a
   * scan product), encoding is a pure per-row expression (stored with the
   * index, computed once at ingest), and ADC scoring is expression-only
-  * over literal tables, inside whole-stage codegen, cut by
-  * TakeOrderedAndProject. Composes with the IVF index: store codes per
-  * list and ADC-score only probed partitions.
+  * over literal tables, cut by TakeOrderedAndProject.
+  *
+  * CODEGEN NOTE (the WordNgrams lesson, PERF.md): every dot/norm here is
+  * FLAT `element_at` arithmetic over literal weights, never
+  * `aggregate`/`zip_with`/`transform` lambdas — higher-order functions
+  * are CodegenFallback (interpreted per row), which made the original
+  * formulation ~30× slower (q150 163 s → seconds at sf0.1). The flat
+  * left-to-right sums are bit-identical to the old fold (IEEE:
+  * 0.0 + a == a), so codebooks, codes, and every oracle hash are
+  * unchanged. The per-row vector norm is hoisted into its OWN column by
+  * callers ([[vecNorm]]) so the 64-term sum is computed once per row,
+  * not once per codeword — Catalyst's CollapseProject keeps the
+  * projection boundary because the reference is non-cheap.
   */
 object Pq {
 
-  private def dotLit(v: Column, c: Array[Double]): Column =
-    aggregate(zip_with(v, array(c.map(lit): _*),
-      (x, h) => x.cast("double") * h), lit(0.0), (a, b) => a + b)
+  /** Flat dot of an array slice (0-based `off`, 1-based element_at)
+    * against a literal codeword, each element divided by `norm` first —
+    * the old "normalize, then dot" order, so sums are bit-identical. */
+  private def dotNormAt(emb: Column, norm: Column, off: Int,
+      c: Array[Double]): Column =
+    c.indices.map { d =>
+      (element_at(emb, off + d + 1).cast("double") / norm) * lit(c(d))
+    }.reduce(_ + _)
+
+  private def dotFlat(sv: Column, c: Array[Double]): Column =
+    c.indices.map { d =>
+      element_at(sv, d + 1).cast("double") * lit(c(d))
+    }.reduce(_ + _)
+
+  /** Guarded L2 norm of a float-array column (zero vectors → 1, so the
+    * downstream division is a no-op — the old normalizedExpr contract).
+    * Compute ONCE per row (withColumn) and pass into [[encodeExpr]]. */
+  def vecNorm(emb: Column, dim: Int): Column = {
+    val n = sqrt((0 until dim).map { d =>
+      val x = element_at(emb, d + 1).cast("double"); x * x
+    }.reduce(_ + _))
+    when(n === 0.0, lit(1.0)).otherwise(n)
+  }
+
+  /** Unit-normalize a float-array column; zero vectors pass through. */
+  def normalizedExpr(emb: Column, dim: Int): Column = {
+    val n = vecNorm(emb, dim)
+    array((0 until dim).map(d =>
+      element_at(emb, d + 1).cast("double") / n): _*)
+  }
 
   /** argmin_c ||x − c||² == argmax_c (x·c − ||c||²/2); deterministic
     * tiebreak (highest code wins — the [[Similarity.nearestListExpr]]
-    * convention). */
+    * convention). Operates on a materialized (sub)vector array. */
   private def nearestCodeExpr(sv: Column,
       book: Array[Array[Double]]): Column =
     greatest(book.zipWithIndex.map { case (c, i) =>
-      struct(dotLit(sv, c) - lit(c.map(x => x * x).sum / 2), lit(i))
+      struct(dotFlat(sv, c) - lit(c.map(x => x * x).sum / 2), lit(i))
     }: _*).getField("col2")
-
-  private def subvec(emb: Column, j: Int, subDim: Int): Column =
-    slice(emb, j * subDim + 1, subDim)
-
-  /** Unit-normalize a float-array column (so ADC dot products approximate
-    * cosine); zero vectors pass through unscaled. */
-  def normalizedExpr(emb: Column): Column = {
-    val n = sqrt(aggregate(transform(emb, x => x.cast("double") * x),
-      lit(0.0), (a, b) => a + b))
-    transform(emb, x =>
-      x.cast("double") / when(n === 0.0, lit(1.0)).otherwise(n))
-  }
 
   /** Per-subspace k-means codebooks, `m × k × (dim/m)`. Deterministic:
     * init = the k lowest-id rows' subvectors, then `iters` rounds of
@@ -67,8 +92,9 @@ object Pq {
     val subDim = dim / m
     Array.tabulate(m) { j =>
       val sub = vecs.select(col(idCol).as("id"),
-        transform(subvec(col(embCol), j, subDim),
-          x => x.cast("double")).as("sv"))
+        array((0 until subDim).map(d =>
+          element_at(col(embCol), j * subDim + d + 1).cast("double")): _*)
+          .as("sv"))
       // k-row init collect (codebook seed), bounded by k <= 256
       var book: Array[Array[Double]] = sub.orderBy(col("id")).limit(k)
         .select(col("sv")).collect()
@@ -92,13 +118,18 @@ object Pq {
     }
   }
 
-  /** Encode a (normalized) vector to its `m` nearest-codeword ids — the
-    * stored index representation; pure expression, computed at ingest. */
-  def encodeExpr(emb: Column, books: Array[Array[Array[Double]]]): Column = {
+  /** Encode a raw vector to its `m` nearest-codeword ids over the
+    * NORMALIZED vector (ADC dots then approximate cosine) — the stored
+    * index representation; pure flat expression, computed at ingest.
+    * `norm` must be [[vecNorm]] hoisted into its own column. */
+  def encodeExpr(emb: Column, norm: Column,
+      books: Array[Array[Array[Double]]]): Column = {
     val subDim = books(0)(0).length
     array(books.indices.map { j =>
-      nearestCodeExpr(
-        transform(subvec(emb, j, subDim), x => x.cast("double")), books(j))
+      greatest(books(j).zipWithIndex.map { case (c, i) =>
+        struct(dotNormAt(emb, norm, j * subDim, c)
+          - lit(c.map(x => x * x).sum / 2), lit(i))
+      }: _*).getField("col2")
     }: _*)
   }
 
@@ -121,8 +152,8 @@ object Pq {
       element_at(array(lut(j).map(lit): _*), element_at(codes, j + 1) + 1)
     }.reduce(_ + _)
 
-  /** PQ ANN top-k with exact re-rank: normalize, encode (inline here; a
-    * deployed index stores the codes), cut to `rerank` candidates by ADC
+  /** PQ ANN top-k with exact re-rank: encode inline (a deployed index
+    * stores the codes — [[IvfPq]]), cut to `rerank` candidates by ADC
     * (TakeOrderedAndProject), then exact-cosine re-rank the survivors.
     * Output matches the brute-force ranker's schema (id, sim). */
   def pqTopK(vecs: DataFrame, embCol: String, idCol: String,
@@ -133,9 +164,10 @@ object Pq {
       val n = math.sqrt(q.map(x => x * x).sum)
       if (n == 0.0) q else q.map(_ / n)
     }
+    val dim = books.length * books(0)(0).length
     val cand = vecs
-      .withColumn("__codes",
-        encodeExpr(normalizedExpr(col(embCol)), books))
+      .withColumn("__n", vecNorm(col(embCol), dim))
+      .withColumn("__codes", encodeExpr(col(embCol), col("__n"), books))
       .withColumn("__adc", adcScoreExpr(col("__codes"), adcLut(qn, books)))
       .orderBy(col("__adc").desc, col(idCol)).limit(rerank)
     val qv = array(query.map(lit): _*)

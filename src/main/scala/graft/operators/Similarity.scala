@@ -22,13 +22,15 @@ object Similarity {
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit bucket id of a vector (expression composition over a literal
-    * plane matrix — stays declarative, no UDF). */
+  /** Sign-bit bucket id of a vector (flat element_at arithmetic over a
+    * literal plane matrix — stays inside whole-stage codegen; the
+    * higher-order-function formulation was CodegenFallback/interpreted,
+    * same fold order so buckets are bit-identical). */
   def bucketExpr(emb: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(
-        zip_with(emb, array(p.map(lit): _*), (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, v) => acc + v)
+      val dot = p.indices.map { d =>
+        element_at(emb, d + 1).cast("double") * lit(p(d))
+      }.reduce(_ + _)
       when(dot >= 0, lit(1L << i)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
 
@@ -68,11 +70,13 @@ object Similarity {
   // degenerates to exact brute force, which is the oracle configuration.
 
   /** Dot product of a vector column against a literal double vector
-    * (centroids are unit-normalized, so argmax dot == argmax cosine). */
+    * (centroids are unit-normalized, so argmax dot == argmax cosine).
+    * Flat element_at sum — codegen-friendly, bit-identical to the old
+    * aggregate/zip_with fold (IEEE: 0.0 + a == a). */
   private def dotLit(emb: Column, c: Array[Double]): Column =
-    aggregate(
-      zip_with(emb, array(c.map(lit): _*), (x, h) => x.cast("double") * h),
-      lit(0.0), (acc, v) => acc + v)
+    c.indices.map { d =>
+      element_at(emb, d + 1).cast("double") * lit(c(d))
+    }.reduce(_ + _)
 
   /** Nearest-centroid id by max (dot, cid) — deterministic tiebreak.
     * greatest() unifies the struct types and renames fields col1/col2. */

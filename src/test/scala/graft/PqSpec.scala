@@ -39,8 +39,9 @@ class PqSpec extends AnyFunSuite {
 
   test("stored codes: m small ints, each within [0, k)") {
     val books = Pq.trainCodebooks(vecs, "embedding", "vec_id", m = 4, k = 4)
-    val codes = vecs.select(
-        Pq.encodeExpr(Pq.normalizedExpr(col("embedding")), books).as("c"))
+    val codes = vecs
+      .withColumn("__n", Pq.vecNorm(col("embedding"), 8))
+      .select(Pq.encodeExpr(col("embedding"), col("__n"), books).as("c"))
       .collect().map(_.getSeq[Int](0))
     assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 4)))
   }
@@ -48,7 +49,7 @@ class PqSpec extends AnyFunSuite {
   test("normalizedExpr: unit norm for nonzero vectors, zero passes through") {
     val df = Seq((1L, Array(3f, 4f)), (2L, Array(0f, 0f)))
       .toDF("id", "v")
-      .select(col("id"), Pq.normalizedExpr(col("v")).as("n"))
+      .select(col("id"), Pq.normalizedExpr(col("v"), 2).as("n"))
     val m = df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(math.abs(m(1L).map(x => x * x).sum - 1.0) < 1e-12)
     assert(m(2L) == Seq(0.0, 0.0))
