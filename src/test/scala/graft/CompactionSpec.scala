@@ -92,6 +92,39 @@ class CompactionSpec extends AnyFunSuite {
       "embedding", "vec_id", cents, dir, nDocBuckets = 2)
   }
 
+  test("ivf-pq index: compacted codes + refine tables probe identically") {
+    import graft.operators.{IvfPq, Pq}
+    val dir = java.nio.file.Files.createTempDirectory("compact_ivfpq")
+      .resolve("idx").toString
+    val vecs = (0L until 40L)
+      .map(i => (i, Array.tabulate(4)(j => (((i + j) % 7).toFloat + 1f))))
+      .toDF("vec_id", "embedding")
+      .repartition(8)
+    val cents = Similarity.ivfCentroids(vecs, "embedding", "vec_id", 4, 2)
+    val books = Pq.trainCodebooks(vecs, "embedding", "vec_id", m = 2, k = 4)
+    IvfPq.writeIvfPqIndex(vecs, "embedding", "vec_id", cents, books, dir,
+      nDocBuckets = 2)
+    // a second crawl fragments both tables (one more file per hit bucket)
+    IvfPq.upsertIvfPqIndex(
+      vecs.filter(col("vec_id") < 10L), "embedding", "vec_id", cents,
+      books, dir, nDocBuckets = 2)
+    val q = Array.tabulate(4)(_.toFloat + 1f)
+    def probe() = IvfPq.probeIvfPqIndex(spark, dir, "embedding", "vec_id",
+        q, 10, 0 until 4, books, rerank = 40)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pre = probe()
+    val rc = PartitionedIndexOps.compact(spark, dir, "list_id", maxFiles = 0)
+    assert(rc.nonEmpty)
+    PartitionedIndexOps.compact(spark, dir + "_refine", "dbk", maxFiles = 0)
+    rc.foreach(l => assert(parquetFiles(dir)(s"list_id=$l") == 1))
+    assert(probe() == pre)
+    // and a post-compaction upsert still merges cleanly
+    IvfPq.upsertIvfPqIndex(
+      Seq((100L, Array(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", cents, books, dir, nDocBuckets = 2)
+    assert(spark.read.parquet(dir).count() == 41)
+  }
+
   test("compact on a missing or un-fragmented index is a no-op") {
     assert(PartitionedIndexOps.compact(spark, "/tmp/graft_no_such_idx",
       "wb").isEmpty)
