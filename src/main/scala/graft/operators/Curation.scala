@@ -47,6 +47,38 @@ object Curation {
         sum(when(hashSampled(col(keyCol), col("rate")), 1).otherwise(0))
           .cast("long").as("n_sampled"))
 
+  /** Temperature-flattened mixture resampling (the mT5/multilingual
+    * α-sampling step, α = 0.5): big sources are down-sampled with keep
+    * rate r_s = sqrt(n_min / n_s), so surviving counts scale with
+    * sqrt(n_s) — flattening the source distribution toward uniform
+    * while keeping the smallest source intact. The per-doc keep test is
+    * EXACT INTEGER arithmetic (the repo determinism rule — no sqrt, no
+    * doubles): with u = knuth-hash(key) mod 2^20 uniform in [0, 2^20),
+    * keep ⟺ u² · n_s < n_min · 2^40  (both sides BIGINT; square the
+    * uniform instead of square-rooting the rate). Bound: n_s < 2^23
+    * overflows nothing; at larger corpus counts move both sides to
+    * DECIMAL(38,0)/HUGEINT — the comparison stays exact.
+    *
+    * Scale shape: per-source counts are a tiny broadcast dim; the keep
+    * test is a pure per-row expression; one combinable aggregation
+    * produces the report. Returns (source, n_total, n_kept, n_min). */
+  def temperatureSampleReport(docs: DataFrame, sourceCol: String = "source",
+      keyCol: String = "doc_id"): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).cast("long").as("n_total"))
+    val nMin = counts.agg(min(col("n_total")).as("n_min"))
+    val u = (col(keyCol) * lit(2654435761L)) % lit(1048576L)
+    docs.join(broadcast(counts), sourceCol)
+      .crossJoin(broadcast(nMin))
+      .withColumn("kept",
+        when(u * u * col("n_total") <
+          col("n_min") * lit(1099511627776L), 1L).otherwise(0L))
+      .groupBy(col(sourceCol))
+      .agg(max(col("n_total")).as("n_total"),
+        sum(col("kept")).cast("long").as("n_kept"),
+        max(col("n_min")).as("n_min"))
+  }
+
   /** Within-document repetition ratio over n-gram occurrences:
     * 1 − distinct/total (boilerplate/loop signal). Per-row, no shuffle. */
   def repetitionRatio(text: Column, n: Int = 3): Column = {

@@ -1070,6 +1070,30 @@ object CurationQueries {
       |FROM w LEFT JOIN reb r USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q156: temperature-flattened source mixing
+    * ([[Curation.temperatureSampleReport]], α = 0.5) — q113 rebalances to
+    * GIVEN target rates; this derives the rates from the corpus itself
+    * (keep ∝ sqrt(n_min/n_s), the mT5 recipe) with an exact-integer keep
+    * test (u² · n_s < n_min · 2^40), so both engines agree on every
+    * kept/dropped doc and the report hashes exactly. */
+  private def q156(s: SparkSession, d: String): DataFrame =
+    Curation.temperatureSampleReport(docs(s, d))
+      .orderBy(col("source"))
+
+  private val q156Sql =
+    """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_total
+      |           FROM documents GROUP BY 1),
+      |m AS (SELECT min(n_total) AS n_min FROM c),
+      |k AS (SELECT d.source, c.n_total, m.n_min,
+      |        CASE WHEN ((d.doc_id * 2654435761) % 1048576)
+      |               * ((d.doc_id * 2654435761) % 1048576)
+      |               * c.n_total < m.n_min * 1099511627776
+      |             THEN 1 ELSE 0 END AS kept
+      |      FROM documents d JOIN c USING (source), m)
+      |SELECT source, n_total, CAST(sum(kept) AS BIGINT) AS n_kept, n_min
+      |FROM k GROUP BY source, n_total, n_min
+      |ORDER BY source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q90_contamination", q90, Some(q90Sql), bench = true),
     QueryDef("q91_stratified_sample", q91, Some(q91Sql)),
@@ -1100,5 +1124,6 @@ object CurationQueries {
     QueryDef("q144_dedup_index_upsert", q144, Some(q144Sql)),
     QueryDef("q145_stream_ingest_dedup", q145, Some(q145Sql)),
     QueryDef("q152_trained_filter", q152, Some(q152Sql)),
-    QueryDef("q153_span_scrub", q153, Some(q153Sql)))
+    QueryDef("q153_span_scrub", q153, Some(q153Sql)),
+    QueryDef("q156_temperature_mix", q156, Some(q156Sql)))
 }
