@@ -33,8 +33,13 @@ object Curation {
     * survives at `rate` percent. A Knuth-multiplicative permutation of the
     * key — reproducible across runs, engines, and partitionings; no rand(),
     * no seed plumbing; shuffle-free. */
+  // The deterministic arithmetic hashes below are (key * 2654435761) mod m
+  // computed in MODULAR form — ((key mod m) * (2654435761 mod m)) mod m —
+  // which is value-identical for nonnegative keys but cannot overflow LONG
+  // (ANSI mode throws on overflow; the raw multiply does once ids carry
+  // x10-rehearsal offsets ~9e9). Oracle SQL mirrors the same form.
   def hashSampled(key: Column, rate: Column): Column =
-    (key * lit(2654435761L)) % 100 < rate
+    ((key % 100) * lit(61L)) % 100 < rate // 61 = 2654435761 mod 100
 
   /** Stratified sample / source-mix report: per-stratum totals and
     * surviving counts under per-stratum rates (a tiny broadcast dim).
@@ -67,7 +72,8 @@ object Curation {
     val counts = docs.groupBy(col(sourceCol))
       .agg(count(lit(1)).cast("long").as("n_total"))
     val nMin = counts.agg(min(col("n_total")).as("n_min"))
-    val u = (col(keyCol) * lit(2654435761L)) % lit(1048576L)
+    // 489905 = 2654435761 mod 2^20 (see the modular-form note on hashSampled)
+    val u = ((col(keyCol) % 1048576L) * lit(489905L)) % lit(1048576L)
     docs.join(broadcast(counts), sourceCol)
       .crossJoin(broadcast(nMin))
       .withColumn("kept",
@@ -234,8 +240,8 @@ object Curation {
     * writes with `repartitionByRange(col("shuffle_pos"))` +
     * `sortWithinPartitions` so the global order materializes without a
     * single-partition sort. */
-  def shufflePosition(key: Column): Column =
-    (key * lit(2654435761L)) % 2147483647L
+  def shufflePosition(key: Column): Column = // 506952114 = 2654435761 mod M
+    ((key % 2147483647L) * lit(506952114L)) % 2147483647L
 
   /** Cross-document paragraph-level dedup (the C4 recipe at block
     * granularity): each doc splits into non-overlapping `blockWords`-word

@@ -63,8 +63,9 @@ object CurationQueries {
 
   /** q91: deterministic stratified sampling / source mixing — per-stratum
     * target rates live in a tiny broadcast dim; membership is a pure
-    * arithmetic hash of the row key (`(doc_id*2654435761) mod 100`, a
-    * Knuth-multiplicative permutation), so the sample is REPRODUCIBLE across
+    * arithmetic hash of the row key (`((doc_id mod 100)*61) mod 100`, the
+    * overflow-safe modular form of the Knuth-multiplicative
+    * `doc_id*2654435761 mod 100`), so the sample is REPRODUCIBLE across
     * runs, engines, and partitionings — no rand(), no sample(), no seed
     * plumbing. This is both the stratified-sample and the mix-weighting
     * operator: rates are the per-stratum (here per-lang) mix weights.
@@ -80,7 +81,7 @@ object CurationQueries {
 
   private val q91Sql =
     """WITH rates(lang, rate) AS (VALUES ('en', 20), ('de', 50), ('es', 50), ('fr', 50), ('zh', 50)),
-      |s AS (SELECT d.lang, (d.doc_id * 2654435761) % 100 AS h, r.rate
+      |s AS (SELECT d.lang, ((d.doc_id % 100) * 61) % 100 AS h, r.rate
       |      FROM documents d JOIN rates r USING (lang))
       |SELECT lang, count(*) AS n_total,
       |  CAST(sum(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
@@ -492,7 +493,7 @@ object CurationQueries {
       .limit(20)
 
   private val q103Sql =
-    """SELECT doc_id, source, (doc_id * 2654435761) % 2147483647 AS shuffle_pos
+    """SELECT doc_id, source, ((doc_id % 2147483647) * 506952114) % 2147483647 AS shuffle_pos
       |FROM documents ORDER BY shuffle_pos, doc_id LIMIT 20""".stripMargin
 
   /** q109: Count-Min-Sketch heavy-hitter counts under a contract oracle —
@@ -637,7 +638,7 @@ object CurationQueries {
       |        greatest(1, (100 * (SELECT min(n_toks) FROM s)) // n_toks) AS rate
       |      FROM s)
       |SELECT r.source, r.n_docs, r.n_toks, r.rate,
-      |  CAST(sum(CASE WHEN (t.doc_id * 2654435761) % 100 < r.rate
+      |  CAST(sum(CASE WHEN ((t.doc_id % 100) * 61) % 100 < r.rate
       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
       |FROM t JOIN r USING (source)
       |GROUP BY r.source, r.n_docs, r.n_toks, r.rate""".stripMargin
@@ -663,7 +664,7 @@ object CurationQueries {
 
   private val q123Sql =
     """WITH p AS (SELECT source, doc_id,
-      |    (doc_id * 2654435761) % 2147483647 AS pos FROM documents),
+      |    ((doc_id % 2147483647) * 506952114) % 2147483647 AS pos FROM documents),
       |r AS (SELECT source, doc_id, pos, row_number() OVER
       |        (PARTITION BY source ORDER BY pos, doc_id) AS rk FROM p)
       |SELECT source, rk, doc_id, pos FROM r WHERE rk <= 5""".stripMargin
@@ -1085,8 +1086,8 @@ object CurationQueries {
       |           FROM documents GROUP BY 1),
       |m AS (SELECT min(n_total) AS n_min FROM c),
       |k AS (SELECT d.source, c.n_total, m.n_min,
-      |        CASE WHEN ((d.doc_id * 2654435761) % 1048576)
-      |               * ((d.doc_id * 2654435761) % 1048576)
+      |        CASE WHEN (((d.doc_id % 1048576) * 489905) % 1048576)
+      |               * (((d.doc_id % 1048576) * 489905) % 1048576)
       |               * c.n_total < m.n_min * 1099511627776
       |             THEN 1 ELSE 0 END AS kept
       |      FROM documents d JOIN c USING (source), m)
