@@ -131,9 +131,14 @@ object Curation {
     *
     * Scale shape: occurrences shuffle on xxhash64(gram) (8 B keys, like
     * crossDocDupCounts); covered positions expand only for duplicated
-    * grams (≤ n rows per duplicated occurrence); the rebuild is a keyed
-    * aggregation whose per-group state is one doc's words — no global
-    * sort, no driver text. Returns (doc_id, n_words, n_kept, scrubbed). */
+    * grams (≤ n rows per duplicated occurrence) and aggregate to ONE
+    * position-set row per affected doc — so the only corpus-sized join
+    * is doc-keyed against that small set, and the excision itself is a
+    * per-row expression. The corpus' tokens are never exploded into a
+    * shuffle (an earlier formulation joined every (doc, position) token
+    * row against the covered set — corpus-token shuffle volume for a
+    * result that only needs the per-doc position sets). Returns
+    * (doc_id, n_words, n_kept, scrubbed). */
   def scrubDuplicatedSpans(docs: DataFrame, n: Int = 5,
       minDocs: Int = 2): DataFrame = {
     val occ = docs.select(col("doc_id"),
@@ -143,26 +148,22 @@ object Curation {
     val dupGrams = occ.select(col("doc_id"), col("gram")).distinct()
       .groupBy(col("gram")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs).select(col("gram"))
-    val covered = occ.join(dupGrams, Seq("gram"), "left_semi")
+    // one sorted position-set row per doc that has any duplicated span
+    val covSets = occ.join(dupGrams, Seq("gram"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + (n - 1))).as("p"))
-      .distinct()
-    val pos = docs.select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("i", "w")))
-      .select(col("doc_id"), (col("i") + 1).as("p"), col("w"))
-    val rebuilt = pos.join(covered, Seq("doc_id", "p"), "left_anti")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        sort_array(collect_list(struct(col("p"), col("w")))).as("sw"))
-      .select(col("doc_id"), col("n_kept"),
-        concat_ws(" ", transform(col("sw"), s => s.getField("w")))
-          .as("scrubbed"))
-    docs.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_words"))
-      .join(rebuilt, Seq("doc_id"), "left")
+      .agg(sort_array(collect_set(col("p"))).as("cps"))
+    val kept = filter(col("ws"),
+      (w, i) => not(array_contains(col("cps"), i + 1)))
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .join(covSets, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        when(col("cps").isNull, col("ws")).otherwise(kept).as("kw"))
       .select(col("doc_id"), col("n_words"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("scrubbed"), lit("")).as("scrubbed"))
+        size(col("kw")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kw")).as("scrubbed"))
   }
 
   /** Concat-and-chunk sequence packing: per `sourceCol`, docs concatenated

@@ -975,7 +975,7 @@ object CurationQueries {
   /** The perceptron loop unrolled to SQL: wT/biasT carry the model after
     * round T; sT scores every doc under the round-entry model; gT is the
     * misclassified-row gradient. Integer-exact end to end. */
-  private val q152Sql: String = {
+  private val (q152Sql, q157Sql): (String, String) = {
     val nF = 16
     val iters = 3
     val base =
@@ -1019,12 +1019,42 @@ object CurationQueries {
         |          FROM x JOIN w$iters w USING (b) GROUP BY 1),
         |s$fin AS (SELECT lab.doc_id, lab.y,
         |          coalesce(d.dp, 0) + (SELECT bb FROM bias$iters) AS sc
-        |        FROM lab LEFT JOIN dot$fin d USING (doc_id))
+        |        FROM lab LEFT JOIN dot$fin d USING (doc_id))""".stripMargin
+    val ctes = (Seq(base) ++ rounds ++ Seq(score)).mkString(",\n")
+    val q152 = ctes +
+      s"""
         |SELECT doc_id, CAST(sc AS BIGINT) AS score,
         |  CAST(CASE WHEN sc > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
         |  CAST(y AS BIGINT) AS y
         |FROM s$fin WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
-    (Seq(base) ++ rounds ++ Seq(score)).mkString(",\n")
+    val q157 = ctes +
+      s"""
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN s.sc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept
+        |FROM s$fin s JOIN documents d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin
+    (q152, q157)
+  }
+
+  /** q157: the trained filter DEPLOYED as a corpus prune (q139/q140's
+    * end-step shape for the q152 model): train the same 3-round
+    * perceptron, score every doc with the pure-expression scorer, and
+    * report per-source survivors — the oracle replays training via the
+    * shared unrolled CTEs and re-aggregates the identical decision. */
+  private def q157(s: SparkSession, d: String): DataFrame = {
+    val labeled = docs(s, d).select(col("doc_id"), col("source"), col("text"),
+      when(array_contains(split(col("text"), " "), "table"), 1L)
+        .otherwise(-1L).as("y"))
+    val (w, b) = Classifier.trainPerceptron(labeled, "text", "y",
+      nF = 16, iters = 3)
+    labeled
+      .withColumn("score", Classifier.scoreExpr(
+        Classifier.hashedCounts(col("text"), 16), w, b))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("source"))
   }
 
   /** q153: exact duplicated-span EXCISION
@@ -1126,5 +1156,6 @@ object CurationQueries {
     QueryDef("q145_stream_ingest_dedup", q145, Some(q145Sql)),
     QueryDef("q152_trained_filter", q152, Some(q152Sql)),
     QueryDef("q153_span_scrub", q153, Some(q153Sql)),
-    QueryDef("q156_temperature_mix", q156, Some(q156Sql)))
+    QueryDef("q156_temperature_mix", q156, Some(q156Sql)),
+    QueryDef("q157_classifier_prune", q157, Some(q157Sql)))
 }
