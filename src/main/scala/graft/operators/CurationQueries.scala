@@ -1155,7 +1155,7 @@ object CurationQueries {
     QueryDef("q144_dedup_index_upsert", q144, Some(q144Sql)),
     QueryDef("q145_stream_ingest_dedup", q145, Some(q145Sql)),
     QueryDef("q152_trained_filter", q152, Some(q152Sql)),
-    QueryDef("q153_span_scrub", q153, Some(q153Sql)),
+    QueryDef("q153_span_scrub", q153, Some(q153Sql), bench = true),
     QueryDef("q156_temperature_mix", q156, Some(q156Sql)),
     QueryDef("q157_classifier_prune", q157, Some(q157Sql)))
 }
