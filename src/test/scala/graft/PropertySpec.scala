@@ -309,6 +309,48 @@ class PropertySpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("span scrub equals an independent reference on random duplicated corpora") {
+    import spark.implicits._
+    // small vocabulary + short docs force cross-doc 5-gram collisions
+    val smallWord = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val docGen = Gen.choose(3, 14).flatMap(k => Gen.listOfN(k, smallWord))
+    val allDocs = samples(docGen, 75).map(_.mkString(" "))
+    val planted = "xx yy zz xx yy" // a guaranteed cross-doc duplicated span
+    val corpora = (0 until 3).map { c =>
+      (0 until 25).map { i =>
+        val t = allDocs(c * 25 + i)
+        (i.toLong, if (i < 2) s"$t $planted" else t)
+      }
+    }
+    corpora.foreach { corpus =>
+      // reference: brute-force covered sets on the driver
+      val grams = corpus.map { case (id, t) =>
+        id -> t.split(" ").sliding(5).filter(_.length == 5)
+          .map(_.mkString(" ")).toVector
+      }.toMap
+      val docFreq = grams.toSeq.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (g, v) => g -> v.map(_._2).distinct.size }
+      val expect = corpus.map { case (id, t) =>
+        val ws = t.split(" ")
+        val covered = grams(id).zipWithIndex.collect {
+          case (g, i) if docFreq(g) >= 2 => (i until i + 5)
+        }.flatten.toSet
+        val kept = ws.zipWithIndex.collect {
+          case (w, i) if !covered(i) => w
+        }
+        (id, ws.length.toLong, kept.length.toLong, kept.mkString(" "))
+      }.toSet
+      val got = graft.operators.Curation
+        .scrubDuplicatedSpans(corpus.toDF("doc_id", "text"), n = 5, minDocs = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      assert(got == expect)
+      // the test is vacuous unless something was actually excised
+      assert(expect.exists { case (_, nw, nk, _) => nk < nw })
+    }
+  }
+
   test("stub tts output length bounded and deterministic") {
     val tts = new StubTts
     samples(textGen, 30).foreach { t =>
