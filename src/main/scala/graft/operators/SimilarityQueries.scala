@@ -633,6 +633,101 @@ object SimilarityQueries {
       .orderBy(col("sim").desc, col("vec_id"))
   }
 
+  /** q158: batch ANN EVALUATION harness — recall@10 of the PQ path
+    * against exact ground truth for 10 query vectors at once, the way a
+    * retrieval library qualifies an index build. Batch shape (never a
+    * per-query driver loop): ONE broadcast cross join + per-query window
+    * ranks the exact ground truth; the corpus is PQ-encoded ONCE and a
+    * 10-wide ADC array posexplodes into (query, candidate) rows, so the
+    * candidate cut is one partitioned window over all queries; re-rank
+    * sims come from joining back to the already-computed exact scores.
+    * Output rows are the exact per-query top-1 (DuckDB recomputes) and
+    * `recall_ok` pins mean recall@10 ≥ 0.7 across the query set
+    * (measured ≈0.9 at each SF; a PQ/eval regression flips the boolean
+    * and hash-fails the oracle). */
+  private def q158(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d)
+    val nQ = 10; val k = 10
+    // the ADC cut must scale with the corpus or recall degrades by
+    // construction (64 candidates is 13% of 500 vectors but 3% of 2000)
+    val rerank = math.min(4096L, math.max(64L, e.count() / 8)).toInt
+    val books = Pq.trainCodebooks(e, "embedding", "vec_id", m = 8, k = 16)
+    // <= nQ query-vector rows: the evaluation's model-sized input
+    val qrows = e.filter(col("vec_id") < nQ)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val qdf = broadcast(e.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val exact = e.crossJoin(qdf)
+      .select(col("qid"), col("vec_id"),
+        round(graft.functions.CosineSimilarity(col("embedding"), col("qe")),
+          4).as("sim"))
+      .cache()
+    try {
+      val wExact = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val exactTop = exact.withColumn("rk", row_number().over(wExact))
+        .filter(col("rk") <= k)
+      val dim = books.length * books(0)(0).length
+      val luts = qrows.map { case (_, qv) =>
+        val q = qv.map(_.toDouble)
+        val n = math.sqrt(q.map(x => x * x).sum)
+        Pq.adcLut(if (n == 0.0) q else q.map(_ / n), books)
+      }
+      val qidOf = qrows.map(_._1)
+      val adcArr = array(luts.map(l =>
+        Pq.adcScoreExpr(col("__codes"), l)): _*)
+      val wAdc = Window.partitionBy(col("qi"))
+        .orderBy(col("adc").desc, col("vec_id"))
+      val cand = e
+        .withColumn("__n", Pq.vecNorm(col("embedding"), dim))
+        .withColumn("__codes",
+          Pq.encodeExpr(col("embedding"), col("__n"), books))
+        .select(col("vec_id"), posexplode(adcArr).as(Seq("qi", "adc")))
+        .withColumn("rk", row_number().over(wAdc))
+        .filter(col("rk") <= rerank)
+        .select(element_at(
+            array(qidOf.map(lit): _*), col("qi") + 1).as("qid"),
+          col("vec_id"))
+      val wPq = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val pqTop = cand.join(exact, Seq("qid", "vec_id"))
+        .withColumn("prk", row_number().over(wPq))
+        .filter(col("prk") <= k)
+      // hits per query against the exact top-k; mean recall is 1 row
+      val meanRecall = pqTop
+        .join(exactTop.select(col("qid"), col("vec_id")),
+          Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+        .agg(avg(col("hits") / lit(k.toDouble))).head.getDouble(0)
+      exactTop.filter(col("rk") === 1)
+        .select(col("qid"), col("vec_id").as("top1"), col("sim").as("sim1"),
+          lit(meanRecall >= 0.7).as("recall_ok"))
+        .orderBy(col("qid"))
+        .localCheckpoint(true)
+    } finally exact.unpersist()
+  }
+
+  private val q158Sql =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      |           WHERE vec_id < 10),
+      |s AS (SELECT q.qid, e.vec_id,
+      |    round(list_sum(list_transform(list_zip(e.embedding, q.qe),
+      |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(e.embedding,
+      |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(q.qe,
+      |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sim
+      |  FROM embeddings e, q),
+      |r AS (SELECT qid, vec_id, sim,
+      |        row_number() OVER (PARTITION BY qid
+      |                           ORDER BY sim DESC, vec_id) AS rk
+      |      FROM s)
+      |SELECT qid, vec_id AS top1, sim AS sim1, true AS recall_ok
+      |FROM r WHERE rk = 1 ORDER BY qid""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q40_knn_cosine", q40, Some(q40Sql), bench = true),
     QueryDef("q41_label_centroids", q41, Some(q41Sql)),
@@ -653,5 +748,6 @@ object SimilarityQueries {
     QueryDef("q149_compacted_rrf", q149, Some(q148Sql)),
     QueryDef("q150_pq_ann", q150, Some(q150Sql)),
     QueryDef("q151_ivfpq_index", q151, Some(q151Sql)),
-    QueryDef("q154_stream_ann_ingest", q154, Some(q147Sql)))
+    QueryDef("q154_stream_ann_ingest", q154, Some(q147Sql)),
+    QueryDef("q158_ann_eval", q158, Some(q158Sql)))
 }

@@ -188,6 +188,8 @@ class PlanSpec extends AnyFunSuite {
         (2, "PQ trainer: k-row codebook init (k <= 256) + one mean row per occupied code per subspace"),
       "operators/IvfPq.scala" ->
         (3, "probe: rerank-capped candidate-id point-lookup keys (<= 1024); upsert: doc-bucket + affected-list id sets, <= nDocBuckets / <= nLists"),
+      "operators/SimilarityQueries.scala" ->
+        (1, "q158 eval: nQ=10 query-vector rows (literal bound)"),
       "operators/CurationQueries.scala" ->
         (1, "q109 CMS: one serialized sketch per language"),
       "llm/RagPipeline.scala" ->
