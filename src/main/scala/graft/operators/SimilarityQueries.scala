@@ -16,6 +16,28 @@ object SimilarityQueries {
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
+  /** Trained model constants (IVF centroids, PQ codebooks) are
+    * DETERMINISTIC per (dataset dir, config) — seedless init from the
+    * lowest-id rows, fixed iteration counts — so queries sharing the
+    * standard full-corpus configuration memoize them instead of
+    * re-running the 20-odd training jobs per query (a Verify pass hits
+    * these 9 times; ~40 s of identical work). Keyed by the dir string:
+    * a different SF dir trains fresh. Queries training on a SUBSET
+    * (q146's half-corpus centroids) bypass the cache by construction. */
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[String, AnyRef]
+
+  private def fullCents(s: SparkSession, d: String): Array[Array[Double]] =
+    modelCache.getOrElseUpdate(s"cents:$d:8:2",
+      Similarity.ivfCentroids(emb(s, d), "embedding", "vec_id", 8, 2))
+      .asInstanceOf[Array[Array[Double]]]
+
+  private def fullBooks(s: SparkSession,
+      d: String): Array[Array[Array[Double]]] =
+    modelCache.getOrElseUpdate(s"books:$d:8:16",
+      Pq.trainCodebooks(emb(s, d), "embedding", "vec_id", m = 8, k = 16))
+      .asInstanceOf[Array[Array[Array[Double]]]]
+
   /** q40: exact cosine top-12 neighbors of vec_id=0 (reference operator L2:
     * Chroma `collection.query(n_results=k)` re-expressed as a declarative
     * top-k; the query vector joins in as a broadcast single row, not a
@@ -167,7 +189,7 @@ object SimilarityQueries {
     val e = emb(s, d)
     val qvec = e.filter(col("vec_id") === 1)
       .select(col("embedding")).head.getSeq[Float](0).toArray
-    val cents = Similarity.ivfCentroids(e, "embedding", "vec_id", 8, 2)
+    val cents = fullCents(s, d)
     val evens = e.filter(col("vec_id") % 2 === 0)
     val crawl1 = evens.withColumn("embedding", reverse(col("embedding")))
       .unionByName(e.filter(col("vec_id") % 2 === 1))
@@ -200,7 +222,7 @@ object SimilarityQueries {
     val e = emb(s, d)
     val qvec = e.filter(col("vec_id") === 1)
       .select(col("embedding")).head.getSeq[Float](0).toArray
-    val cents = Similarity.ivfCentroids(e, "embedding", "vec_id", 8, 2)
+    val cents = fullCents(s, d)
     Similarity.ivfTopK(e, "embedding", "vec_id", qvec, 10, cents, nProbe = 8)
   }
 
@@ -415,7 +437,7 @@ object SimilarityQueries {
       nBuckets = 16, nDocBuckets = 16)
     val qvec = e.filter(col("vec_id") === 1)
       .select(col("embedding")).head.getSeq[Float](0).toArray
-    val cents = Similarity.ivfCentroids(e, "embedding", "vec_id", 8, 2)
+    val cents = fullCents(s, d)
     val ipath = base.resolve("ivf").toString
     Similarity.writeIvfIndex(e, "embedding", "vec_id", cents, ipath)
     // compaction must precede ANY index read: a DataFrame captures its
@@ -502,7 +524,7 @@ object SimilarityQueries {
     val e = emb(s, d)
     val qvec = e.filter(col("vec_id") === 1)
       .select(col("embedding")).head.getSeq[Float](0).toArray
-    val books = Pq.trainCodebooks(e, "embedding", "vec_id", m = 8, k = 16)
+    val books = fullBooks(s, d)
     val pq10 = Pq.pqTopK(e, "embedding", "vec_id", qvec, 10, books,
       rerank = 64)
     val exact10 = e.select(col("vec_id"),
@@ -542,8 +564,8 @@ object SimilarityQueries {
     val e = emb(s, d)
     val qvec = e.filter(col("vec_id") === 1)
       .select(col("embedding")).head.getSeq[Float](0).toArray
-    val cents = Similarity.ivfCentroids(e, "embedding", "vec_id", 8, 2)
-    val books = Pq.trainCodebooks(e, "embedding", "vec_id", m = 8, k = 16)
+    val cents = fullCents(s, d)
+    val books = fullBooks(s, d)
     val evens = e.filter(col("vec_id") % 2 === 0)
     val crawl1 = evens.withColumn("embedding", reverse(col("embedding")))
       .unionByName(e.filter(col("vec_id") % 2 === 1))
@@ -592,8 +614,8 @@ object SimilarityQueries {
     val e = emb(s, d)
     val qvec = e.filter(col("vec_id") === 1)
       .select(col("embedding")).head.getSeq[Float](0).toArray
-    val cents = Similarity.ivfCentroids(e, "embedding", "vec_id", 8, 2)
-    val books = Pq.trainCodebooks(e, "embedding", "vec_id", m = 8, k = 16)
+    val cents = fullCents(s, d)
+    val books = fullBooks(s, d)
     val base = graft.TempDirs.scratchAtExit("stream_ann")
     val srcDir = base.resolve("in")
     java.nio.file.Files.createDirectories(srcDir)
@@ -652,7 +674,7 @@ object SimilarityQueries {
     // the ADC cut must scale with the corpus or recall degrades by
     // construction (64 candidates is 13% of 500 vectors but 3% of 2000)
     val rerank = math.min(4096L, math.max(64L, e.count() / 8)).toInt
-    val books = Pq.trainCodebooks(e, "embedding", "vec_id", m = 8, k = 16)
+    val books = fullBooks(s, d)
     // <= nQ query-vector rows: the evaluation's model-sized input
     val qrows = e.filter(col("vec_id") < nQ)
       .select(col("vec_id"), col("embedding")).collect()
