@@ -750,6 +750,35 @@ object SimilarityQueries {
       |SELECT qid, vec_id AS top1, sim AS sim1, true AS recall_ok
       |FROM r WHERE rk = 1 ORDER BY qid""".stripMargin
 
+  /** q159: persisted LSH index RE-CRAWL round trip ([[LshIndex]] — the
+    * third persisted ANN family): crawl 1 indexes perturbed (reversed)
+    * even embeddings + true odds, crawl 2 re-crawls the evens — sign
+    * bits flip, vectors MOVE buckets, stale copies must leave
+    * (delete-vacated ordering). Output = exact sim for every stored
+    * vector, so the q147 brute-force oracle fails on any stale survivor
+    * or lost row; hamming-radius partition pruning is spec-asserted in
+    * LshIndexSpec. */
+  private def q159(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val qvec = e.filter(col("vec_id") === 1)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    val planes = Similarity.hyperplanes(dim, numPlanes = 6)
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    val crawl1 = evens.withColumn("embedding", reverse(col("embedding")))
+      .unionByName(e.filter(col("vec_id") % 2 === 1))
+    val path = graft.TempDirs.scratchAtExit("lsh_idx")
+      .resolve("idx").toString
+    LshIndex.writeLshIndex(crawl1, "embedding", "vec_id", planes, path)
+    LshIndex.upsertLshIndex(evens, "embedding", "vec_id", planes, path)
+    val qv = array(qvec.map(lit): _*)
+    s.read.parquet(path)
+      .select(col("vec_id"),
+        round(graft.functions.CosineSimilarity(col("embedding"), qv), 4)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q40_knn_cosine", q40, Some(q40Sql), bench = true),
     QueryDef("q41_label_centroids", q41, Some(q41Sql)),
@@ -771,5 +800,6 @@ object SimilarityQueries {
     QueryDef("q150_pq_ann", q150, Some(q150Sql)),
     QueryDef("q151_ivfpq_index", q151, Some(q151Sql)),
     QueryDef("q154_stream_ann_ingest", q154, Some(q147Sql)),
-    QueryDef("q158_ann_eval", q158, Some(q158Sql)))
+    QueryDef("q158_ann_eval", q158, Some(q158Sql)),
+    QueryDef("q159_lsh_index_recrawl", q159, Some(q147Sql)))
 }

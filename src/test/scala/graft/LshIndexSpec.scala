@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{LshIndex, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted LSH index: hamming-probe partition pruning, exactness when
+  * every bucket is probed, re-crawl equivalence to a scratch build, and
+  * the config-pin fail-fasts. */
+class LshIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val e = Tables.embeddings(spark, TestSpark.sf0001).cache()
+  private lazy val planes = Similarity.hyperplanes(64, 6)
+
+  private def queryVec(id: Long): Array[Float] =
+    e.filter(col("vec_id") === id).select(col("embedding"))
+      .head.getSeq[Float](0).toArray
+
+  private def bruteTopK(q: Array[Float], k: Int): Seq[(Long, Double)] = {
+    val qv = array(q.map(lit): _*)
+    e.select(col("vec_id"),
+        round(graft.functions.CosineSimilarity(col("embedding"), qv), 4)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+  }
+
+  test("radius-1 probe prunes bucket partitions; full radius equals brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh_idx")
+      .resolve("idx").toString
+    LshIndex.writeLshIndex(e, "embedding", "vec_id", planes, dir)
+    val q = queryVec(5)
+    val probed = LshIndex.probeLshIndex(spark, dir, "embedding", "vec_id",
+      q, 10, planes, radius = 1)
+    val planStr = probed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(planStr).isDefined,
+      s"expected bucket partition pruning in plan:\n$planStr")
+    // radius-1 probes 7 of 64 buckets; results must equal the inline
+    // annTopK over the same probe set's semantics (recall, not exact) —
+    // exactness comes from the full radius:
+    val exact = LshIndex.probeLshIndex(spark, dir, "embedding", "vec_id",
+        q, 10, planes, radius = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(exact == bruteTopK(q, 10))
+    // and the radius-1 result is a subset of the corpus ranked exactly
+    val r1 = probed.collect().map(_.getLong(0)).toSet
+    assert(r1.nonEmpty && r1.subsetOf(e.select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet))
+  }
+
+  test("re-crawl upsert equals a scratch build; pins fail fast") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh_recrawl")
+      .resolve("idx").toString
+    val evens = e.filter(col("vec_id") % 2 === 0)
+    val crawl1 = evens.withColumn("embedding", reverse(col("embedding")))
+      .unionByName(e.filter(col("vec_id") % 2 === 1))
+    LshIndex.writeLshIndex(crawl1, "embedding", "vec_id", planes, dir)
+    // the perturbation must actually move buckets for the test to bite
+    val moved = Similarity.bucketize(
+        evens.withColumn("embedding", reverse(col("embedding"))),
+        "embedding", planes)
+      .select(col("vec_id"), col("bucket").as("b1"))
+      .join(Similarity.bucketize(evens, "embedding", planes)
+        .select(col("vec_id"), col("bucket").as("b2")), "vec_id")
+      .filter(col("b1") =!= col("b2")).count()
+    assert(moved > 0, "perturbed embeddings kept their buckets — vacuous")
+    LshIndex.upsertLshIndex(evens, "embedding", "vec_id", planes, dir)
+    val scratchDir = java.nio.file.Files.createTempDirectory("lsh_scratch")
+      .resolve("idx").toString
+    LshIndex.writeLshIndex(e, "embedding", "vec_id", planes, scratchDir)
+    def content(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("bucket").cast("long"),
+        col("embedding").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(content(dir) == content(scratchDir))
+    def side(p: String) = spark.read.parquet(p + "_docs")
+      .select(col("vec_id"), col("bucket").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(side(dir) == side(scratchDir))
+    // retrained planes refuse
+    val planes2 = Similarity.hyperplanes(64, 6, seed = 7L)
+    val ex = intercept[IllegalArgumentException] {
+      LshIndex.upsertLshIndex(e.limit(1), "embedding", "vec_id", planes2, dir)
+    }
+    assert(ex.getMessage.contains("different hyperplanes"))
+    val ex2 = intercept[IllegalArgumentException] {
+      LshIndex.probeLshIndex(spark, dir, "embedding", "vec_id",
+        queryVec(1), 10, planes2)
+    }
+    assert(ex2.getMessage.contains("different hyperplanes"))
+    // missing pin refuses
+    val pin = new java.io.File(dir + "_meta/config")
+    assert(pin.exists()); pin.delete()
+    val ex3 = intercept[IllegalArgumentException] {
+      LshIndex.upsertLshIndex(e.limit(1), "embedding", "vec_id", planes, dir)
+    }
+    assert(ex3.getMessage.contains("crashed build"))
+  }
+}

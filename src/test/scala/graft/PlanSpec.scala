@@ -190,6 +190,8 @@ class PlanSpec extends AnyFunSuite {
         (3, "probe: rerank-capped candidate-id point-lookup keys (<= 1024); upsert: doc-bucket + affected-list id sets, <= nDocBuckets / <= nLists"),
       "operators/SimilarityQueries.scala" ->
         (1, "q158 eval: nQ=10 query-vector rows (literal bound)"),
+      "operators/LshIndex.scala" ->
+        (2, "upsert: doc-bucket + affected-sign-bucket id sets, <= nDocBuckets / <= 2^numPlanes"),
       "operators/CurationQueries.scala" ->
         (1, "q109 CMS: one serialized sketch per language"),
       "llm/RagPipeline.scala" ->
