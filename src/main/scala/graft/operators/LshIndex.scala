@@ -118,6 +118,9 @@ object LshIndex {
       s"LSH index at $path was built under different hyperplanes — " +
         "probe buckets would not line up")
     val nb = planes.length
+    // the probe-set enumeration is 2^numPlanes driver-side — cap it (an
+    // LSH index with more planes than this has ~1-row buckets anyway)
+    require(nb <= 20, s"numPlanes=$nb too large to enumerate probe sets")
     val qb = queryBucket(query, planes)
     val probes = (0L until (1L << nb))
       .filter(b => java.lang.Long.bitCount(b ^ qb) <= radius)

@@ -512,6 +512,56 @@ object TextQueries {
       |FROM tok WHERE word IN ('table','join','scan')
       |GROUP BY word, doc_id""".stripMargin
 
+  /** q160: streaming FTS INGEST — the postings index maintained from a
+    * Structured Streaming foreachBatch drain (the q145/q154 loop shape
+    * applied to the inverted index, completing streaming maintenance
+    * across all index families): slice 0 bulk-builds most of the corpus
+    * including the %5==1 docs' ORIGINAL text, slice 1 appends the
+    * %5==2 docs, slice 2 RE-CRAWLS the %5==1 docs with changed text —
+    * so one drain exercises empty-dir routing, append merge, and the
+    * stale-postings kill in their old term buckets, against live
+    * checkpointed state. Final pruned read == q132's round trip, so its
+    * final-corpus oracle applies verbatim. */
+  private def q160(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val terms = Seq("table", "join", "scan")
+    val all = docs(s, d).select(col("doc_id"), col("text"))
+    val base = graft.TempDirs.scratchAtExit("stream_fts")
+    val srcDir = base.resolve("in")
+    java.nio.file.Files.createDirectories(srcDir)
+    val idx = base.resolve("postings").toString
+    val slices = Seq(
+      all.filter(col("doc_id") % 5 =!= 2),
+      all.filter(col("doc_id") % 5 === 2),
+      all.filter(col("doc_id") % 5 === 1)
+        .withColumn("text", concat(col("text"), lit(" rev2 table"))))
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val staging = base.resolve(s"stage$i")
+      df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = staging.toFile.listFiles
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      val dst = srcDir.resolve(s"slice$i.parquet")
+      java.nio.file.Files.copy(part, dst)
+      // file-source order = (mtime, path); pin it so slice i is batch i
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 10000))
+    }
+    val q = s.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        Fts.upsertPostingsIndex(batch, idx, "doc_id", "text", nBuckets = 16)
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    Fts.loadPostings(s, idx, terms, nBuckets = 16)
+      .filter(col("word").isin(terms: _*))
+      .select(col("word"), col("doc_id"), col("tf"),
+        array_join(transform(col("positions"), p => p.cast("string")), ",")
+          .as("positions"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q30_token_stats", q30, Some(q30Sql), bench = true),
     QueryDef("q31_word_freq", q31, Some(q31Sql), bench = true),
@@ -533,5 +583,6 @@ object TextQueries {
     QueryDef("q128_fts_phrase", q128, Some(q128Sql)),
     QueryDef("q129_bm25_rank", q129, Some(q129Sql)),
     QueryDef("q131_heavy_hitters", q131, Some(q131Sql)),
-    QueryDef("q132_fts_upsert", q132, Some(q132Sql)))
+    QueryDef("q132_fts_upsert", q132, Some(q132Sql)),
+    QueryDef("q160_stream_fts_ingest", q160, Some(q132Sql)))
 }
