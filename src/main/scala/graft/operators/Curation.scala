@@ -293,6 +293,75 @@ object Curation {
       .otherwise("test")
   }
 
+  /** DSIR-shaped importance weights (Xie et al., NeurIPS 2023 — data
+    * selection by importance resampling), integer-exact: target and raw
+    * corpora each reduce to smoothed hashed-word-bucket totals t_b / r_b
+    * ([[Classifier.hashedCounts]] features — ONE map-side-combinable
+    * aggregation per corpus, 1-row driver read), and the per-bucket weight
+    * is the FIXED-POINT likelihood ratio L_b = (t_b << 20) / r_b, so a
+    * document's importance score Σ_b c_b·L_b is pure 64-bit integer
+    * arithmetic (linear pooling of the ratios instead of DSIR's log-ratio
+    * sum — the same "which docs resemble the target" ordering signal with
+    * zero cross-engine float risk; the [[BpeTrainer]]/[[Classifier]]
+    * oracle discipline). The returned table is a MODEL CONSTANT (nB ≤ 1024
+    * longs, like IVF centroids or BPE merges): deployment is a
+    * shuffle-free scoring expression ([[Classifier.scoreExpr]]) over any
+    * corpus. Overflow: t_b << 20 needs < 2^43 words per target bucket —
+    * tens of TB of TEXT per bucket before it matters, and the target set
+    * is small by definition. */
+  def importanceRatios(target: DataFrame, raw: DataFrame,
+      textCol: String, nB: Int): Array[Long] = {
+    require(nB > 0 && nB <= 1024, s"nB=$nB out of range (driver holds nB longs)")
+    def bucketTotals(df: DataFrame): Array[Long] = {
+      val aggs = (0 until nB).map(b =>
+        coalesce(sum(element_at(col("__x"), b + 1)), lit(0L)).as(s"c$b"))
+      // 1-row read: the nB-long bucket histogram (a model, not data)
+      val r = df.select(Classifier.hashedCounts(col(textCol), nB).as("__x"))
+        .agg(aggs.head, aggs.tail: _*).head
+      Array.tabulate(nB)(i => r.getLong(i) + 1L) // add-one smoothing
+    }
+    val t = bucketTotals(target)
+    val r = bucketTotals(raw)
+    Array.tabulate(nB)(b => (t(b) * 1048576L) / r(b))
+  }
+
+  /** CCNet-shaped LM quality signal (Wenzek et al., LREC 2020) trained
+    * INSIDE the engine, integer-exact: an add-one-smoothed bigram
+    * transition model over the corpus itself scores each document by the
+    * mean FIXED-POINT INVERSE transition probability
+    *   s(w1, w2) = ((c1(w1) + V) << 20) / (c2(w1, w2) + 1)
+    * averaged over the doc's bigrams (CCNet ranks by perplexity — the
+    * GEOMETRIC mean of the same inverse probabilities; the arithmetic-mean
+    * form keeps every intermediate a 64-bit integer, so the ranking the
+    * head/middle/tail tiers consume replays exactly in ANSI SQL with no
+    * ln()/float-summation-order divergence). V = distinct non-empty words.
+    * Returns one row per doc with ≥1 bigram: (idCol, n_bg, score).
+    *
+    * Scale shape: c2/c1 are corpus-derived count dims joined back on
+    * high-cardinality word keys (plain shuffle equi-joins, no skew beyond
+    * true Zipf heads — AQE splits those), the per-doc reduction is one
+    * map-side-combinable agg, and V is a 1-row scalar read. Training and
+    * scoring corpora can differ: score a fresh crawl against last month's
+    * counts by passing the model tables explicitly. */
+  def transitionScores(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bg = docs.select(col(idCol),
+        explode(WordNgrams(col(textCol), 2)).as("g"))
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+    val c2 = bg.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = docs
+      .select(explode(TextFunctions.words(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .agg(countDistinct(col("w")).as("v")).head.getLong(0) // 1-row scalar
+    bg.join(c2, Seq("g")).join(c1, Seq("w1"))
+      .withColumn("s", expr(s"((c1 + ${vocab}L) * 1048576L) div (c2 + 1L)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bg"), sum(col("s")).as("__tot"))
+      .withColumn("score", expr("__tot div n_bg"))
+      .drop("__tot")
+  }
+
   /** Cumulative curation funnel flags: length gate, repetition gate, and
     * exact-dedup survivorship (min key per content hash). Adds boolean
     * p_len / p_rep / p_dedup columns for funnel aggregation. */

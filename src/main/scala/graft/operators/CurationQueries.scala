@@ -1125,6 +1125,122 @@ object CurationQueries {
       |FROM k GROUP BY source, n_total, n_min
       |ORDER BY source""".stripMargin
 
+  /** q161: DSIR importance RESAMPLING ([[Curation.importanceRatios]]) —
+    * the data-selection step between "raw crawl" and "training mix": the
+    * `lang = 'en'` slice plays the high-quality target distribution, every
+    * other doc is scored by the fixed-point hashed-bucket likelihood-ratio
+    * model (Σ_b c_b·L_b — integer-exact, see the op scaladoc), and each
+    * source keeps its top 30% by exact rank. Two 1-row model aggregations +
+    * a shuffle-free scoring expression + one source-keyed rank window —
+    * at 100 TB the ratio table is trained once on bounded samples and the
+    * keep decision streams. The oracle retrains the identical model in SQL
+    * (same 31-bit polynomial hash, same smoothing, same `div`). */
+  private def q161(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val nB = 32
+    val l = Curation.importanceRatios(
+      target = all.filter(col("lang") === "en"),
+      raw = all.filter(col("lang") =!= "en"),
+      textCol = "text", nB = nB)
+    val scored = all.filter(col("lang") =!= "en")
+      .select(col("doc_id"), col("source"),
+        Classifier.scoreExpr(
+          Classifier.hashedCounts(col("text"), nB), l, 0L).as("iw"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("iw").desc, col("doc_id"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("ns",
+        count(lit(1)).over(Window.partitionBy(col("source"))).cast("long"))
+      .filter(col("rk") * 10 <= col("ns") * 3)
+      .select(col("doc_id"), col("source"), col("iw"), col("rk"))
+  }
+
+  private val q161Sql = {
+    val pwh = """list_reduce(list_transform(string_split(w, ''),
+      |          c -> CAST(ascii(c) AS BIGINT)),
+      |          (a, c) -> (a * 31 + c) % 2147483647) % 32""".stripMargin
+    s"""WITH tw AS (SELECT unnest(string_split(text, ' ')) AS w
+      |            FROM documents WHERE lang = 'en'),
+      |thb AS (SELECT $pwh AS b FROM tw WHERE w <> ''),
+      |rw AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      |       FROM documents WHERE lang <> 'en'),
+      |rhb AS (SELECT doc_id, source, $pwh AS b FROM rw WHERE w <> ''),
+      |bs AS (SELECT unnest(generate_series(0, 31)) AS b),
+      |tc AS (SELECT bs.b, count(thb.b) + 1 AS t
+      |       FROM bs LEFT JOIN thb ON bs.b = thb.b GROUP BY 1),
+      |rc AS (SELECT bs.b, count(rhb.b) + 1 AS r
+      |       FROM bs LEFT JOIN rhb ON bs.b = rhb.b GROUP BY 1),
+      |lt AS (SELECT tc.b, (tc.t * 1048576) // rc.r AS l
+      |       FROM tc JOIN rc ON tc.b = rc.b),
+      |ds AS (SELECT d.doc_id, d.source,
+      |         coalesce(CAST(sum(lt.l) AS BIGINT), 0) AS iw
+      |       FROM (SELECT doc_id, source FROM documents WHERE lang <> 'en') d
+      |       LEFT JOIN rhb ON d.doc_id = rhb.doc_id
+      |       LEFT JOIN lt ON rhb.b = lt.b
+      |       GROUP BY 1, 2),
+      |rkd AS (SELECT doc_id, source, iw,
+      |          row_number() OVER (PARTITION BY source
+      |                             ORDER BY iw DESC, doc_id) AS rk,
+      |          count(*) OVER (PARTITION BY source) AS ns
+      |        FROM ds)
+      |SELECT doc_id, source, iw, rk FROM rkd WHERE rk * 10 <= ns * 3""".stripMargin
+  }
+
+  /** q162: LM-perplexity quality TIERS ([[Curation.transitionScores]]) —
+    * the CCNet head/middle/tail cut: the engine-trained bigram transition
+    * model scores every doc (mean fixed-point inverse transition
+    * probability — integer-exact, see the op scaladoc), and each language
+    * splits into thirds by exact rank (tier 0 = most predictable text).
+    * The oracle retrains the identical counts and replays the identical
+    * integer score, so any divergence in model, score, or tiering flips
+    * the hash. */
+  private def q162(s: SparkSession, d: String): DataFrame = {
+    val sc = Curation.transitionScores(docs(s, d))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score"), col("doc_id"))
+    sc.join(docs(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("ns",
+        count(lit(1)).over(Window.partitionBy(col("lang"))).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_bg"), col("score"),
+        col("rk"),
+        when(col("rk") * 3 <= col("ns"), "head")
+          .when(col("rk") * 3 <= col("ns") * 2, "middle")
+          .otherwise("tail").as("tier"))
+  }
+
+  private val q162Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bgl AS (SELECT doc_id, CASE WHEN len(ws) >= 2
+      |          THEN list_transform(generate_series(1, len(ws) - 1),
+      |               i -> ws[i] || ' ' || ws[i+1])
+      |          ELSE [] END AS gs FROM w),
+      |bg AS (SELECT doc_id, unnest(gs) AS g FROM bgl),
+      |bgw AS (SELECT doc_id, g, string_split(g, ' ')[1] AS w1 FROM bg),
+      |c2 AS (SELECT g, count(*) AS c2 FROM bgw GROUP BY 1),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM bgw GROUP BY 1),
+      |vt AS (SELECT count(DISTINCT w) AS v FROM (
+      |         SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |       WHERE w <> ''),
+      |sc AS (SELECT bgw.doc_id,
+      |         ((c1.c1 + vt.v) * 1048576) // (c2.c2 + 1) AS s
+      |       FROM bgw JOIN c2 ON bgw.g = c2.g
+      |                JOIN c1 ON bgw.w1 = c1.w1, vt),
+      |dsc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+      |          CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT) AS score
+      |        FROM sc GROUP BY 1),
+      |rkd AS (SELECT d.doc_id, doc.lang, d.n_bg, d.score,
+      |          row_number() OVER (PARTITION BY doc.lang
+      |                             ORDER BY d.score, d.doc_id) AS rk,
+      |          count(*) OVER (PARTITION BY doc.lang) AS ns
+      |        FROM dsc d JOIN documents doc ON d.doc_id = doc.doc_id)
+      |SELECT doc_id, lang, n_bg, score, rk,
+      |  CASE WHEN rk * 3 <= ns THEN 'head'
+      |       WHEN rk * 3 <= ns * 2 THEN 'middle'
+      |       ELSE 'tail' END AS tier
+      |FROM rkd""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q90_contamination", q90, Some(q90Sql), bench = true),
     QueryDef("q91_stratified_sample", q91, Some(q91Sql)),
@@ -1157,5 +1273,7 @@ object CurationQueries {
     QueryDef("q152_trained_filter", q152, Some(q152Sql)),
     QueryDef("q153_span_scrub", q153, Some(q153Sql), bench = true),
     QueryDef("q156_temperature_mix", q156, Some(q156Sql)),
-    QueryDef("q157_classifier_prune", q157, Some(q157Sql)))
+    QueryDef("q157_classifier_prune", q157, Some(q157Sql)),
+    QueryDef("q161_importance_resample", q161, Some(q161Sql)),
+    QueryDef("q162_perplexity_tiers", q162, Some(q162Sql)))
 }

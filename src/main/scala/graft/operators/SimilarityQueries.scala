@@ -779,6 +779,59 @@ object SimilarityQueries {
       .orderBy(col("sim").desc, col("vec_id"))
   }
 
+  /** q163: contrastive HARD-NEGATIVE MINING — the training-pair generator
+    * for embedding-model finetuning (DPR/SimCSE shape): for each of the 8
+    * lowest-id anchor vectors, the top-3 highest-cosine vectors whose
+    * `label` DIFFERS from the anchor's (the "looks similar, isn't" pairs a
+    * contrastive loss needs). Batch shape (the q158 harness, never a
+    * per-anchor driver loop): anchors broadcast (model-sized), exact
+    * cosine in codegen, one anchor-partitioned window over the scored
+    * rows. At 100 TB the anchor batch probes the persisted ANN index
+    * (q151) for candidates first and this exact scorer runs on the
+    * survivors; the brute pass IS the oracle configuration. */
+  private def q163(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d)
+    val anchors = broadcast(e.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("aid"), col("embedding").as("ae"),
+        col("label").as("al")))
+    val w = Window.partitionBy(col("aid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    e.crossJoin(anchors)
+      .filter(col("label") =!= col("al") && col("vec_id") =!= col("aid"))
+      .select(col("aid"), col("vec_id"), col("label"),
+        graft.functions.CosineSimilarity(col("embedding"), col("ae"))
+          .as("sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("aid"), col("rk"), col("vec_id"), col("label"),
+        round(col("sim"), 4).as("simr"))
+  }
+
+  private val q163Sql =
+    """WITH a AS (SELECT vec_id AS aid, embedding AS ae, label AS al
+      |           FROM embeddings ORDER BY vec_id LIMIT 8),
+      |n AS (SELECT vec_id, embedding, label,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nm
+      |  FROM embeddings),
+      |na AS (SELECT aid, ae, al,
+      |    sqrt(list_sum(list_transform(ae,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nma
+      |  FROM a),
+      |p AS (SELECT na.aid, n.vec_id, n.label,
+      |    list_sum(list_transform(list_zip(n.embedding, na.ae),
+      |      q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)))
+      |      / (n.nm * na.nma) AS sim
+      |  FROM n CROSS JOIN na
+      |  WHERE n.label <> na.al AND n.vec_id <> na.aid),
+      |r AS (SELECT aid, vec_id, label, sim,
+      |        row_number() OVER (PARTITION BY aid
+      |                           ORDER BY sim DESC, vec_id) AS rk
+      |      FROM p)
+      |SELECT aid, rk, vec_id, label, round(sim, 4) AS simr
+      |FROM r WHERE rk <= 3""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q40_knn_cosine", q40, Some(q40Sql), bench = true),
     QueryDef("q41_label_centroids", q41, Some(q41Sql)),
@@ -801,5 +854,6 @@ object SimilarityQueries {
     QueryDef("q151_ivfpq_index", q151, Some(q151Sql)),
     QueryDef("q154_stream_ann_ingest", q154, Some(q147Sql)),
     QueryDef("q158_ann_eval", q158, Some(q158Sql)),
-    QueryDef("q159_lsh_index_recrawl", q159, Some(q147Sql)))
+    QueryDef("q159_lsh_index_recrawl", q159, Some(q147Sql)),
+    QueryDef("q163_hard_negatives", q163, Some(q163Sql)))
 }

@@ -295,4 +295,47 @@ class CurationSpec extends AnyFunSuite {
       assert(r.getAs[Long]("dup_bp") == 10000 * sh / g)
     }
   }
+
+  test("importance ratios: smoothing floors every bucket; target words raise their bucket") {
+    import spark.implicits._
+    val target = Seq((1L, "quality quality prose")).toDF("doc_id", "text")
+    val raw = Seq((2L, "spam spam spam spam"), (3L, "quality text here"))
+      .toDF("doc_id", "text")
+    val l = Curation.importanceRatios(target, raw, "text", nB = 32)
+    assert(l.length == 32)
+    // every bucket defined and positive (add-one smoothing, never 0 or div0)
+    assert(l.forall(_ > 0))
+    // the 'quality' bucket (2 target hits, 1 raw hit) must outweigh the
+    // 'spam' bucket (0 target hits, 4 raw hits)
+    def bucket(w: String): Int = {
+      var h = 0L
+      w.foreach(c => h = (h * 31 + c.toLong) % 2147483647L)
+      (h % 32).toInt
+    }
+    assert(l(bucket("quality")) > l(bucket("spam")))
+    // fixed-point identity on the known counts: (2+1)<<20 / (1+1) and
+    // (0+1)<<20 / (4+1)
+    assert(l(bucket("quality")) == (3L * 1048576L) / 2L)
+    assert(l(bucket("spam")) == 1048576L / 5L)
+  }
+
+  test("transition scores: repeated bigrams score lower; short docs absent") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b a b a b a b"),   // one dominant transition, highly predictable
+      (2L, "p q r s t u v w"),   // every bigram unique
+      (3L, "solo")               // 1 word: no bigrams, must be absent
+    ).toDF("doc_id", "text")
+    val rows = Curation.transitionScores(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bg"), r.getAs[Long]("score"))).toMap
+    assert(!rows.contains(3L))
+    assert(rows(1L)._1 == 7L && rows(2L)._1 == 7L)
+    // doc 1's transitions repeat (c2 high) => lower inverse probability
+    assert(rows(1L)._2 < rows(2L)._2)
+    // exact fixed-point replay for doc 2: every bigram unique (c2=1),
+    // every left word count 1; V = 11 distinct words (a b, p..w, solo)
+    // s = ((1 + 11) << 20) / (1 + 1) per bigram, mean over 7 identical
+    assert(rows(2L)._2 == (12L * 1048576L) / 2L)
+  }
 }
