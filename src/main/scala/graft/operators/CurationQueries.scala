@@ -1241,6 +1241,87 @@ object CurationQueries {
       |       ELSE 'tail' END AS tier
       |FROM rkd""".stripMargin
 
+  /** q164: the END-TO-END curation pipeline — raw corpus to packed
+    * training mix in one lineage, composing the library ops the way a
+    * production run chains them: the doc_id%10==0 slice plays the held-out
+    * benchmark; the rest passes the quality funnel
+    * ([[Curation.funnelFlags]]: length gate, repetition gate, exact-dedup
+    * survivorship), survivors are DECONTAMINATED against the benchmark
+    * ([[Curation.contaminationCounts]], the q90 ≥0.5 rule), and the clean
+    * corpus packs into 256-token sequences per source
+    * ([[Curation.packSequences]]). Output is one row per (source, pack)
+    * with an md5 over the member doc_ids — any doc wrongly kept, dropped,
+    * or packed elsewhere flips a digest. Every stage is the already-gated
+    * operator; what this query pins is their COMPOSITION (flag semantics
+    * feeding the anti-join feeding the pack window). Scale shape: the
+    * stages are the same shuffles as their standalone queries — nothing
+    * new materializes on the driver. */
+  private def q164(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val eval = all.filter(col("doc_id") % 10 === 0)
+    val train = all.filter(col("doc_id") % 10 =!= 0)
+    val gated = Curation.funnelFlags(train, minToks = 20, maxToks = 80,
+        maxRepetition = 0.05)
+      .filter(col("p_len") && col("p_rep") && col("p_dedup"))
+    val contaminated = Curation.contaminationCounts(gated, eval, n = 5)
+      .filter(col("n_contam").cast("double") / col("n_sh") >= 0.5)
+      .select(col("doc_id"))
+    val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
+    Curation.packSequences(clean, capacity = 256)
+      .groupBy(col("source"), col("pack"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast("long").as("toks"),
+        md5(concat_ws(",", sort_array(collect_list(col("doc_id")))))
+          .as("docs_sig"))
+  }
+
+  private val q164Sql =
+    """WITH tr AS (SELECT * FROM documents WHERE doc_id % 10 != 0),
+      |g AS (SELECT doc_id, source, text,
+      |    len(string_split(text,' ')) AS n_toks,
+      |    CASE WHEN len(string_split(text,' ')) >= 3
+      |         THEN list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+      |                i -> string_split(text,' ')[i] || ' ' ||
+      |                     string_split(text,' ')[i+1] || ' ' ||
+      |                     string_split(text,' ')[i+2])
+      |         ELSE [] END AS sg,
+      |    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      |  FROM tr),
+      |k AS (SELECT doc_id, source, text, n_toks FROM g
+      |      WHERE n_toks BETWEEN 20 AND 80
+      |        AND len(sg) > 0
+      |        AND (1.0 - CAST(len(list_distinct(sg)) AS DOUBLE)/len(sg)) < 0.05
+      |        AND doc_id = keeper),
+      |ksh AS (SELECT doc_id, unnest(list_distinct(
+      |          CASE WHEN len(string_split(text,' ')) >= 5
+      |          THEN list_transform(generate_series(1, len(string_split(text,' ')) - 4),
+      |               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||
+      |                    string_split(text,' ')[i+2]||' '||string_split(text,' ')[i+3]||' '||
+      |                    string_split(text,' ')[i+4])
+      |          ELSE [] END)) AS s FROM k),
+      |ev AS (SELECT DISTINCT unnest(list_distinct(
+      |          CASE WHEN len(string_split(text,' ')) >= 5
+      |          THEN list_transform(generate_series(1, len(string_split(text,' ')) - 4),
+      |               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||
+      |                    string_split(text,' ')[i+2]||' '||string_split(text,' ')[i+3]||' '||
+      |                    string_split(text,' ')[i+4])
+      |          ELSE [] END)) AS s
+      |       FROM documents WHERE doc_id % 10 = 0),
+      |ov AS (SELECT ksh.doc_id, count(*) AS n_sh, count(ev.s) AS n_contam
+      |       FROM ksh LEFT JOIN ev ON ksh.s = ev.s GROUP BY 1),
+      |cl AS (SELECT k.source, k.doc_id, k.n_toks AS toks FROM k
+      |       LEFT JOIN ov ON k.doc_id = ov.doc_id
+      |       WHERE ov.n_sh IS NULL
+      |          OR CAST(ov.n_contam AS DOUBLE) / ov.n_sh < 0.5),
+      |c AS (SELECT source, doc_id, toks,
+      |        sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+      |                        ROWS UNBOUNDED PRECEDING) AS cum FROM cl)
+      |SELECT source, CAST((cum - toks) // 256 AS BIGINT) AS pack,
+      |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS toks,
+      |  md5(array_to_string(list_sort(list(doc_id)), ',')) AS docs_sig
+      |FROM (SELECT source, doc_id, toks, cum FROM c) p
+      |GROUP BY source, CAST((cum - toks) // 256 AS BIGINT)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q90_contamination", q90, Some(q90Sql), bench = true),
     QueryDef("q91_stratified_sample", q91, Some(q91Sql)),
@@ -1275,5 +1356,6 @@ object CurationQueries {
     QueryDef("q156_temperature_mix", q156, Some(q156Sql)),
     QueryDef("q157_classifier_prune", q157, Some(q157Sql)),
     QueryDef("q161_importance_resample", q161, Some(q161Sql)),
-    QueryDef("q162_perplexity_tiers", q162, Some(q162Sql)))
+    QueryDef("q162_perplexity_tiers", q162, Some(q162Sql)),
+    QueryDef("q164_curation_pipeline", q164, Some(q164Sql)))
 }
