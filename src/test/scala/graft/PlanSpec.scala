@@ -155,6 +155,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p131.contains("partial"), s"q131 lacks partial aggregation:\n$p131")
   }
 
+  test("data-selection queries keep their scale shapes") {
+    // q161: the DSIR ratio table is a literal model constant — scoring
+    // must plan with NO join anywhere; the rank + per-source count windows
+    // share ONE hash partitioning on source
+    val p161 = plan("q161_importance_resample")
+    assert(!p161.contains("Join"), s"q161 grew a join:\n$p161")
+    assert("Exchange hashpartitioning".r.findAllIn(p161).size == 1,
+      s"q161 windows no longer share one source exchange:\n$p161")
+    // q163: anchors are a broadcast model-sized side, and the per-anchor
+    // top-3 is cut map-side (WindowGroupLimit) before the exchange
+    val p163 = plan("q163_hard_negatives")
+    assert(p163.contains("BroadcastNestedLoopJoin"),
+      s"q163 anchors not broadcast:\n$p163")
+    assert(p163.contains("WindowGroupLimit"),
+      s"q163 lost the pre-shuffle rank cut:\n$p163")
+  }
+
   test("q117 plans as a two-level aggregate, never a countDistinct Expand") {
     // two countDistinct aggs would plan an Expand that triples fact rows
     // before the exchange — the rewrite this pin protects replaced them
