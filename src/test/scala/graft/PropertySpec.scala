@@ -351,6 +351,74 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("transition scores match an independent reimplementation on random corpora") {
+    import spark.implicits._
+    // small word pool forces bigram repeats (the c2 > 1 paths)
+    val poolTextGen: Gen[String] = Gen.chooseNum(1, 10).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("a", "b", "c", "dd", "ee")).map(_.mkString(" ")))
+    def reference(corpus: Seq[(Long, String)]): Map[Long, (Long, Long)] = {
+      val bigrams = corpus.map { case (id, t) =>
+        val ws = t.split(" ", -1).toSeq
+        id -> ws.sliding(2).filter(_.size == 2)
+          .map(p => (p(0), p(0) + " " + p(1))).toSeq
+      }
+      val allBg = bigrams.flatMap(_._2)
+      val c2 = allBg.groupBy(_._2).map { case (g, l) => g -> l.size.toLong }
+      val c1 = allBg.groupBy(_._1).map { case (w, l) => w -> l.size.toLong }
+      val v = corpus.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+        .distinct.size.toLong
+      bigrams.collect { case (id, bgs) if bgs.nonEmpty =>
+        val tot = bgs.map { case (w1, g) =>
+          ((c1(w1) + v) * 1048576L) / (c2(g) + 1L) }.sum
+        id -> (bgs.size.toLong, tot / bgs.size)
+      }.toMap
+    }
+    (0 until 5).foreach { round =>
+      val corpus = samples(poolTextGen, 30).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val got = graft.operators.Curation
+        .transitionScores(corpus.toDF("doc_id", "text"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == reference(corpus), s"round $round")
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("importance scores match an independent reimplementation on random corpora") {
+    import graft.operators.{Classifier, Curation}
+    import spark.implicits._
+    val nB = 16
+    def bucket(w: String): Int =
+      (w.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 2147483647L) % nB).toInt
+    def hist(texts: Seq[String]): Array[Long] = {
+      val h = Array.fill(nB)(1L) // add-one smoothing
+      texts.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+        .foreach(w => h(bucket(w)) += 1)
+      h
+    }
+    val target = samples(textGen, 20)
+    val raw = samples(textGen, 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val t = hist(target); val r = hist(raw.map(_._2))
+    val expectL = Array.tabulate(nB)(b => (t(b) * 1048576L) / r(b))
+    val l = Curation.importanceRatios(
+      target.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "text"),
+      raw.toDF("doc_id", "text"), "text", nB)
+    assert(l.toSeq == expectL.toSeq)
+    // deployed scoring expression == reference dot product per doc
+    val scored = raw.toDF("doc_id", "text")
+      .select(col("doc_id"), Classifier.scoreExpr(
+        Classifier.hashedCounts(col("text"), nB), l, 0L).as("iw"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    raw.foreach { case (id, text) =>
+      val expect = text.split(" ", -1).filter(_.nonEmpty)
+        .map(w => expectL(bucket(w))).sum
+      assert(scored(id) == expect, s"doc $id")
+    }
+  }
+
   test("stub tts output length bounded and deterministic") {
     val tts = new StubTts
     samples(textGen, 30).foreach { t =>
