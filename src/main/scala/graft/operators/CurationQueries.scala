@@ -1356,6 +1356,6 @@ object CurationQueries {
     QueryDef("q156_temperature_mix", q156, Some(q156Sql)),
     QueryDef("q157_classifier_prune", q157, Some(q157Sql)),
     QueryDef("q161_importance_resample", q161, Some(q161Sql)),
-    QueryDef("q162_perplexity_tiers", q162, Some(q162Sql)),
-    QueryDef("q164_curation_pipeline", q164, Some(q164Sql)))
+    QueryDef("q162_perplexity_tiers", q162, Some(q162Sql), bench = true),
+    QueryDef("q164_curation_pipeline", q164, Some(q164Sql), bench = true))
 }
