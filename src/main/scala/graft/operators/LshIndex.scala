@@ -27,16 +27,22 @@ import org.apache.spark.sql.functions._
 object LshIndex {
 
   /** Build: vectors partitioned by sign-bit bucket, id→bucket side
-    * table partitioned by dbk, hyperplanes pinned last. */
+    * table partitioned by dbk, hyperplanes pinned last. `keepCols`
+    * carries payload columns beyond (id, emb) into the index rows (e.g.
+    * a label for contrastive mining) — pinned, so an upsert built with
+    * different payload columns fails fast instead of writing a ragged
+    * schema. */
   def writeLshIndex(vecs: DataFrame, embCol: String, idCol: String,
       planes: Array[Array[Double]], path: String,
-      nDocBuckets: Int = 16): Unit = {
+      nDocBuckets: Int = 16, keepCols: Seq[String] = Nil): Unit = {
     val fs = fsOf(vecs.sparkSession, path)
     PartitionedIndexOps.requireUniqueIds(vecs, idCol)
     fs.delete(pinPath(path), false)
-    val assigned = assign(vecs, embCol, idCol, planes, nDocBuckets).cache()
+    val assigned = assign(vecs, embCol, idCol, planes, nDocBuckets,
+      keepCols).cache()
     try {
-      assigned.select(col(idCol), col(embCol), col("bucket"))
+      assigned.select((Seq(idCol, embCol) ++ keepCols).map(col) :+
+          col("bucket"): _*)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("bucket").parquet(path)
       assigned.select(col(idCol), col("bucket"), col("dbk"))
@@ -44,7 +50,7 @@ object LshIndex {
         .partitionBy("dbk").parquet(path + "_docs")
     } finally assigned.unpersist()
     PartitionedIndexOps.writeConfigPin(fs, pinPath(path),
-      config(planes, nDocBuckets))
+      config(planes, nDocBuckets, keepCols))
   }
 
   /** Fold a (re-)crawled batch in — the [[Similarity.upsertIvfIndex]]
@@ -54,23 +60,25 @@ object LshIndex {
     * delete-vacated, side table last. Cost ∝ batch spread. */
   def upsertLshIndex(newVecs: DataFrame, embCol: String, idCol: String,
       planes: Array[Array[Double]], path: String,
-      nDocBuckets: Int = 16): Unit = {
+      nDocBuckets: Int = 16, keepCols: Seq[String] = Nil): Unit = {
     val spark = newVecs.sparkSession
     val fs = fsOf(spark, path)
     if (!PartitionedIndexOps.hasPartitions(fs, path, "bucket")) {
-      writeLshIndex(newVecs, embCol, idCol, planes, path, nDocBuckets)
+      writeLshIndex(newVecs, embCol, idCol, planes, path, nDocBuckets,
+        keepCols)
       return
     }
     val stored = PartitionedIndexOps.readConfigPin(fs, pinPath(path))
     require(stored.isDefined,
       s"LSH index at $path has data but no config pin (crashed build?) " +
         "— rebuild it with writeLshIndex before upserting")
-    require(stored.get == config(planes, nDocBuckets),
-      s"LSH index at $path was built under different hyperplanes or " +
-        "doc-bucket geometry — an upsert would route the wrong buckets")
+    require(stored.get == config(planes, nDocBuckets, keepCols),
+      s"LSH index at $path was built under different hyperplanes, " +
+        "doc-bucket geometry, or payload columns — an upsert would route " +
+        "the wrong buckets or write a ragged schema")
     PartitionedIndexOps.requireUniqueIds(newVecs, idCol)
-    val assigned = assign(newVecs, embCol, idCol, planes, nDocBuckets)
-      .cache()
+    val assigned = assign(newVecs, embCol, idCol, planes, nDocBuckets,
+      keepCols).cache()
     var prunedDocs: Option[DataFrame] = None
     try {
       // ≤ nDocBuckets values by construction
@@ -88,8 +96,8 @@ object LshIndex {
       val merged = spark.read.parquet(path)
         .filter(col("bucket").isInCollection(affected))
         .join(batchIds, Seq(idCol), "left_anti") // drop re-crawled docs
-        .unionByName(assigned.select(col(idCol), col(embCol),
-          col("bucket")))
+        .unionByName(assigned.select(
+          (Seq(idCol, embCol) ++ keepCols).map(col) :+ col("bucket"): _*))
       PartitionedIndexOps.overwriteAffected(merged, path, "bucket",
         affected, fs)
       // side table second (retry-healable); doc buckets never vacate
@@ -134,6 +142,48 @@ object LshIndex {
       .limit(k)
   }
 
+  /** Batch-serve index candidates for a WHOLE anchor frame — the pair-
+    * mining / feature-lookup shape (each anchor needs its bucket plus the
+    * hamming-`radius` neighborhood): one pruned index read + one
+    * broadcast join, never a per-anchor probe loop. The anchors'
+    * buckets are computed by the same pinned-plane expression the index
+    * was built under; the union of probe buckets is a bounded driver
+    * read (≤ 2^numPlanes values by construction — the [[probeLshIndex]]
+    * enumeration bound) that lands as a PartitionFilter on the scan, and
+    * the per-anchor bucket→anchor assignment rides the broadcast join.
+    * radius ≥ numPlanes serves every bucket (exact candidates — the
+    * oracle configuration); small radii trade recall for reading
+    * ~Σ_r C(numPlanes, r)/2^numPlanes of the index per anchor.
+    * Returns index rows joined with their requesting anchor's columns. */
+  def batchProbe(spark: SparkSession, path: String, anchors: DataFrame,
+      anchorEmbCol: String, planes: Array[Array[Double]],
+      radius: Int = 1): DataFrame = {
+    val fs = fsOf(spark, path)
+    val stored = PartitionedIndexOps.readConfigPin(fs, pinPath(path))
+    require(stored.isDefined,
+      s"LSH index at $path has no config pin (never built, or a crashed " +
+        "build) — build it with writeLshIndex before probing")
+    require(stored.get.get("planes")
+        .contains(PartitionedIndexOps.matrixFingerprint(planes)),
+      s"LSH index at $path was built under different hyperplanes — " +
+        "probe buckets would not line up")
+    val nb = planes.length
+    require(nb <= 20, s"numPlanes=$nb too large to enumerate probe sets")
+    val masks = (0L until (1L << nb))
+      .filter(m => java.lang.Long.bitCount(m) <= radius)
+    val probes = anchors
+      .withColumn("__b0", Similarity.bucketExpr(col(anchorEmbCol), planes))
+      .withColumn("bucket",
+        explode(array(masks.map(m => col("__b0").bitwiseXOR(lit(m))): _*)))
+      .drop("__b0")
+    // ≤ 2^numPlanes values by construction (numPlanes <= 20)
+    val hit = probes.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    spark.read.parquet(path)
+      .filter(col("bucket").isInCollection(hit))
+      .join(broadcast(probes), Seq("bucket"))
+  }
+
   private def queryBucket(v: Array[Float],
       planes: Array[Array[Double]]): Long =
     planes.zipWithIndex.map { case (p, i) =>
@@ -142,15 +192,17 @@ object LshIndex {
     }.reduce(_ | _)
 
   private def assign(vecs: DataFrame, embCol: String, idCol: String,
-      planes: Array[Array[Double]], nDocBuckets: Int): DataFrame =
-    vecs.select(col(idCol), col(embCol),
+      planes: Array[Array[Double]], nDocBuckets: Int,
+      keepCols: Seq[String] = Nil): DataFrame =
+    vecs.select((Seq(idCol, embCol) ++ keepCols).map(col) ++ Seq(
       Similarity.bucketExpr(col(embCol), planes).as("bucket"),
-      pmod(col(idCol), lit(nDocBuckets.toLong)).as("dbk"))
+      pmod(col(idCol), lit(nDocBuckets.toLong)).as("dbk")): _*)
 
   private def config(planes: Array[Array[Double]],
-      nDocBuckets: Int): Map[String, String] =
+      nDocBuckets: Int, keepCols: Seq[String] = Nil): Map[String, String] =
     Map("nDocBuckets" -> nDocBuckets.toString,
-      "planes" -> PartitionedIndexOps.matrixFingerprint(planes))
+      "planes" -> PartitionedIndexOps.matrixFingerprint(planes),
+      "keepCols" -> keepCols.mkString(","))
 
   private def pinPath(path: String) =
     new org.apache.hadoop.fs.Path(path + "_meta/config")

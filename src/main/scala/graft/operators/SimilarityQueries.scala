@@ -808,6 +808,39 @@ object SimilarityQueries {
         round(col("sim"), 4).as("simr"))
   }
 
+  /** q165: hard-negative mining SERVED FROM THE PERSISTED LSH INDEX —
+    * q163's claim made real: the index stores `label` as a payload column
+    * ([[LshIndex.writeLshIndex]] keepCols, schema pinned), the whole
+    * anchor batch joins its probe buckets in ONE pruned read + broadcast
+    * join ([[LshIndex.batchProbe]] — never a per-anchor loop), and the
+    * exact scorer runs on the candidates. Full-radius probe == exact
+    * candidates, so q163's brute oracle applies verbatim; the radius-1
+    * pruned-read trade is spec-asserted in LshIndexSpec. */
+  private def q165(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d)
+    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    val planes = Similarity.hyperplanes(dim, numPlanes = 6)
+    val path = graft.TempDirs.scratchAtExit("lsh_mining")
+      .resolve("idx").toString
+    LshIndex.writeLshIndex(e, "embedding", "vec_id", planes, path,
+      keepCols = Seq("label"))
+    val anchors = e.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("aid"), col("embedding").as("ae"),
+        col("label").as("al"))
+    val w = Window.partitionBy(col("aid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    LshIndex.batchProbe(s, path, anchors, "ae", planes, radius = 6)
+      .filter(col("label") =!= col("al") && col("vec_id") =!= col("aid"))
+      .select(col("aid"), col("vec_id"), col("label"),
+        graft.functions.CosineSimilarity(col("embedding"), col("ae"))
+          .as("sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("aid"), col("rk"), col("vec_id"), col("label"),
+        round(col("sim"), 4).as("simr"))
+  }
+
   private val q163Sql =
     """WITH a AS (SELECT vec_id AS aid, embedding AS ae, label AS al
       |           FROM embeddings ORDER BY vec_id LIMIT 8),
@@ -855,5 +888,6 @@ object SimilarityQueries {
     QueryDef("q154_stream_ann_ingest", q154, Some(q147Sql)),
     QueryDef("q158_ann_eval", q158, Some(q158Sql)),
     QueryDef("q159_lsh_index_recrawl", q159, Some(q147Sql)),
-    QueryDef("q163_hard_negatives", q163, Some(q163Sql)))
+    QueryDef("q163_hard_negatives", q163, Some(q163Sql)),
+    QueryDef("q165_index_mined_negatives", q165, Some(q163Sql)))
 }

@@ -48,6 +48,47 @@ class LshIndexSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet))
   }
 
+  test("batch probe: payload columns served, pruned read, full radius exact, pin guards") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh_batch")
+      .resolve("idx").toString
+    LshIndex.writeLshIndex(e, "embedding", "vec_id", planes, dir,
+      keepCols = Seq("label"))
+    val anchors = e.orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id").as("aid"), col("embedding").as("ae"),
+        col("label").as("al"))
+    // radius-1: the scan must prune bucket partitions
+    val r1 = LshIndex.batchProbe(spark, dir, anchors, "ae", planes,
+      radius = 1)
+    val planStr = r1.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(planStr)
+      .isDefined, s"expected bucket partition pruning in plan:\n$planStr")
+    // payload column rides the index rows
+    assert(r1.columns.contains("label") && r1.columns.contains("al"))
+    // full radius serves every (anchor, vector) pair exactly once
+    val full = LshIndex.batchProbe(spark, dir, anchors, "ae", planes,
+      radius = 6)
+    val n = e.count()
+    assert(full.count() == 4 * n)
+    assert(full.select(col("aid"), col("vec_id")).distinct().count() == 4 * n)
+    // radius-1 candidates are a subset of the full serve
+    val r1Pairs = r1.select(col("aid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullPairs = full.select(col("aid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r1Pairs.nonEmpty && r1Pairs.subsetOf(fullPairs))
+    // an upsert that omits the pinned payload columns refuses
+    val ex = intercept[IllegalArgumentException] {
+      LshIndex.upsertLshIndex(e.limit(1), "embedding", "vec_id", planes, dir)
+    }
+    assert(ex.getMessage.contains("payload columns"))
+    // a probe under retrained planes refuses
+    val ex2 = intercept[IllegalArgumentException] {
+      LshIndex.batchProbe(spark, dir, anchors, "ae",
+        Similarity.hyperplanes(64, 6, seed = 7L))
+    }
+    assert(ex2.getMessage.contains("different hyperplanes"))
+  }
+
   test("re-crawl upsert equals a scratch build; pins fail fast") {
     val dir = java.nio.file.Files.createTempDirectory("lsh_recrawl")
       .resolve("idx").toString

@@ -208,7 +208,7 @@ class PlanSpec extends AnyFunSuite {
       "operators/SimilarityQueries.scala" ->
         (1, "q158 eval: nQ=10 query-vector rows (literal bound)"),
       "operators/LshIndex.scala" ->
-        (2, "upsert: doc-bucket + affected-sign-bucket id sets, <= nDocBuckets / <= 2^numPlanes"),
+        (3, "upsert: doc-bucket + affected-sign-bucket id sets; batchProbe: probe-bucket union — each <= nDocBuckets / <= 2^numPlanes"),
       "operators/CurationQueries.scala" ->
         (1, "q109 CMS: one serialized sketch per language"),
       "llm/RagPipeline.scala" ->
