@@ -331,6 +331,30 @@ object AdvancedQueries {
       |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
       |GROUP BY event_type""".stripMargin
 
+  /** q166: ORC lake round-trip — the second columnar format on the
+    * sink/scan surface (q71 covers parquet): documents written as ORC
+    * partitioned by lang, read back under a lang PARTITION filter plus an
+    * n_chars predicate PUSHED to the ORC reader, aggregated per source.
+    * The result must equal DuckDB over the original parquet table, so
+    * any row lost or duplicated in the format round trip flips the hash;
+    * PlanSpec asserts both filter classes land on the ORC scan. */
+  private def q166(s: SparkSession, d: String): DataFrame = {
+    val lake = graft.TempDirs.scratchAtExit("orc_lake")
+      .resolve("docs").toString
+    Tables.documents(s, d)
+      .write.mode("overwrite").partitionBy("lang").orc(lake)
+    s.read.orc(lake)
+      .filter(col("lang") === "en" && col("n_chars") >= 200)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("long").as("chars"))
+  }
+
+  private val q166Sql =
+    """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents WHERE lang = 'en' AND n_chars >= 200
+      |GROUP BY source""".stripMargin
+
   /** q75: the batched media feature-extraction path (Multimodal
     * .extractFeatures — mapPartitions over binary payloads, the real
     * decode-batch shape) under the oracle gate: payloads are encoded
@@ -760,6 +784,7 @@ object AdvancedQueries {
     QueryDef("q138_stream_heavy_hitters", q138, Some(q138Sql)),
     QueryDef("q70_binary_digest", q70, Some(q70Sql)),
     QueryDef("q71_lake_roundtrip", q71, Some(q71Sql)),
+    QueryDef("q166_orc_roundtrip", q166, Some(q166Sql)),
     QueryDef("q75_media_extract", q75, Some(q75Sql)),
     QueryDef("q76_stream_hourly", q76, Some(q76Sql)),
     QueryDef("q88_stream_attribution", q88, Some(q88Sql)),

@@ -128,7 +128,7 @@ class PlanSpec extends AnyFunSuite {
       // streaming drains + sink round trips can't be planned statically here
       "q67_stream_sessions", "q76_stream_hourly", "q88_stream_attribution",
       "q98_stream_session_window", "q71_lake_roundtrip", "q43_rag_retrieve",
-      "q73_rag_portable", "q132_fts_upsert")
+      "q73_rag_portable", "q132_fts_upsert", "q166_orc_roundtrip")
     SparkEntry.defs
       .filterNot(q => bruteBaselines(q.name) || streamingOrSideEffect(q.name))
       .foreach { q =>
@@ -153,6 +153,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p131.contains("ObjectHashAggregate") ||
       p131.contains("SortAggregate"), s"q131:\n$p131")
     assert(p131.contains("partial"), s"q131 lacks partial aggregation:\n$p131")
+  }
+
+  test("orc round trip: partition filter and predicate both reach the scan") {
+    val p = plan("q166_orc_roundtrip")
+    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(p).isDefined,
+      s"q166 lang filter not pruning ORC partitions:\n$p")
+    assert("PushedFilters: \\[[^\\]]*n_chars".r.findFirstIn(p).isDefined,
+      s"q166 n_chars predicate not pushed to the ORC reader:\n$p")
   }
 
   test("data-selection queries keep their scale shapes") {
