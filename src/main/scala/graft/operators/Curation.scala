@@ -351,17 +351,21 @@ object Curation {
     // bigram multiplicity is ≈1 on natural-shaped text — the extra
     // combinable shuffle cut nothing and re-derived its input three
     // times. c2/c1 are corpus-derived count dims; AQE broadcasts them
-    // while they fit and flips to shuffle joins beyond that.
+    // while they fit and flips to shuffle joins beyond that. Count/join
+    // keys are xxhash64 of the bigram / left word (8 B/row instead of
+    // the strings — the crossDocDupCounts shuffle recipe; byte-identical
+    // results modulo 2^-64 collisions).
     val bg = docs.select(col(idCol),
         explode(WordNgrams(col(textCol), 2)).as("g"))
-      .withColumn("w1", split(col("g"), " ").getItem(0))
-    val c2 = bg.groupBy(col("g")).agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .select(col(idCol), xxhash64(col("g")).as("gh"),
+        xxhash64(split(col("g"), " ").getItem(0)).as("w1h"))
+    val c2 = bg.groupBy(col("gh")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("w1h")).agg(count(lit(1)).as("c1"))
     val vocab = docs
       .select(explode(TextFunctions.words(col(textCol))).as("w"))
       .filter(col("w") =!= "")
       .agg(countDistinct(col("w")).as("v")).head.getLong(0) // 1-row scalar
-    bg.join(c2, Seq("g")).join(c1, Seq("w1"))
+    bg.join(c2, Seq("gh")).join(c1, Seq("w1h"))
       .withColumn("s", expr(s"((c1 + ${vocab}L) * 1048576L) div (c2 + 1L)"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bg"), sum(col("s")).as("__tot"))
