@@ -1322,6 +1322,105 @@ object CurationQueries {
       |FROM (SELECT source, doc_id, toks, cum FROM c) p
       |GROUP BY source, CAST((cum - toks) // 256 AS BIGINT)""".stripMargin
 
+  /** q167: INCREMENTAL curation against persisted state — the nightly
+    * shape q164's one-shot pipeline becomes in production: the curated
+    * corpus (doc_id%10 ≥ 2) is already indexed ([[DedupIndex
+    * .writeSignatureIndex]]); tonight's batch (%10 == 1) passes the
+    * funnel gates, near-dups against the CORPUS via a PRUNED index probe
+    * ([[DedupIndex.probeIndex]] — only hit band buckets and candidate
+    * shingle buckets are read, per-batch cost ∝ batch spread), is
+    * decontaminated against the held-out slice (%10 == 0), and packs.
+    * The oracle replays the dedup leg as the brute batch×corpus Jaccard
+    * (the q95/q143 equivalence contract: banding at 16×2 misses j≥0.5
+    * pairs with probability ≈(1−j²)^16) plus q164's gate/decontaminate/
+    * pack replay — so a batch doc wrongly kept, dropped, or packed
+    * elsewhere flips a digest. */
+  private def q167(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val eval = all.filter(col("doc_id") % 10 === 0)
+    val corpus = all.filter(col("doc_id") % 10 >= 2)
+    val batch = all.filter(col("doc_id") % 10 === 1)
+    val path = graft.TempDirs.scratchAtExit("curate_idx")
+      .resolve("idx").toString
+    DedupIndex.writeSignatureIndex(corpus, path)
+    val gated = Curation.funnelFlags(batch, minToks = 20, maxToks = 80,
+        maxRepetition = 0.05)
+      .filter(col("p_len") && col("p_rep") && col("p_dedup"))
+    val nearDup = DedupIndex.probeIndex(s, path, gated)
+      .select(col("db").as("doc_id")).distinct()
+    val deduped = gated.join(nearDup, Seq("doc_id"), "left_anti")
+    val contaminated = Curation.contaminationCounts(deduped, eval, n = 5)
+      .filter(col("n_contam").cast("double") / col("n_sh") >= 0.5)
+      .select(col("doc_id"))
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    Curation.packSequences(clean, capacity = 256)
+      .groupBy(col("source"), col("pack"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast("long").as("toks"),
+        md5(concat_ws(",", sort_array(collect_list(col("doc_id")))))
+          .as("docs_sig"))
+  }
+
+  private val q167Sql =
+    """WITH b AS (SELECT * FROM documents WHERE doc_id % 10 = 1),
+      |g AS (SELECT doc_id, source, text,
+      |    len(string_split(text,' ')) AS n_toks,
+      |    CASE WHEN len(string_split(text,' ')) >= 3
+      |         THEN list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+      |                i -> string_split(text,' ')[i] || ' ' ||
+      |                     string_split(text,' ')[i+1] || ' ' ||
+      |                     string_split(text,' ')[i+2])
+      |         ELSE [] END AS sg,
+      |    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      |  FROM b),
+      |k AS (SELECT doc_id, source, text, n_toks,
+      |        list_distinct(sg) AS sg3 FROM g
+      |      WHERE n_toks BETWEEN 20 AND 80
+      |        AND len(sg) > 0
+      |        AND (1.0 - CAST(len(list_distinct(sg)) AS DOUBLE)/len(sg)) < 0.05
+      |        AND doc_id = keeper),
+      |cw AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+      |       WHERE doc_id % 10 >= 2),
+      |csh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+      |          THEN list_transform(generate_series(1, len(ws) - 2),
+      |               i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])
+      |          ELSE [] END) AS sg3 FROM cw),
+      |nd AS (SELECT DISTINCT k.doc_id FROM k JOIN csh ON
+      |        CAST(len(list_intersect(k.sg3, csh.sg3)) AS DOUBLE)
+      |          / (len(k.sg3) + len(csh.sg3)
+      |             - len(list_intersect(k.sg3, csh.sg3))) >= 0.5),
+      |k2 AS (SELECT doc_id, source, text, n_toks FROM k
+      |       WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+      |ksh AS (SELECT doc_id, unnest(list_distinct(
+      |          CASE WHEN len(string_split(text,' ')) >= 5
+      |          THEN list_transform(generate_series(1, len(string_split(text,' ')) - 4),
+      |               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||
+      |                    string_split(text,' ')[i+2]||' '||string_split(text,' ')[i+3]||' '||
+      |                    string_split(text,' ')[i+4])
+      |          ELSE [] END)) AS s FROM k2),
+      |ev AS (SELECT DISTINCT unnest(list_distinct(
+      |          CASE WHEN len(string_split(text,' ')) >= 5
+      |          THEN list_transform(generate_series(1, len(string_split(text,' ')) - 4),
+      |               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||
+      |                    string_split(text,' ')[i+2]||' '||string_split(text,' ')[i+3]||' '||
+      |                    string_split(text,' ')[i+4])
+      |          ELSE [] END)) AS s
+      |       FROM documents WHERE doc_id % 10 = 0),
+      |ov AS (SELECT ksh.doc_id, count(*) AS n_sh, count(ev.s) AS n_contam
+      |       FROM ksh LEFT JOIN ev ON ksh.s = ev.s GROUP BY 1),
+      |cl AS (SELECT k2.source, k2.doc_id, k2.n_toks AS toks FROM k2
+      |       LEFT JOIN ov ON k2.doc_id = ov.doc_id
+      |       WHERE ov.n_sh IS NULL
+      |          OR CAST(ov.n_contam AS DOUBLE) / ov.n_sh < 0.5),
+      |c AS (SELECT source, doc_id, toks,
+      |        sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+      |                        ROWS UNBOUNDED PRECEDING) AS cum FROM cl)
+      |SELECT source, CAST((cum - toks) // 256 AS BIGINT) AS pack,
+      |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS toks,
+      |  md5(array_to_string(list_sort(list(doc_id)), ',')) AS docs_sig
+      |FROM (SELECT source, doc_id, toks, cum FROM c) p
+      |GROUP BY source, CAST((cum - toks) // 256 AS BIGINT)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q90_contamination", q90, Some(q90Sql), bench = true),
     QueryDef("q91_stratified_sample", q91, Some(q91Sql)),
@@ -1357,5 +1456,6 @@ object CurationQueries {
     QueryDef("q157_classifier_prune", q157, Some(q157Sql)),
     QueryDef("q161_importance_resample", q161, Some(q161Sql)),
     QueryDef("q162_perplexity_tiers", q162, Some(q162Sql), bench = true),
-    QueryDef("q164_curation_pipeline", q164, Some(q164Sql), bench = true))
+    QueryDef("q164_curation_pipeline", q164, Some(q164Sql), bench = true),
+    QueryDef("q167_incremental_curation", q167, Some(q167Sql)))
 }
