@@ -1275,9 +1275,10 @@ object CurationQueries {
           .as("docs_sig"))
   }
 
-  private val q164Sql =
-    """WITH tr AS (SELECT * FROM documents WHERE doc_id % 10 != 0),
-      |g AS (SELECT doc_id, source, text,
+  /** The funnel-gate CTE pair shared by q164/q167 (over `src` rows):
+    * 3-gram repetition + length + exact-dedup survivorship. */
+  private def gateSql(src: String): String =
+    s"""g AS (SELECT doc_id, source, text,
       |    len(string_split(text,' ')) AS n_toks,
       |    CASE WHEN len(string_split(text,' ')) >= 3
       |         THEN list_transform(generate_series(1, len(string_split(text,' ')) - 2),
@@ -1286,19 +1287,26 @@ object CurationQueries {
       |                     string_split(text,' ')[i+2])
       |         ELSE [] END AS sg,
       |    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
-      |  FROM tr),
-      |k AS (SELECT doc_id, source, text, n_toks FROM g
+      |  FROM $src),
+      |k AS (SELECT doc_id, source, text, n_toks,
+      |        list_distinct(sg) AS sg3 FROM g
       |      WHERE n_toks BETWEEN 20 AND 80
       |        AND len(sg) > 0
       |        AND (1.0 - CAST(len(list_distinct(sg)) AS DOUBLE)/len(sg)) < 0.05
-      |        AND doc_id = keeper),
-      |ksh AS (SELECT doc_id, unnest(list_distinct(
+      |        AND doc_id = keeper)""".stripMargin
+
+  /** The decontaminate→pack oracle tail shared by q164/q167 over the
+    * `kept` CTE: 5-gram screen against the %10==0 eval slice, then the
+    * per-source 256-token pack with doc_id digests. ONE definition — an
+    * edit here keeps both composition oracles replaying the same stages. */
+  private def decontamPackSql(kept: String): String =
+    s"""ksh AS (SELECT doc_id, unnest(list_distinct(
       |          CASE WHEN len(string_split(text,' ')) >= 5
       |          THEN list_transform(generate_series(1, len(string_split(text,' ')) - 4),
       |               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||
       |                    string_split(text,' ')[i+2]||' '||string_split(text,' ')[i+3]||' '||
       |                    string_split(text,' ')[i+4])
-      |          ELSE [] END)) AS s FROM k),
+      |          ELSE [] END)) AS s FROM $kept),
       |ev AS (SELECT DISTINCT unnest(list_distinct(
       |          CASE WHEN len(string_split(text,' ')) >= 5
       |          THEN list_transform(generate_series(1, len(string_split(text,' ')) - 4),
@@ -1309,8 +1317,8 @@ object CurationQueries {
       |       FROM documents WHERE doc_id % 10 = 0),
       |ov AS (SELECT ksh.doc_id, count(*) AS n_sh, count(ev.s) AS n_contam
       |       FROM ksh LEFT JOIN ev ON ksh.s = ev.s GROUP BY 1),
-      |cl AS (SELECT k.source, k.doc_id, k.n_toks AS toks FROM k
-      |       LEFT JOIN ov ON k.doc_id = ov.doc_id
+      |cl AS (SELECT $kept.source, $kept.doc_id, $kept.n_toks AS toks FROM $kept
+      |       LEFT JOIN ov ON $kept.doc_id = ov.doc_id
       |       WHERE ov.n_sh IS NULL
       |          OR CAST(ov.n_contam AS DOUBLE) / ov.n_sh < 0.5),
       |c AS (SELECT source, doc_id, toks,
@@ -1321,6 +1329,11 @@ object CurationQueries {
       |  md5(array_to_string(list_sort(list(doc_id)), ',')) AS docs_sig
       |FROM (SELECT source, doc_id, toks, cum FROM c) p
       |GROUP BY source, CAST((cum - toks) // 256 AS BIGINT)""".stripMargin
+
+  private val q164Sql =
+    s"""WITH tr AS (SELECT * FROM documents WHERE doc_id % 10 != 0),
+      |${gateSql("tr")},
+      |${decontamPackSql("k")}""".stripMargin
 
   /** q167: INCREMENTAL curation against persisted state — the nightly
     * shape q164's one-shot pipeline becomes in production: the curated
@@ -1362,23 +1375,8 @@ object CurationQueries {
   }
 
   private val q167Sql =
-    """WITH b AS (SELECT * FROM documents WHERE doc_id % 10 = 1),
-      |g AS (SELECT doc_id, source, text,
-      |    len(string_split(text,' ')) AS n_toks,
-      |    CASE WHEN len(string_split(text,' ')) >= 3
-      |         THEN list_transform(generate_series(1, len(string_split(text,' ')) - 2),
-      |                i -> string_split(text,' ')[i] || ' ' ||
-      |                     string_split(text,' ')[i+1] || ' ' ||
-      |                     string_split(text,' ')[i+2])
-      |         ELSE [] END AS sg,
-      |    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
-      |  FROM b),
-      |k AS (SELECT doc_id, source, text, n_toks,
-      |        list_distinct(sg) AS sg3 FROM g
-      |      WHERE n_toks BETWEEN 20 AND 80
-      |        AND len(sg) > 0
-      |        AND (1.0 - CAST(len(list_distinct(sg)) AS DOUBLE)/len(sg)) < 0.05
-      |        AND doc_id = keeper),
+    s"""WITH b AS (SELECT * FROM documents WHERE doc_id % 10 = 1),
+      |${gateSql("b")},
       |cw AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents
       |       WHERE doc_id % 10 >= 2),
       |csh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
@@ -1391,35 +1389,7 @@ object CurationQueries {
       |             - len(list_intersect(k.sg3, csh.sg3))) >= 0.5),
       |k2 AS (SELECT doc_id, source, text, n_toks FROM k
       |       WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
-      |ksh AS (SELECT doc_id, unnest(list_distinct(
-      |          CASE WHEN len(string_split(text,' ')) >= 5
-      |          THEN list_transform(generate_series(1, len(string_split(text,' ')) - 4),
-      |               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||
-      |                    string_split(text,' ')[i+2]||' '||string_split(text,' ')[i+3]||' '||
-      |                    string_split(text,' ')[i+4])
-      |          ELSE [] END)) AS s FROM k2),
-      |ev AS (SELECT DISTINCT unnest(list_distinct(
-      |          CASE WHEN len(string_split(text,' ')) >= 5
-      |          THEN list_transform(generate_series(1, len(string_split(text,' ')) - 4),
-      |               i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||
-      |                    string_split(text,' ')[i+2]||' '||string_split(text,' ')[i+3]||' '||
-      |                    string_split(text,' ')[i+4])
-      |          ELSE [] END)) AS s
-      |       FROM documents WHERE doc_id % 10 = 0),
-      |ov AS (SELECT ksh.doc_id, count(*) AS n_sh, count(ev.s) AS n_contam
-      |       FROM ksh LEFT JOIN ev ON ksh.s = ev.s GROUP BY 1),
-      |cl AS (SELECT k2.source, k2.doc_id, k2.n_toks AS toks FROM k2
-      |       LEFT JOIN ov ON k2.doc_id = ov.doc_id
-      |       WHERE ov.n_sh IS NULL
-      |          OR CAST(ov.n_contam AS DOUBLE) / ov.n_sh < 0.5),
-      |c AS (SELECT source, doc_id, toks,
-      |        sum(toks) OVER (PARTITION BY source ORDER BY doc_id
-      |                        ROWS UNBOUNDED PRECEDING) AS cum FROM cl)
-      |SELECT source, CAST((cum - toks) // 256 AS BIGINT) AS pack,
-      |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS toks,
-      |  md5(array_to_string(list_sort(list(doc_id)), ',')) AS docs_sig
-      |FROM (SELECT source, doc_id, toks, cum FROM c) p
-      |GROUP BY source, CAST((cum - toks) // 256 AS BIGINT)""".stripMargin
+      |${decontamPackSql("k2")}""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q90_contamination", q90, Some(q90Sql), bench = true),

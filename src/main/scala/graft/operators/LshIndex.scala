@@ -169,13 +169,24 @@ object LshIndex {
         "probe buckets would not line up")
     val nb = planes.length
     require(nb <= 20, s"numPlanes=$nb too large to enumerate probe sets")
+    // masks stay VALUES (one exploded literal array, one XOR) — building
+    // one expression child per mask would put 2^numPlanes Catalyst nodes
+    // in a single projection at the full-radius oracle configuration
     val masks = (0L until (1L << nb))
       .filter(m => java.lang.Long.bitCount(m) <= radius)
+    // cached: the frame is read twice (driver bucket-set collect + the
+    // broadcast join side) and the two evaluations MUST agree — an anchor
+    // pipeline that recomputes differently (sample/limit without a
+    // defining order) would silently drop candidates whose buckets fell
+    // outside the first collect. Deliberately left pinned, like
+    // probeIndex's bare-probe caches ([[DedupIndex]]) — the returned
+    // plan reads it lazily.
     val probes = anchors
       .withColumn("__b0", Similarity.bucketExpr(col(anchorEmbCol), planes))
-      .withColumn("bucket",
-        explode(array(masks.map(m => col("__b0").bitwiseXOR(lit(m))): _*)))
-      .drop("__b0")
+      .withColumn("__m", explode(typedLit(masks)))
+      .withColumn("bucket", col("__m").bitwiseXOR(col("__b0")))
+      .drop("__b0", "__m")
+      .cache()
     // ≤ 2^numPlanes values by construction (numPlanes <= 20)
     val hit = probes.select(col("bucket")).distinct()
       .collect().map(_.getLong(0)).toSeq

@@ -790,14 +790,25 @@ object SimilarityQueries {
     * (q151) for candidates first and this exact scorer runs on the
     * survivors; the brute pass IS the oracle configuration. */
   private def q163(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = emb(s, d)
-    val anchors = broadcast(e.orderBy(col("vec_id")).limit(8)
+    e.crossJoin(broadcast(miningAnchors(e))).transform(hardNegativeTopK)
+  }
+
+  /** The 8 lowest-id anchors, renamed for the mining joins. */
+  private def miningAnchors(e: DataFrame): DataFrame =
+    e.orderBy(col("vec_id")).limit(8)
       .select(col("vec_id").as("aid"), col("embedding").as("ae"),
-        col("label").as("al")))
+        col("label").as("al"))
+
+  /** Shared scoring tail for q163/q165 — both register the SAME oracle,
+    * so the different-label filter, cosine, and per-anchor top-3 window
+    * must stay semantically identical; one definition keeps an edit to
+    * either query from silently breaking the shared-oracle contract. */
+  private def hardNegativeTopK(cands: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("aid"))
       .orderBy(col("sim").desc, col("vec_id"))
-    e.crossJoin(anchors)
+    cands
       .filter(col("label") =!= col("al") && col("vec_id") =!= col("aid"))
       .select(col("aid"), col("vec_id"), col("label"),
         graft.functions.CosineSimilarity(col("embedding"), col("ae"))
@@ -817,7 +828,6 @@ object SimilarityQueries {
     * candidates, so q163's brute oracle applies verbatim; the radius-1
     * pruned-read trade is spec-asserted in LshIndexSpec. */
   private def q165(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = emb(s, d)
     val dim = e.select(size(col("embedding"))).head.getInt(0)
     val planes = Similarity.hyperplanes(dim, numPlanes = 6)
@@ -825,20 +835,8 @@ object SimilarityQueries {
       .resolve("idx").toString
     LshIndex.writeLshIndex(e, "embedding", "vec_id", planes, path,
       keepCols = Seq("label"))
-    val anchors = e.orderBy(col("vec_id")).limit(8)
-      .select(col("vec_id").as("aid"), col("embedding").as("ae"),
-        col("label").as("al"))
-    val w = Window.partitionBy(col("aid"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    LshIndex.batchProbe(s, path, anchors, "ae", planes, radius = 6)
-      .filter(col("label") =!= col("al") && col("vec_id") =!= col("aid"))
-      .select(col("aid"), col("vec_id"), col("label"),
-        graft.functions.CosineSimilarity(col("embedding"), col("ae"))
-          .as("sim"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 3)
-      .select(col("aid"), col("rk"), col("vec_id"), col("label"),
-        round(col("sim"), 4).as("simr"))
+    LshIndex.batchProbe(s, path, miningAnchors(e), "ae", planes, radius = 6)
+      .transform(hardNegativeTopK)
   }
 
   private val q163Sql =

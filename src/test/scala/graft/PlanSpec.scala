@@ -54,7 +54,7 @@ class PlanSpec extends AnyFunSuite {
     val p104 = plan("q104_bloom_join")
     assert(p104.contains("UDF"), s"bloom prefilter missing:\n$p104")
     assert(!p104.contains("CartesianProduct"), p104)
-    // q105: the block-dedup window is keyed on block text, never a
+    // q105: the block-dedup window is keyed on xxhash64(block), never a
     // single-partition sort
     val p105 = plan("q105_paragraph_dedup")
     assert(p105.contains("Window"), p105)
