@@ -1391,6 +1391,46 @@ object CurationQueries {
       |       WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
       |${decontamPackSql("k2")}""".stripMargin
 
+  /** q168: TOKENIZER COVERAGE AUDIT — the fertility report every
+    * tokenizer change ships with: train the 3-round BPE vocab in-engine
+    * (q126's loop), tokenize the corpus with it (q130's encode), and
+    * report per-source fertility (tokens per word, integer basis points —
+    * the house integer-scaling rule, no float division) plus token/word
+    * totals. A vocab regression (merge order, word segmentation) moves
+    * fert_bp and flips the hash; the oracle replays the trained vocab as
+    * the shared unrolled CTEs. One scan + two combinable aggs. */
+  private def q168(s: SparkSession, d: String): DataFrame = {
+    val d0 = docs(s, d)
+    val merges = BpeTrainer.trainMerges(d0, "text", rounds = 3)
+    d0.select(col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("nw"),
+        BpeTrainer.tokenCountCol(col("text"), merges).as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).cast("long").as("n_words"),
+        sum(col("nt")).cast("long").as("n_toks"))
+      .withColumn("fert_bp", expr("(n_toks * 10000L) div n_words"))
+  }
+
+  private val q168Sql: String =
+    s"""${bpeUnrolledCtes(3, emitFinalSeg = true)},
+       |v AS (SELECT word, len(string_split(trim(s,'|'),'||')) AS wtoks
+       |      FROM s3),
+       |tok AS (SELECT source, doc_id, unnest(string_split(text,' ')) AS word
+       |        FROM documents),
+       |dt AS (SELECT source, doc_id, CAST(sum(v.wtoks) AS BIGINT) AS nt
+       |       FROM tok JOIN v USING (word) GROUP BY 1, 2),
+       |dw AS (SELECT source, doc_id,
+       |         CAST(len(string_split(text,' ')) AS BIGINT) AS nw
+       |       FROM documents)
+       |SELECT dw.source, count(*) AS n_docs,
+       |  CAST(sum(dw.nw) AS BIGINT) AS n_words,
+       |  CAST(sum(dt.nt) AS BIGINT) AS n_toks,
+       |  (CAST(sum(dt.nt) AS BIGINT) * 10000)
+       |    // CAST(sum(dw.nw) AS BIGINT) AS fert_bp
+       |FROM dw JOIN dt ON dw.source = dt.source AND dw.doc_id = dt.doc_id
+       |GROUP BY dw.source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q90_contamination", q90, Some(q90Sql), bench = true),
     QueryDef("q91_stratified_sample", q91, Some(q91Sql)),
@@ -1427,5 +1467,6 @@ object CurationQueries {
     QueryDef("q161_importance_resample", q161, Some(q161Sql)),
     QueryDef("q162_perplexity_tiers", q162, Some(q162Sql), bench = true),
     QueryDef("q164_curation_pipeline", q164, Some(q164Sql), bench = true),
-    QueryDef("q167_incremental_curation", q167, Some(q167Sql)))
+    QueryDef("q167_incremental_curation", q167, Some(q167Sql)),
+    QueryDef("q168_tokenizer_audit", q168, Some(q168Sql)))
 }
