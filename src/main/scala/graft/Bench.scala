@@ -129,7 +129,24 @@ object Bench {
       val (r, b) = shuffleAgg.getOrElse(q.name, (0L, 0L))
       "\"" + q.name + s"""":{"records":$r,"bytes":$b}"""
     }.mkString(",\"shuffle\":{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"queries":$qJson$shJson$errJson,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"queries":$qJson$shJson$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the line to a file: the driver captures a bounded TAIL of
+    // stdout, and with per-query shuffle metrics the single JSON line outgrew
+    // that window (BENCH_r06 recorded parsed:null with the line truncated
+    // mid-object). A file survives any stdout windowing; path overridable for
+    // tests via SPARK_GRAFT_BENCH_OUT.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"bench json written to $outPath")
+    } catch {
+      case t: Throwable => // file copy is belt-and-braces; stdout already has it
+        System.err.println(s"bench json file write failed: ${t.getMessage}")
+    }
     spark.stop()
   }
 }
