@@ -276,38 +276,17 @@ object CurationQueries {
     * the index (empty-dir bulk routing), later slices exercise
     * probe-then-upsert against live state. */
   private def q145(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.Row
     val all = docs(s, d).select(col("doc_id"), col("text"))
     val base = graft.TempDirs.scratchAtExit("stream_ingest_dedup")
-    val srcDir = base.resolve("in"); java.nio.file.Files.createDirectories(srcDir)
     val idx = base.resolve("idx").toString
     val pairsDir = base.resolve("pairs").toString
-    (0 until 3).foreach { i =>
-      val staging = base.resolve(s"stage$i")
-      all.filter(col("doc_id") % 3 === i)
-        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
-      val part = staging.toFile.listFiles
-        .find(_.getName.endsWith(".parquet")).get.toPath
-      val dst = srcDir.resolve(s"slice$i.parquet")
-      java.nio.file.Files.copy(part, dst)
-      // file-source order = (mtime, path); pin it explicitly so slice i
-      // is always batch i
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 10000))
-    }
-    val q = s.readStream.schema(all.schema)
-      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        // probe + fold-in with ONE shingle/signature pass over the batch;
-        // the first slice bulk-builds and returns no pairs (the empty
-        // append still creates the sink dir)
-        DedupIndex.ingestBatch(s, idx, batch)
-          .write.mode("append").parquet(pairsDir)
-      }
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .start()
-    q.processAllAvailable(); q.stop()
+    graft.streaming.IngestHarness.drain(s, base,
+      (0 until 3).map(i => all.filter(col("doc_id") % 3 === i)),
+      // probe + fold-in with ONE shingle/signature pass over the batch;
+      // the first slice bulk-builds and returns no pairs (the empty
+      // append still creates the sink dir)
+      batch => DedupIndex.ingestBatch(s, idx, batch)
+        .write.mode("append").parquet(pairsDir))
     s.read.parquet(pairsDir)
   }
 

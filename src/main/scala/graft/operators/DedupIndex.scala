@@ -186,18 +186,32 @@ object DedupIndex {
       n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 2,
       threshold: Double = 0.5, nBuckets: Int = 16,
       nDocBuckets: Int = 16): DataFrame = {
-    requireConfig(spark, path,
-      configOf(n, numHashes, rowsPerBand, nBuckets, nDocBuckets))
     // DELIBERATE: the returned plan lazily reads the two probe-scoped
     // caches (bsg, cand), so a bare probe leaves them pinned — the lazy
     // plan is what lets callers inspect/compose the pruned-scan probe
     // (QueriesSpec asserts its PartitionFilters). A long-running ingest
     // LOOP must use ingestBatch, which owns both caches and releases them
-    // after checkpointing; repeated bare probeIndex calls in a persistent
-    // session accumulate cache entries (Spark evicts LRU, but the entries
-    // linger) — that trade is documented here by design.
-    probeCore(spark, path, Dedup.shingleSets(batch, n).cache(),
-      numHashes, rowsPerBand, threshold, nBuckets, nDocBuckets)._1
+    // after checkpointing; a long-lived SERVING session should use
+    // probeIndexManaged, whose ProbeHandle releases them on close().
+    probeIndexManaged(spark, path, batch, n, numHashes, rowsPerBand,
+      threshold, nBuckets, nDocBuckets).result
+  }
+
+  /** [[probeIndex]] with cache ownership: the returned [[ProbeHandle]]
+    * owns the two probe-scoped caches (batch shingles + verified
+    * candidate pairs); materialize `result`, then `close()` and both are
+    * released — the serving-session companion to [[ingestBatch]]'s
+    * loop-owned lifecycle. */
+  def probeIndexManaged(spark: SparkSession, path: String, batch: DataFrame,
+      n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 2,
+      threshold: Double = 0.5, nBuckets: Int = 16,
+      nDocBuckets: Int = 16): ProbeHandle = {
+    requireConfig(spark, path,
+      configOf(n, numHashes, rowsPerBand, nBuckets, nDocBuckets))
+    val bsg = Dedup.shingleSets(batch, n).cache()
+    val (plan, cand) = probeCore(spark, path, bsg,
+      numHashes, rowsPerBand, threshold, nBuckets, nDocBuckets)
+    new ProbeHandle(plan, Seq(bsg, cand))
   }
 
   /** The probe over a precomputed (cached) shingle frame — shared by

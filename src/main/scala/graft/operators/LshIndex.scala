@@ -72,7 +72,13 @@ object LshIndex {
     require(stored.isDefined,
       s"LSH index at $path has data but no config pin (crashed build?) " +
         "— rebuild it with writeLshIndex before upserting")
-    require(stored.get == config(planes, nDocBuckets, keepCols),
+    // pins written before keepCols existed lack the key; absent ≡ empty
+    // (those indexes were all built with no payload columns), so an old
+    // index upserts fine with keepCols=Nil instead of failing a map-
+    // equality check with a message blaming hyperplane geometry
+    val storedCfg = stored.get +
+      ("keepCols" -> stored.get.getOrElse("keepCols", ""))
+    require(storedCfg == config(planes, nDocBuckets, keepCols),
       s"LSH index at $path was built under different hyperplanes, " +
         "doc-bucket geometry, or payload columns — an upsert would route " +
         "the wrong buckets or write a ragged schema")
@@ -154,10 +160,24 @@ object LshIndex {
     * radius ≥ numPlanes serves every bucket (exact candidates — the
     * oracle configuration); small radii trade recall for reading
     * ~Σ_r C(numPlanes, r)/2^numPlanes of the index per anchor.
-    * Returns index rows joined with their requesting anchor's columns. */
+    * Returns index rows joined with their requesting anchor's columns.
+    *
+    * The probe cache stays PINNED by design (the returned plan reads it
+    * lazily); a long-running service probing per anchor batch should use
+    * [[batchProbeManaged]], whose [[ProbeHandle]] releases it. */
   def batchProbe(spark: SparkSession, path: String, anchors: DataFrame,
       anchorEmbCol: String, planes: Array[Array[Double]],
-      radius: Int = 1): DataFrame = {
+      radius: Int = 1): DataFrame =
+    batchProbeManaged(spark, path, anchors, anchorEmbCol, planes,
+      radius).result
+
+  /** [[batchProbe]] with cache ownership: `close()` the returned handle
+    * after materializing the result and the probe cache is released —
+    * the ingestBatch-style companion the bare variant deliberately
+    * lacks. */
+  def batchProbeManaged(spark: SparkSession, path: String,
+      anchors: DataFrame, anchorEmbCol: String,
+      planes: Array[Array[Double]], radius: Int = 1): ProbeHandle = {
     val fs = fsOf(spark, path)
     val stored = PartitionedIndexOps.readConfigPin(fs, pinPath(path))
     require(stored.isDefined,
@@ -169,6 +189,7 @@ object LshIndex {
         "probe buckets would not line up")
     val nb = planes.length
     require(nb <= 20, s"numPlanes=$nb too large to enumerate probe sets")
+    requireNoCollisions(spark, path, anchors)
     // masks stay VALUES (one exploded literal array, one XOR) — building
     // one expression child per mask would put 2^numPlanes Catalyst nodes
     // in a single projection at the full-radius oracle configuration
@@ -178,9 +199,9 @@ object LshIndex {
     // broadcast join side) and the two evaluations MUST agree — an anchor
     // pipeline that recomputes differently (sample/limit without a
     // defining order) would silently drop candidates whose buckets fell
-    // outside the first collect. Deliberately left pinned, like
-    // probeIndex's bare-probe caches ([[DedupIndex]]) — the returned
-    // plan reads it lazily.
+    // outside the first collect. The handle owns the cache; via the bare
+    // [[batchProbe]] it stays pinned like probeIndex's bare-probe caches
+    // ([[DedupIndex]]) — the returned plan reads it lazily.
     val probes = anchors
       .withColumn("__b0", Similarity.bucketExpr(col(anchorEmbCol), planes))
       .withColumn("__m", explode(typedLit(masks)))
@@ -190,10 +211,146 @@ object LshIndex {
     // ≤ 2^numPlanes values by construction (numPlanes <= 20)
     val hit = probes.select(col("bucket")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    spark.read.parquet(path)
-      .filter(col("bucket").isInCollection(hit))
-      .join(broadcast(probes), Seq("bucket"))
+    new ProbeHandle(
+      spark.read.parquet(path)
+        .filter(col("bucket").isInCollection(hit))
+        .join(broadcast(probes), Seq("bucket")),
+      Seq(probes))
   }
+
+  /** Fail fast on anchor frames whose column names collide with the probe
+    * machinery or the index schema — `bucket` would be silently
+    * overwritten by the probe's withColumn, and an anchor column named
+    * like an index column (idCol/embCol/keepCols) would come out of the
+    * join as an ambiguous duplicate that only fails (or mis-resolves)
+    * downstream. Mirrors the fail-fast style of the config-pin guards. */
+  private def requireNoCollisions(spark: SparkSession, path: String,
+      anchors: DataFrame): Unit = {
+    val reserved = Set("bucket", "__b0", "__m")
+    val idxCols = spark.read.parquet(path).schema.fieldNames.toSet
+    val clash = anchors.columns.toSet & (reserved ++ idxCols)
+    require(clash.isEmpty,
+      s"anchor frame columns $clash collide with the probe machinery " +
+        "(bucket/__b0/__m) or the index schema at " + path +
+        " — rename them before probing (the join would produce " +
+        "ambiguous or silently overwritten columns)")
+  }
+
+  // ------------------------------------------------------------------
+  // Multi-table (OR-amplification) variant
+  // ------------------------------------------------------------------
+
+  /** Multi-table build: L INDEPENDENT plane sets, each vector stored once
+    * per table under `tbl=t/bucket=b` partitions (storage ×L — the
+    * OR-amplification trade). A probe then reads exactly ONE bucket per
+    * table and candidate recall is 1 − Π_t (1 − p^numPlanes) — it stops
+    * depending on one table's hamming radius, which is how FAISS/Chroma-
+    * style LSH holds recall at a fixed read fraction (reference:
+    * scripts/vector_db/chroma.sqlite3 ANN segment; the single-table
+    * radius ladder above trades recall for Σ_r C(n,r)/2^n reads instead).
+    * ONE scan of the input: the L bucket ids compute as an array and
+    * posexplode into (tbl, bucket) rows. The pin stores every table's
+    * plane fingerprint, so probing under different or reordered plane
+    * sets fails fast. */
+  def writeMultiLshIndex(vecs: DataFrame, embCol: String, idCol: String,
+      planeSets: Seq[Array[Array[Double]]], path: String,
+      keepCols: Seq[String] = Nil): Unit = {
+    require(planeSets.nonEmpty, "need at least one plane set")
+    val fs = fsOf(vecs.sparkSession, path)
+    PartitionedIndexOps.requireUniqueIds(vecs, idCol)
+    fs.delete(pinPath(path), false)
+    // native literal-table expression, NOT array(bucketExpr…): the
+    // composed form is L×planes×dim Catalyst nodes and overflows the
+    // 64 KB codegen limit at realistic table counts (interpreted
+    // fallback) — see [[graft.functions.LshBuckets]]
+    val buckets = graft.functions.LshBuckets(col(embCol), planeSets)
+    vecs.select((Seq(idCol, embCol) ++ keepCols).map(col) :+
+        posexplode(buckets).as(Seq("tbl", "bucket")): _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("tbl", "bucket").parquet(path)
+    PartitionedIndexOps.writeConfigPin(fs, pinPath(path),
+      multiConfig(planeSets, keepCols))
+  }
+
+  /** Single-query probe of a multi-table index: the L per-table buckets
+    * resolve driver-side, land as ONE partition filter (an OR of per-table
+    * bucket equalities over partition columns only — pruned at the file
+    * index, ~L/2^numPlanes of the index read), copies of a vector found
+    * by several tables collapse before scoring, exact cosine on the
+    * candidates. */
+  def probeMultiLsh(spark: SparkSession, path: String, embCol: String,
+      idCol: String, query: Array[Float], k: Int,
+      planeSets: Seq[Array[Array[Double]]]): DataFrame = {
+    requireMultiPin(spark, path, planeSets)
+    val pred = planeSets.zipWithIndex.map { case (p, t) =>
+      col("tbl") === lit(t) && col("bucket") === lit(queryBucket(query, p))
+    }.reduce(_ || _)
+    val qv = array(query.map(lit): _*)
+    spark.read.parquet(path)
+      .filter(pred)
+      .dropDuplicates(Seq(idCol))
+      .select(col(idCol),
+        round(graft.functions.CosineSimilarity(col(embCol), qv), 4)
+          .as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Batch candidates for a whole anchor frame against a multi-table
+    * index — the [[batchProbeManaged]] shape with (tbl, bucket) join keys
+    * and NO radius: amplification comes from the table union. The ≤
+    * anchors×L probe pairs collect driver-side, group into an OR of
+    * per-table `isInCollection`s over partition columns only (file-index
+    * pruning), and the per-anchor assignment rides the broadcast join.
+    * Returns one row per (anchor, index row, table) hit — callers wanting
+    * set semantics dedupe on (anchor id, idCol). `close()` the handle
+    * after materializing. */
+  def batchProbeMultiManaged(spark: SparkSession, path: String,
+      anchors: DataFrame, anchorEmbCol: String,
+      planeSets: Seq[Array[Array[Double]]]): ProbeHandle = {
+    requireMultiPin(spark, path, planeSets)
+    require(!anchors.columns.contains("tbl"),
+      "anchor frame carries a 'tbl' column — rename it before probing")
+    requireNoCollisions(spark, path, anchors)
+    val buckets = graft.functions.LshBuckets(col(anchorEmbCol), planeSets)
+    // cached for the same two-evaluations-must-agree reason as batchProbe
+    val probes = anchors
+      .select(anchors.columns.map(col) :+
+        posexplode(buckets).as(Seq("tbl", "bucket")): _*)
+      .cache()
+    val hit = probes.select(col("tbl"), col("bucket")).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val pred = hit.groupBy(_._1).toSeq.map { case (t, bs) =>
+      col("tbl") === lit(t) &&
+        col("bucket").isInCollection(bs.map(_._2).toSeq)
+    }.reduce(_ || _)
+    new ProbeHandle(
+      spark.read.parquet(path).filter(pred)
+        .join(broadcast(probes), Seq("tbl", "bucket")),
+      Seq(probes))
+  }
+
+  private def requireMultiPin(spark: SparkSession, path: String,
+      planeSets: Seq[Array[Array[Double]]]): Unit = {
+    val fs = fsOf(spark, path)
+    val stored = PartitionedIndexOps.readConfigPin(fs, pinPath(path))
+    require(stored.isDefined,
+      s"multi-table LSH index at $path has no config pin (never built, " +
+        "or a crashed build) — build it with writeMultiLshIndex first")
+    require(stored.get.get("planes").contains(planesFingerprint(planeSets)),
+      s"multi-table LSH index at $path was built under different plane " +
+        "sets (count, order, or geometry) — probe buckets would not line up")
+  }
+
+  private def planesFingerprint(
+      planeSets: Seq[Array[Array[Double]]]): String =
+    planeSets.map(PartitionedIndexOps.matrixFingerprint).mkString("|")
+
+  private def multiConfig(planeSets: Seq[Array[Array[Double]]],
+      keepCols: Seq[String]): Map[String, String] =
+    Map("tables" -> planeSets.length.toString,
+      "planes" -> planesFingerprint(planeSets),
+      "keepCols" -> keepCols.mkString(","))
 
   private def queryBucket(v: Array[Float],
       planes: Array[Array[Double]]): Long =

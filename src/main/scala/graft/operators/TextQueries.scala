@@ -523,38 +523,17 @@ object TextQueries {
     * checkpointed state. Final pruned read == q132's round trip, so its
     * final-corpus oracle applies verbatim. */
   private def q160(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.Row
     val terms = Seq("table", "join", "scan")
     val all = docs(s, d).select(col("doc_id"), col("text"))
     val base = graft.TempDirs.scratchAtExit("stream_fts")
-    val srcDir = base.resolve("in")
-    java.nio.file.Files.createDirectories(srcDir)
     val idx = base.resolve("postings").toString
-    val slices = Seq(
-      all.filter(col("doc_id") % 5 =!= 2),
-      all.filter(col("doc_id") % 5 === 2),
-      all.filter(col("doc_id") % 5 === 1)
-        .withColumn("text", concat(col("text"), lit(" rev2 table"))))
-    slices.zipWithIndex.foreach { case (df, i) =>
-      val staging = base.resolve(s"stage$i")
-      df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-      val part = staging.toFile.listFiles
-        .find(_.getName.endsWith(".parquet")).get.toPath
-      val dst = srcDir.resolve(s"slice$i.parquet")
-      java.nio.file.Files.copy(part, dst)
-      // file-source order = (mtime, path); pin it so slice i is batch i
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 10000))
-    }
-    val q = s.readStream.schema(all.schema)
-      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        Fts.upsertPostingsIndex(batch, idx, "doc_id", "text", nBuckets = 16)
-      }
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .start()
-    q.processAllAvailable(); q.stop()
+    graft.streaming.IngestHarness.drain(s, base, Seq(
+        all.filter(col("doc_id") % 5 =!= 2),
+        all.filter(col("doc_id") % 5 === 2),
+        all.filter(col("doc_id") % 5 === 1)
+          .withColumn("text", concat(col("text"), lit(" rev2 table")))),
+      batch => Fts.upsertPostingsIndex(batch, idx, "doc_id", "text",
+        nBuckets = 16))
     Fts.loadPostings(s, idx, terms, nBuckets = 16)
       .filter(col("word").isin(terms: _*))
       .select(col("word"), col("doc_id"), col("tf"),

@@ -137,4 +137,103 @@ class LshIndexSpec extends AnyFunSuite {
     }
     assert(ex3.getMessage.contains("crashed build"))
   }
+
+  test("pre-keepCols pin (no keepCols line) still upserts with no payload columns") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh_legacy")
+      .resolve("idx").toString
+    LshIndex.writeLshIndex(e.filter(col("vec_id") % 2 === 0),
+      "embedding", "vec_id", planes, dir)
+    // rewrite the pin as a pre-keepCols index would have written it
+    // (drop the stale .crc too — a raw java.nio write under Hadoop's
+    // ChecksumFileSystem otherwise fails the next read)
+    val pin = java.nio.file.Paths.get(dir + "_meta/config")
+    val stripped = new String(java.nio.file.Files.readAllBytes(pin))
+      .linesIterator.filterNot(_.startsWith("keepCols=")).mkString("\n")
+    java.nio.file.Files.write(pin, stripped.getBytes)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir + "_meta/.config.crc"))
+    // absent key ≡ empty: the upsert must route, not refuse
+    LshIndex.upsertLshIndex(e.filter(col("vec_id") % 2 === 1),
+      "embedding", "vec_id", planes, dir)
+    assert(spark.read.parquet(dir).count() == e.count())
+    // ...but a payload-carrying upsert against it still refuses
+    val ex = intercept[IllegalArgumentException] {
+      LshIndex.upsertLshIndex(e.limit(1), "embedding", "vec_id", planes,
+        dir, keepCols = Seq("label"))
+    }
+    assert(ex.getMessage.contains("payload columns"))
+  }
+
+  test("batch probe refuses anchor frames whose columns collide with the probe machinery or index schema") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh_clash")
+      .resolve("idx").toString
+    LshIndex.writeLshIndex(e, "embedding", "vec_id", planes, dir)
+    val bucketAnchor = e.limit(2)
+      .select(col("vec_id").as("aid"), col("embedding").as("ae"),
+        lit(1L).as("bucket"))
+    val ex = intercept[IllegalArgumentException] {
+      LshIndex.batchProbe(spark, dir, bucketAnchor, "ae", planes)
+    }
+    assert(ex.getMessage.contains("collide"))
+    val idxColAnchor = e.limit(2)
+      .select(col("vec_id"), col("embedding").as("ae"))
+    val ex2 = intercept[IllegalArgumentException] {
+      LshIndex.batchProbe(spark, dir, idxColAnchor, "ae", planes)
+    }
+    assert(ex2.getMessage.contains("collide"))
+  }
+
+  test("multi-table index: pruning, candidate union matches per-table recompute, guards") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh_multi")
+      .resolve("idx").toString
+    val planeSets = (0 until 5).map(t =>
+      Similarity.hyperplanes(64, 3, seed = 100L + t))
+    LshIndex.writeMultiLshIndex(e, "embedding", "vec_id", planeSets, dir)
+    // stored once per table
+    assert(spark.read.parquet(dir).count() == e.count() * 5)
+    val q = queryVec(5)
+    val probed = LshIndex.probeMultiLsh(spark, dir, "embedding", "vec_id",
+      q, 10, planeSets)
+    val planStr = probed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*tbl".r.findFirstIn(planStr)
+      .isDefined, s"expected tbl/bucket partition pruning in plan:\n$planStr")
+    // batch candidates == the per-table bucket-membership union,
+    // recomputed independently with the inline bucketizer
+    val anchors = e.filter(col("vec_id") === 5)
+      .select(col("vec_id").as("aid"), col("embedding").as("ae"))
+    val handle = LshIndex.batchProbeMultiManaged(spark, dir, anchors, "ae",
+      planeSets)
+    val got = handle.result.select(col("vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    handle.close()
+    val expected = planeSets.flatMap { p =>
+      val b = Similarity.bucketize(e, "embedding", p)
+        .select(col("vec_id"), col("bucket"))
+      val qb = b.filter(col("vec_id") === 5).head.getLong(1)
+      b.filter(col("bucket") === qb).collect().map(_.getLong(0))
+    }.toSet
+    assert(got == expected)
+    // single probe == exact cosine ranking restricted to that union
+    val qv = array(q.map(lit): _*)
+    val exp10 = e.filter(col("vec_id").isInCollection(expected.toSeq))
+      .select(col("vec_id"),
+        round(graft.functions.CosineSimilarity(col("embedding"), qv), 4)
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == exp10)
+    // different/reordered plane sets refuse
+    val ex = intercept[IllegalArgumentException] {
+      LshIndex.probeMultiLsh(spark, dir, "embedding", "vec_id", q, 10,
+        planeSets.reverse)
+    }
+    assert(ex.getMessage.contains("different plane"))
+    // anchor column collisions refuse (tbl is reserved here too)
+    val ex2 = intercept[IllegalArgumentException] {
+      LshIndex.batchProbeMultiManaged(spark, dir,
+        anchors.withColumn("tbl", lit(1)), "ae", planeSets)
+    }
+    assert(ex2.getMessage.contains("tbl"))
+  }
 }

@@ -216,7 +216,7 @@ class PlanSpec extends AnyFunSuite {
       "operators/SimilarityQueries.scala" ->
         (1, "q158 eval: nQ=10 query-vector rows (literal bound)"),
       "operators/LshIndex.scala" ->
-        (3, "upsert: doc-bucket + affected-sign-bucket id sets; batchProbe: probe-bucket union — each <= nDocBuckets / <= 2^numPlanes"),
+        (4, "upsert: doc-bucket + affected-sign-bucket id sets; batchProbe: probe-bucket union; batchProbeMulti: (tbl,bucket) union — each <= nDocBuckets / <= 2^numPlanes / <= anchors×L"),
       "operators/CurationQueries.scala" ->
         (1, "q109 CMS: one serialized sketch per language"),
       "llm/RagPipeline.scala" ->

@@ -61,11 +61,17 @@ class TextFunctionsSpec extends AnyFunSuite {
           array((col("id") + 1).cast("float"), col("id").cast("float")).as("u"))
         .select(WordNgrams(col("t"), 2).as("g"),
           graft.functions.CosineSimilarity(col("u"), col("u")).as("sim"),
-          graft.functions.Int8Quantize(col("u")).as("q"))
+          graft.functions.Int8Quantize(col("u")).as("q"),
+          graft.functions.LshBuckets(col("u"),
+            Seq(Array(Array(1.0, -1.0), Array(-1.0, -1.0)),
+              Array(Array(0.5, 0.5)))).as("b"))
         .collect().head
       assert(r.getSeq[String](0) == Seq("a b", "b c", "c 0"))
       assert(r.getDouble(1) == 1.0)
       assert(r.getSeq[Byte](2) == Seq(127.toByte, 0.toByte))
+      // u = [1.0, 0.0]: t0 planes → dots (1.0, -1.0) → bits (1, 0) = 1;
+      // t1 plane → dot 0.5 ≥ 0 → 1
+      assert(r.getSeq[Long](3) == Seq(1L, 1L))
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)

@@ -5,7 +5,11 @@ offset consistently per copy so joins keep their selectivity; dims
 (region/nation) are shared. Dev tooling only -- correctness always gates
 on the driver's own parquet at sf0.01.
 
-Usage: python3 tools/make_scale.py [src_dir] [dst_dir] [copies]
+Usage: python3 tools/make_scale.py [src_dir] [dst_dir] [copies] [corpus_copies]
+  corpus_copies (default = copies) applies to the corpus tables
+  (documents/embeddings) only -- the x100-corpus rehearsal keeps the
+  structured tables at x10 while pushing the index-bearing corpus a
+  decade further out.
 """
 import sys
 
@@ -14,6 +18,8 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
 N = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+NCORPUS = int(sys.argv[4]) if len(sys.argv) > 4 else N
+CORPUS = {"documents", "embeddings"}
 OFF = 1_000_000_000  # far above any base id, and above q36's +100000 probe ids
 
 # per-copy key offsets; unlisted columns pass through unchanged
@@ -48,6 +54,7 @@ def main():
                 f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
             ).fetchall()
         ]
+        n_t = NCORPUS if t in CORPUS else N
         sel = ", ".join(
             f"{c} + i * {OFF} AS {c}" if c in keys else c for c in cols
         )
@@ -62,7 +69,7 @@ def main():
 
             tbl = con.execute(
                 f"SELECT {sel} FROM read_parquet('{SRC}/{t}.parquet'), "
-                f"range({N}) r(i)"
+                f"range({n_t}) r(i)"
             ).arrow()
             i = tbl.schema.get_field_index("ts")
             tbl = tbl.set_column(
@@ -72,7 +79,7 @@ def main():
         else:
             con.execute(
                 f"COPY (SELECT {sel} FROM read_parquet('{SRC}/{t}.parquet'), "
-                f"range({N}) r(i)) TO '{DST}/{t}.parquet' (FORMAT PARQUET)"
+                f"range({n_t}) r(i)) TO '{DST}/{t}.parquet' (FORMAT PARQUET)"
             )
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{DST}/{t}.parquet')"

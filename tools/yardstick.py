@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Per-round x10 DuckDB yardstick: regenerates the <=2x-of-DuckDB contract
+number at the first scale where data (not the per-query scheduling floor)
+dominates, so contract regressions are caught each round instead of guessed
+from the sf0.1 floor. Round-6 measured 1.56x on the same-algorithm set;
+this script re-measures and diffs against that.
+
+Steps:
+  1. Build the x10 replica of sf0.1 via tools/make_scale.py (skipped if the
+     target dir already has lineitem.parquet).
+  2. Run graft.Bench at the x10 dir (all bench queries; JSON lands in
+     target/bench_x10.json via SPARK_GRAFT_BENCH_OUT).
+  3. Time the same-algorithm subset's oracle SQL in DuckDB (the three
+     deliberate O(n^2) brute oracles q35/q135/q95 are excluded -- their
+     gap is the engine WINNING, not a comparable algorithm).
+  4. Emit the ratio table to stdout and target/yardstick_x10.json; exit 1
+     if the contract (<=2x) is broken.
+
+Usage: python3 tools/yardstick.py [x10_dir] [oracle_sql.json]
+  x10_dir default /tmp/graft_sf1; oracle json default
+  /tmp/verify_out/oracle_sql.json (dumped by any graft.Verify run).
+SPARK_GRAFT_BENCH_RUNS is forwarded (default 3 = Bench's median-of-3).
+"""
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EXCLUDE = {"q35_minhash_dupes", "q135_containment_dupes",
+           "q95_incremental_dedup"}
+CONTRACT = 2.0
+R6_RATIO = 1.56  # round-6 measured reference
+
+
+def main():
+    x10 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
+    oracle = (sys.argv[2] if len(sys.argv) > 2
+              else "/tmp/verify_out/oracle_sql.json")
+    if not os.path.exists(os.path.join(x10, "lineitem.parquet")):
+        subprocess.check_call(
+            [sys.executable, os.path.join(REPO, "tools", "make_scale.py"),
+             "/root/testdata/sf0.1", x10, "10"])
+    bench_out = os.path.join(REPO, "target", "bench_x10.json")
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=x10,
+               SPARK_GRAFT_BENCH_OUT=bench_out)
+    env.setdefault("SPARK_GRAFT_BENCH_RUNS", "3")
+    subprocess.check_call(["sbt", "-batch", "runMain graft.Bench"],
+                          cwd=REPO, env=env)
+    spark = json.load(open(bench_out))["queries"]
+    duck_names = sorted(k for k in spark if k not in EXCLUDE)
+    duck = json.loads(subprocess.check_output(
+        [sys.executable, os.path.join(REPO, "tools", "bench_duckdb.py"),
+         x10, oracle] + duck_names))["queries"]
+    common = sorted((set(spark) & set(duck)) - EXCLUDE)
+    missing = set(duck_names) - set(duck)
+    if missing:
+        # a bench query without oracle SQL would silently shrink the set --
+        # surface it so "covered everything" stays honest
+        print(f"WARNING: no oracle timing for {sorted(missing)}",
+              file=sys.stderr)
+    s_tot = sum(spark[q] for q in common)
+    d_tot = sum(duck[q] for q in common)
+    ratio = s_tot / d_tot if d_tot else float("inf")
+    rows = sorted(common, key=lambda q: -spark[q])
+    print(f"{'query':<28} {'spark':>8} {'duck':>8} {'ratio':>6}")
+    for q in rows:
+        r = spark[q] / duck[q] if duck[q] else float("inf")
+        print(f"{q:<28} {spark[q]:>8.3f} {duck[q]:>8.3f} {r:>6.2f}")
+    verdict = "INSIDE" if ratio <= CONTRACT else "BROKEN"
+    print(f"\nsame-algorithm set ({len(common)}q): Spark {s_tot:.1f}s vs "
+          f"DuckDB {d_tot:.1f}s => {ratio:.2f}x ({verdict} the <=2x "
+          f"contract; r6 reference {R6_RATIO}x)")
+    result = {"x10_dir": x10, "n_queries": len(common), "ratio": round(ratio, 3),
+              "spark_total": round(s_tot, 3), "duck_total": round(d_tot, 3),
+              "contract": CONTRACT, "r6_reference": R6_RATIO,
+              "queries": {q: {"spark": spark[q], "duck": duck[q]}
+                          for q in common}}
+    with open(os.path.join(REPO, "target", "yardstick_x10.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    sys.exit(0 if ratio <= CONTRACT else 1)
+
+
+if __name__ == "__main__":
+    main()
