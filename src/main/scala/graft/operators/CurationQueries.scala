@@ -1338,8 +1338,19 @@ object CurationQueries {
     val gated = Curation.funnelFlags(batch, minToks = 20, maxToks = 80,
         maxRepetition = 0.05)
       .filter(col("p_len") && col("p_rep") && col("p_dedup"))
-    val nearDup = DedupIndex.probeIndex(s, path, gated)
-      .select(col("db").as("doc_id")).distinct()
+    // pinned once (localCheckpoint) so the margin diagnostic below and the
+    // anti-join read the same materialization
+    val pairs = DedupIndex.probeIndex(s, path, gated).localCheckpoint(true)
+    // margin on stderr: the engine-leg == brute-oracle equality is the
+    // q95/q143 banding contract and DATA-DEPENDENT — a j≥0.5 pair misses
+    // all 16 bands with probability (1−j²)^16 (≈1% at j=0.5), so if a
+    // future test-data refresh flips this gate, the run log shows whether
+    // pairs sat in the near-threshold miss regime (recall), not a bug
+    val st = pairs.agg(count(lit(1)).as("n"), min(col("jr")).as("mj")).head
+    val minJ = if (st.getLong(0) == 0) 1.0 else st.getDouble(1)
+    System.err.println(f"[q167] nearDupPairs=${st.getLong(0)} " +
+      f"minJ=$minJ%.4f bandMissProb=${math.pow(1 - minJ * minJ, 16)}%.2e")
+    val nearDup = pairs.select(col("db").as("doc_id")).distinct()
     val deduped = gated.join(nearDup, Seq("doc_id"), "left_anti")
     val contaminated = Curation.contaminationCounts(deduped, eval, n = 5)
       .filter(col("n_contam").cast("double") / col("n_sh") >= 0.5)
