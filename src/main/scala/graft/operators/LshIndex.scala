@@ -254,22 +254,108 @@ object LshIndex {
     * sets fails fast. */
   def writeMultiLshIndex(vecs: DataFrame, embCol: String, idCol: String,
       planeSets: Seq[Array[Array[Double]]], path: String,
-      keepCols: Seq[String] = Nil): Unit = {
+      nDocBuckets: Int = 16, keepCols: Seq[String] = Nil): Unit = {
     require(planeSets.nonEmpty, "need at least one plane set")
     val fs = fsOf(vecs.sparkSession, path)
     PartitionedIndexOps.requireUniqueIds(vecs, idCol)
     fs.delete(pinPath(path), false)
+    val assigned = assignMulti(vecs, embCol, idCol, planeSets,
+      nDocBuckets, keepCols).cache()
+    try {
+      assigned.select((Seq(idCol, embCol) ++ keepCols).map(col) ++
+          Seq(col("tbl"), col("bucket")): _*)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("tbl", "bucket").parquet(path)
+      // id→(tbl,bucket) side table, dbk-bucketed: a re-crawled vector's
+      // OLD buckets per table are not recomputable from its new
+      // embedding — same Chroma delete-then-add shape as the siblings
+      assigned.select(col(idCol), col("tbl"), col("bucket"), col("dbk"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("dbk").parquet(path + "_docs")
+    } finally assigned.unpersist()
+    PartitionedIndexOps.writeConfigPin(fs, pinPath(path),
+      multiConfig(planeSets, nDocBuckets, keepCols))
+  }
+
+  /** Fold a (re-)crawled batch into a multi-table index — the
+    * [[upsertLshIndex]] merge with (tbl, bucket) partition pairs: old
+    * pairs via the dbk-pruned side table, affected = old ∪ new (≤
+    * 2·batch·L pairs, driver-bounded), stale rows anti-join away inside
+    * only those partitions, staged overwrite then delete-vacated, side
+    * table last. Per-batch cost ∝ batch spread × L. */
+  def upsertMultiLshIndex(newVecs: DataFrame, embCol: String, idCol: String,
+      planeSets: Seq[Array[Array[Double]]], path: String,
+      nDocBuckets: Int = 16, keepCols: Seq[String] = Nil): Unit = {
+    val spark = newVecs.sparkSession
+    val fs = fsOf(spark, path)
+    if (!PartitionedIndexOps.hasPartitions(fs, path, "tbl")) {
+      writeMultiLshIndex(newVecs, embCol, idCol, planeSets, path,
+        nDocBuckets, keepCols)
+      return
+    }
+    val stored = PartitionedIndexOps.readConfigPin(fs, pinPath(path))
+    require(stored.isDefined,
+      s"multi-table LSH index at $path has data but no config pin " +
+        "(crashed build?) — rebuild with writeMultiLshIndex before upserting")
+    require(stored.get == multiConfig(planeSets, nDocBuckets, keepCols),
+      s"multi-table LSH index at $path was built under different plane " +
+        "sets, doc-bucket geometry, or payload columns — an upsert would " +
+        "route the wrong partitions or write a ragged schema")
+    PartitionedIndexOps.requireUniqueIds(newVecs, idCol)
+    val assigned = assignMulti(newVecs, embCol, idCol, planeSets,
+      nDocBuckets, keepCols).cache()
+    var prunedDocs: Option[DataFrame] = None
+    try {
+      // ≤ nDocBuckets values by construction
+      val dbkHit = assigned.select(col("dbk")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val batchIds = assigned.select(col(idCol)).distinct()
+      val pruned = spark.read.parquet(path + "_docs")
+        .filter(col("dbk").isInCollection(dbkHit)).cache()
+      prunedDocs = Some(pruned)
+      val oldPairs = pruned.join(batchIds, Seq(idCol), "left_semi")
+        .select(col("tbl").cast("long"), col("bucket").cast("long"))
+      // ≤ 2·batch·L pairs by construction
+      val affected = assigned
+        .select(col("tbl").cast("long"), col("bucket").cast("long"))
+        .union(oldPairs).distinct()
+        .collect().map(r => Seq(r.get(0), r.get(1): Any)).toSet
+      // empty batch (idle foreachBatch tick): no partitions to touch —
+      // the OR-of-per-table predicate below has no terms to reduce
+      if (affected.isEmpty) return
+      val pred = affected.groupBy(_.head).map { case (t, vs) =>
+        col("tbl") === lit(t) &&
+          col("bucket").isInCollection(vs.map(_(1)).toSeq)
+      }.reduce(_ || _)
+      val merged = spark.read.parquet(path).filter(pred)
+        .join(batchIds, Seq(idCol), "left_anti") // drop re-crawled docs
+        .unionByName(assigned.select(
+          (Seq(idCol, embCol) ++ keepCols).map(col) ++
+            Seq(col("tbl"), col("bucket")): _*))
+      PartitionedIndexOps.overwriteAffectedMulti(merged, path,
+        Seq("tbl", "bucket"), affected, fs)
+      // side table second (retry-healable); doc buckets never vacate
+      val docsMerged = pruned.join(batchIds, Seq(idCol), "left_anti")
+        .unionByName(assigned.select(col(idCol), col("tbl"), col("bucket"),
+          col("dbk")))
+      PartitionedIndexOps.pinWrite(docsMerged, path + "_docs", "dbk")
+    } finally {
+      prunedDocs.foreach(_.unpersist())
+      assigned.unpersist()
+    }
+  }
+
+  private def assignMulti(vecs: DataFrame, embCol: String, idCol: String,
+      planeSets: Seq[Array[Array[Double]]], nDocBuckets: Int,
+      keepCols: Seq[String]): DataFrame = {
     // native literal-table expression, NOT array(bucketExpr…): the
     // composed form is L×planes×dim Catalyst nodes and overflows the
     // 64 KB codegen limit at realistic table counts (interpreted
     // fallback) — see [[graft.functions.LshBuckets]]
     val buckets = graft.functions.LshBuckets(col(embCol), planeSets)
-    vecs.select((Seq(idCol, embCol) ++ keepCols).map(col) :+
-        posexplode(buckets).as(Seq("tbl", "bucket")): _*)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("tbl", "bucket").parquet(path)
-    PartitionedIndexOps.writeConfigPin(fs, pinPath(path),
-      multiConfig(planeSets, keepCols))
+    vecs.select((Seq(idCol, embCol) ++ keepCols).map(col) ++ Seq(
+      pmod(col(idCol), lit(nDocBuckets.toLong)).as("dbk"),
+      posexplode(buckets).as(Seq("tbl", "bucket"))): _*)
   }
 
   /** Single-query probe of a multi-table index: the L per-table buckets
@@ -347,8 +433,9 @@ object LshIndex {
     planeSets.map(PartitionedIndexOps.matrixFingerprint).mkString("|")
 
   private def multiConfig(planeSets: Seq[Array[Array[Double]]],
-      keepCols: Seq[String]): Map[String, String] =
+      nDocBuckets: Int, keepCols: Seq[String]): Map[String, String] =
     Map("tables" -> planeSets.length.toString,
+      "nDocBuckets" -> nDocBuckets.toString,
       "planes" -> planesFingerprint(planeSets),
       "keepCols" -> keepCols.mkString(","))
 

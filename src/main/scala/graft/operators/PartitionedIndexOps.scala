@@ -89,11 +89,17 @@ object PartitionedIndexOps {
     * being overwritten) and dynamic-overwrite its partitions into `path`.
     * Returns the pinned frame for post-write inspection. The shared core
     * for every self-referential partition rewrite. */
-  def pinWrite(df: DataFrame, path: String, partCol: String): DataFrame = {
+  def pinWrite(df: DataFrame, path: String, partCol: String): DataFrame =
+    pinWrite(df, path, Seq(partCol))
+
+  /** Multi-level variant (e.g. the multi-table LSH index's `tbl=/bucket=`
+    * layout) — same pin + dynamic-overwrite contract. */
+  def pinWrite(df: DataFrame, path: String,
+      partCols: Seq[String]): DataFrame = {
     val pinned = df.localCheckpoint(true)
     pinned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCol).parquet(path)
+      .partitionBy(partCols: _*).parquet(path)
     pinned
   }
 
@@ -179,12 +185,35 @@ object PartitionedIndexOps {
     * caller's bucket count. */
   def overwriteAffected(merged: DataFrame, path: String, partCol: String,
       affected: Set[Any],
+      fs: org.apache.hadoop.fs.FileSystem): Unit =
+    overwriteAffectedMulti(merged, path, Seq(partCol),
+      affected.map(Seq(_)), fs)
+
+  /** Multi-level variant: `affected` holds one value sequence per
+    * partition (e.g. Seq(tbl, bucket)); vacated directories delete as
+    * `tbl=t/bucket=b` nested paths. Same staged-overwrite-then-delete
+    * crash ordering as the single-level form.
+    *
+    * Present-vs-affected comparison is on the STRING rendering of each
+    * value — the directory-name space both sides ultimately live in. Raw
+    * Any equality is a trap here: the caller's affected values are
+    * typically Long while a read-back partition column infers Int, and a
+    * typed mismatch would classify every present partition as vacated
+    * and DELETE LIVE DATA. */
+  def overwriteAffectedMulti(merged: DataFrame, path: String,
+      partCols: Seq[String], affected: Set[Seq[Any]],
       fs: org.apache.hadoop.fs.FileSystem): Unit = {
-    val pinned = pinWrite(merged, path, partCol)
-    val present = pinned.select(pinned(partCol)).distinct()
-      .collect().map(_.get(0): Any).toSet
-    (affected -- present).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(path, s"$partCol=$b"), true)
+    val pinned = pinWrite(merged, path, partCols)
+    val present: Set[Seq[String]] =
+      pinned.select(partCols.map(pinned(_)): _*).distinct()
+        .collect()
+        .map(r => partCols.indices.map(i => String.valueOf(r.get(i))): Seq[String])
+        .toSet
+    affected.map(_.map(String.valueOf): Seq[String])
+      .filterNot(present.contains).foreach { vs =>
+      val rel = partCols.zip(vs).map { case (c, v) => s"$c=$v" }
+        .mkString("/")
+      fs.delete(new org.apache.hadoop.fs.Path(path, rel), true)
     }
   }
 }

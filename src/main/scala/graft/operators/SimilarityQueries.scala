@@ -922,6 +922,61 @@ object SimilarityQueries {
       |       true AS read_ok
       |FROM r WHERE rk = 1 ORDER BY qid""".stripMargin
 
+  /** q170: multi-table LSH RE-CRAWL round trip
+    * ([[LshIndex.upsertMultiLshIndex]] — q159's contract for the
+    * OR-amplified family): crawl 1 indexes perturbed (reversed) even
+    * embeddings + true odds across L=4 tables, crawl 2 re-crawls the
+    * evens — sign bits flip in EVERY table, vectors move (tbl, bucket)
+    * partitions, stale copies must leave each table (delete-vacated
+    * ordering over partition PAIRS). Output pins per-id copy count
+    * (exactly L) AND min==max exact sim over the copies — a stale
+    * survivor in any one table's old bucket splits min/max or bumps the
+    * count, a lost row drops it; `dropDuplicates` would have hidden
+    * exactly that. DuckDB recomputes the true sims and the constant L. */
+  private def q170(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val qvec = e.filter(col("vec_id") === 1)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    val planeSets = (0 until 4).map(t =>
+      Similarity.hyperplanes(dim, numPlanes = 3, seed = 42L + t))
+    val evens = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val crawl1 = evens.withColumn("embedding", reverse(col("embedding")))
+      .unionByName(e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), col("embedding")))
+    val path = graft.TempDirs.scratchAtExit("mlsh_recrawl")
+      .resolve("idx").toString
+    LshIndex.writeMultiLshIndex(crawl1, "embedding", "vec_id", planeSets,
+      path)
+    LshIndex.upsertMultiLshIndex(evens, "embedding", "vec_id", planeSets,
+      path)
+    val qv = array(qvec.map(lit): _*)
+    s.read.parquet(path)
+      .select(col("vec_id"),
+        round(graft.functions.CosineSimilarity(col("embedding"), qv), 4)
+          .as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_copies"), min(col("sim")).as("sim_min"),
+        max(col("sim")).as("sim_max"))
+      .orderBy(col("sim_min").desc, col("vec_id"))
+  }
+
+  private val q170Sql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+      |s AS (SELECT vec_id,
+      |    list_sum(list_transform(list_zip(embedding, qe),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+      |    sqrt(list_sum(list_transform(qe,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+      |  FROM embeddings, q)
+      |SELECT vec_id, CAST(4 AS BIGINT) AS n_copies,
+      |  round(dot / (na * nb), 4) AS sim_min,
+      |  round(dot / (na * nb), 4) AS sim_max
+      |FROM s ORDER BY sim_min DESC, vec_id""".stripMargin
+
   private val q163Sql =
     """WITH a AS (SELECT vec_id AS aid, embedding AS ae, label AS al
       |           FROM embeddings ORDER BY vec_id LIMIT 8),
@@ -971,5 +1026,6 @@ object SimilarityQueries {
     QueryDef("q159_lsh_index_recrawl", q159, Some(q147Sql)),
     QueryDef("q163_hard_negatives", q163, Some(q163Sql)),
     QueryDef("q165_index_mined_negatives", q165, Some(q163Sql)),
-    QueryDef("q169_mlsh_eval", q169, Some(q169Sql)))
+    QueryDef("q169_mlsh_eval", q169, Some(q169Sql)),
+    QueryDef("q170_mlsh_recrawl", q170, Some(q170Sql)))
 }

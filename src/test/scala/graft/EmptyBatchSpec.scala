@@ -36,6 +36,22 @@ class EmptyBatchSpec extends AnyFunSuite {
     assert(snapshot(idx + "_docs", Seq("vec_id", "bucket", "dbk")) == side)
   }
 
+  test("multi-table lsh index: empty upsert is a no-op") {
+    val planeSets = (0 until 3).map(t =>
+      Similarity.hyperplanes(64, 3, seed = 42L + t))
+    val idx = dir("empty_mlsh")
+    LshIndex.writeMultiLshIndex(e.select(col("vec_id"), col("embedding")),
+      "embedding", "vec_id", planeSets, idx)
+    val before = snapshot(idx, Seq("vec_id", "tbl", "bucket"))
+    val side = snapshot(idx + "_docs", Seq("vec_id", "tbl", "bucket", "dbk"))
+    LshIndex.upsertMultiLshIndex(
+      e.filter(lit(false)).select(col("vec_id"), col("embedding")),
+      "embedding", "vec_id", planeSets, idx)
+    assert(snapshot(idx, Seq("vec_id", "tbl", "bucket")) == before)
+    assert(snapshot(idx + "_docs",
+      Seq("vec_id", "tbl", "bucket", "dbk")) == side)
+  }
+
   test("ivf index: empty upsert is a no-op") {
     val cents = Similarity.ivfCentroids(e, "embedding", "vec_id", 8, 2)
     val idx = dir("empty_ivf")

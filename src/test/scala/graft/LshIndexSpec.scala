@@ -236,4 +236,51 @@ class LshIndexSpec extends AnyFunSuite {
     }
     assert(ex2.getMessage.contains("tbl"))
   }
+
+  test("multi-table re-crawl upsert equals a scratch build; pins fail fast") {
+    val planeSets = (0 until 4).map(t =>
+      Similarity.hyperplanes(64, 3, seed = 200L + t))
+    val dir = java.nio.file.Files.createTempDirectory("mlsh_recrawl")
+      .resolve("idx").toString
+    val evens = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val odds = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+    val crawl1 = evens.withColumn("embedding", reverse(col("embedding")))
+      .unionByName(odds)
+    LshIndex.writeMultiLshIndex(crawl1, "embedding", "vec_id", planeSets,
+      dir)
+    // the perturbation must move at least one (tbl, bucket) pair
+    val lb = graft.functions.LshBuckets(col("embedding"), planeSets)
+    val moved = evens.withColumn("b1", lb)
+      .select(col("vec_id"), col("b1"))
+      .join(evens.withColumn("embedding", reverse(col("embedding")))
+        .withColumn("b2", lb).select(col("vec_id"), col("b2")), "vec_id")
+      .filter(col("b1") =!= col("b2")).count()
+    assert(moved > 0, "perturbed embeddings kept all buckets — vacuous")
+    LshIndex.upsertMultiLshIndex(evens, "embedding", "vec_id", planeSets,
+      dir)
+    val scratchDir = java.nio.file.Files
+      .createTempDirectory("mlsh_scratch").resolve("idx").toString
+    LshIndex.writeMultiLshIndex(
+      e.select(col("vec_id"), col("embedding")), "embedding", "vec_id",
+      planeSets, scratchDir)
+    def content(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("tbl").cast("long"),
+        col("bucket").cast("long"), col("embedding").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(content(dir) == content(scratchDir))
+    def side(p: String) = spark.read.parquet(p + "_docs")
+      .select(col("vec_id"), col("tbl").cast("long"),
+        col("bucket").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(side(dir) == side(scratchDir))
+    // retrained plane sets refuse the upsert
+    val ex = intercept[IllegalArgumentException] {
+      LshIndex.upsertMultiLshIndex(evens.limit(1), "embedding", "vec_id",
+        planeSets.reverse, dir)
+    }
+    assert(ex.getMessage.contains("different plane"))
+  }
 }
