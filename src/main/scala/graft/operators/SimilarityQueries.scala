@@ -977,6 +977,44 @@ object SimilarityQueries {
       |  round(dot / (na * nb), 4) AS sim_max
       |FROM s ORDER BY sim_min DESC, vec_id""".stripMargin
 
+  /** q171: streaming MULTI-TABLE LSH INGEST — the IngestHarness claim
+    * ("a new index family gets streaming maintenance by supplying only
+    * its fold") made real for the OR-amplified family: the q154 slice
+    * plan (bulk-build perturbed evens + some odds, append the rest,
+    * re-crawl the evens true) drained through
+    * [[LshIndex.upsertMultiLshIndex]] as the fold against live
+    * checkpointed state. Output = q170's copy-count + min/max-sim
+    * aggregate over every stored row, so the same oracle fails on a
+    * stale survivor in any table, a lost row, or a duplicate. */
+  private def q171(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val qvec = e.filter(col("vec_id") === 1)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    val planeSets = (0 until 4).map(t =>
+      Similarity.hyperplanes(dim, numPlanes = 3, seed = 42L + t))
+    val base = graft.TempDirs.scratchAtExit("stream_mlsh")
+    val idx = base.resolve("idx").toString
+    val ev = e.select(col("vec_id"), col("embedding"))
+    val evens = ev.filter(col("vec_id") % 2 === 0)
+    graft.streaming.IngestHarness.drain(s, base, Seq(
+        evens.withColumn("embedding", reverse(col("embedding")))
+          .unionByName(ev.filter(col("vec_id") % 4 === 1)),
+        ev.filter(col("vec_id") % 4 === 3),
+        evens),
+      batch => LshIndex.upsertMultiLshIndex(batch, "embedding", "vec_id",
+        planeSets, idx))
+    val qv = array(qvec.map(lit): _*)
+    s.read.parquet(idx)
+      .select(col("vec_id"),
+        round(graft.functions.CosineSimilarity(col("embedding"), qv), 4)
+          .as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_copies"), min(col("sim")).as("sim_min"),
+        max(col("sim")).as("sim_max"))
+      .orderBy(col("sim_min").desc, col("vec_id"))
+  }
+
   private val q163Sql =
     """WITH a AS (SELECT vec_id AS aid, embedding AS ae, label AS al
       |           FROM embeddings ORDER BY vec_id LIMIT 8),
@@ -1027,5 +1065,6 @@ object SimilarityQueries {
     QueryDef("q163_hard_negatives", q163, Some(q163Sql)),
     QueryDef("q165_index_mined_negatives", q165, Some(q163Sql)),
     QueryDef("q169_mlsh_eval", q169, Some(q169Sql)),
-    QueryDef("q170_mlsh_recrawl", q170, Some(q170Sql)))
+    QueryDef("q170_mlsh_recrawl", q170, Some(q170Sql)),
+    QueryDef("q171_stream_mlsh_ingest", q171, Some(q170Sql)))
 }
