@@ -283,4 +283,58 @@ class LshIndexSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("different plane"))
   }
+
+  test("random overlapping multi-table upsert sequences equal a from-scratch build") {
+    // 5 deterministic pseudo-random batches over 100 vectors, each
+    // re-crawling some earlier ids with a sign-flipped embedding (flips
+    // every plane bit in every table) — the drained index must equal
+    // bulk-building from the latest version of every vector: the
+    // FtsSpec drift contract for the OR-amplified family
+    val rnd = new scala.util.Random(11L)
+    val planeSets = (0 until 3).map(t =>
+      Similarity.hyperplanes(64, 3, seed = 300L + t))
+    val dir = java.nio.file.Files.createTempDirectory("mlsh_rand")
+      .resolve("idx").toString
+    val base = e.filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding"))
+    def versioned(src: org.apache.spark.sql.DataFrame, neg: Boolean) =
+      if (!neg) src
+      else src.withColumn("embedding",
+        transform(col("embedding"), x => x * lit(-1.0f)))
+    val latest = scala.collection.mutable.Map.empty[Long, Int]
+    (0 until 5).foreach { v =>
+      val ids = (0L until 100L).filter(_ => rnd.nextBoolean()).take(20)
+      if (ids.nonEmpty) {
+        ids.foreach(latest(_) = v)
+        LshIndex.upsertMultiLshIndex(
+          versioned(base.filter(col("vec_id").isInCollection(ids)),
+            v % 2 == 1),
+          "embedding", "vec_id", planeSets, dir)
+      }
+    }
+    val negIds = latest.filter(_._2 % 2 == 1).keys.toSeq
+    val scratchSrc = base
+      .filter(col("vec_id").isInCollection(latest.keys.toSeq))
+    val finalFrame =
+      versioned(scratchSrc.filter(col("vec_id").isInCollection(
+        if (negIds.isEmpty) Seq(-1L) else negIds)), neg = true)
+        .unionByName(scratchSrc.filter(!col("vec_id").isInCollection(
+          if (negIds.isEmpty) Seq(-1L) else negIds)))
+    val scratchDir = java.nio.file.Files
+      .createTempDirectory("mlsh_rand_scratch").resolve("idx").toString
+    LshIndex.writeMultiLshIndex(finalFrame, "embedding", "vec_id",
+      planeSets, scratchDir)
+    def content(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("tbl").cast("long"),
+        col("bucket").cast("long"), col("embedding").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(content(dir) == content(scratchDir))
+    def side(p: String) = spark.read.parquet(p + "_docs")
+      .select(col("vec_id"), col("tbl").cast("long"),
+        col("bucket").cast("long"), col("dbk").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(side(dir) == side(scratchDir))
+  }
 }

@@ -216,9 +216,11 @@ class PlanSpec extends AnyFunSuite {
       "operators/SimilarityQueries.scala" ->
         (1, "q158 eval: nQ=10 query-vector rows (literal bound)"),
       "operators/LshIndex.scala" ->
-        (4, "upsert: doc-bucket + affected-sign-bucket id sets; batchProbe: probe-bucket union; batchProbeMulti: (tbl,bucket) union — each <= nDocBuckets / <= 2^numPlanes / <= anchors×L"),
+        (6, "upserts (single + multi): doc-bucket + affected-partition sets (<= nDocBuckets / <= 2^numPlanes / <= 2·batch·L pairs); batchProbe/batchProbeMulti: probe-partition unions (<= 2^numPlanes / <= anchors×L)"),
       "operators/CurationQueries.scala" ->
         (1, "q109 CMS: one serialized sketch per language"),
+      "Rehearsal.scala" ->
+        (2, "dev-only rehearsal main: two top-10 probe results, materialized for the timing harness"),
       "llm/RagPipeline.scala" ->
         (1, "RAG context assembly: top-k rows, k<=3 by construction"))
     val root = java.nio.file.Paths.get("src/main/scala/graft")
