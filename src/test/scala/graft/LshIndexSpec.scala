@@ -237,6 +237,34 @@ class LshIndexSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("tbl"))
   }
 
+  test("multi-table payload columns ride the index; ragged upsert refuses") {
+    val dir = java.nio.file.Files.createTempDirectory("mlsh_keep")
+      .resolve("idx").toString
+    val planeSets = (0 until 3).map(t =>
+      Similarity.hyperplanes(64, 3, seed = 400L + t))
+    LshIndex.writeMultiLshIndex(e, "embedding", "vec_id", planeSets, dir,
+      keepCols = Seq("label"))
+    val anchors = e.orderBy(col("vec_id")).limit(2)
+      .select(col("vec_id").as("aid"), col("embedding").as("ae"))
+    val handle = LshIndex.batchProbeMultiManaged(spark, dir, anchors, "ae",
+      planeSets)
+    try {
+      assert(handle.result.columns.contains("label"))
+      // payload values match the source rows for the served candidates
+      val served = handle.result
+        .select(col("vec_id"), col("label").cast("long")).distinct()
+      val bad = served.join(
+        e.select(col("vec_id"), col("label").cast("long")),
+        Seq("vec_id", "label"), "left_anti").count()
+      assert(bad == 0, s"$bad served rows carry a wrong payload value")
+    } finally handle.close()
+    val ex = intercept[IllegalArgumentException] {
+      LshIndex.upsertMultiLshIndex(e.limit(1), "embedding", "vec_id",
+        planeSets, dir) // keepCols omitted — ragged schema
+    }
+    assert(ex.getMessage.contains("payload columns"))
+  }
+
   test("multi-table re-crawl upsert equals a scratch build; pins fail fast") {
     val planeSets = (0 until 4).map(t =>
       Similarity.hyperplanes(64, 3, seed = 200L + t))
