@@ -167,6 +167,43 @@ object PartitionedIndexOps {
     over
   }
 
+  /** Two-level [[compact]] for nested layouts (the multi-table LSH
+    * index's `tbl=/bucket=`): rewrites only partition PAIRS holding more
+    * than `maxFiles` data files, one file per pair afterwards
+    * (`repartition(partCols)` routes each pair to one task). The
+    * enumeration is a bounded nested listing (tables × buckets by
+    * construction); the rewrite read prunes on both partition columns;
+    * content-identical, pins untouched, crash-re-compactable — the same
+    * contract as the single-level form. Returns the (outer, inner) value
+    * pairs it rewrote. */
+  def compactMulti(spark: org.apache.spark.sql.SparkSession, path: String,
+      partCols: Seq[String], maxFiles: Int = 4): Seq[(Long, Long)] = {
+    import org.apache.spark.sql.functions.col
+    require(partCols.length == 2,
+      "compactMulti handles exactly two partition levels")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) return Seq.empty
+    val over = for {
+      outer <- fs.listStatus(root).toSeq
+      if outer.getPath.getName.startsWith(partCols.head + "=")
+      inner <- fs.listStatus(outer.getPath).toSeq
+      if inner.getPath.getName.startsWith(partCols(1) + "=")
+      if fs.listStatus(inner.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFiles
+    } yield (outer.getPath.getName.drop(partCols.head.length + 1).toLong,
+      inner.getPath.getName.drop(partCols(1).length + 1).toLong)
+    if (over.isEmpty) return Seq.empty
+    val pred = over.groupBy(_._1).map { case (t, vs) =>
+      col(partCols.head).cast("long") === t &&
+        col(partCols(1)).cast("long").isInCollection(vs.map(_._2))
+    }.reduce(_ || _)
+    pinWrite(spark.read.parquet(path).filter(pred)
+      .repartition(partCols.map(col): _*), path, partCols)
+    over
+  }
+
   /** The pruned read compaction rewrites from — factored out so the spec
     * can assert the long-cast threshold filter lands as a PARTITION
     * filter (file-index pruning), not a data filter over the whole index:

@@ -1015,6 +1015,89 @@ object SimilarityQueries {
       .orderBy(col("sim_min").desc, col("vec_id"))
   }
 
+  /** q172: IVF EVALUATION harness — q169's recall@10-vs-read-fraction
+    * contract applied to the third ANN family, completing eval coverage
+    * (q158 pins PQ, q169 pins multi-table LSH, this pins IVF): 10 query
+    * vectors resolve their top-`nProbe` centroid lists DRIVER-side (the
+    * centroid matrix is a broadcast-dim-sized model), the probed-list
+    * union lands as ONE list_id partition filter on the persisted index,
+    * per-query assignment rides a broadcast join, and candidate sims come
+    * from joining back to the batch-computed exact scores. A probe row is
+    * one (query, index row) hit inside a probed list, so per-query row
+    * counts ARE that query's solo read — same no-second-scan trick as
+    * q169. Geometry is data-calibrated like q169's (near-random corpus):
+    * nProbe=3 of the 8 memoized full-corpus lists; measured recall@10 =
+    * 0.90/0.89/0.87 at sf0.001/0.01/0.1 with per-query read fraction
+    * 0.375/0.374/0.372 (clustered real embeddings hold recall at far
+    * lower nProbe/nLists). Pins: recall_ok (mean ≥ 0.5), read_ok
+    * (≤ 0.55); margins print to stderr per run. */
+  private def q172(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d)
+    val nQ = 10; val k = 10; val nProbe = 3
+    val ev = e.select(col("vec_id"), col("embedding"))
+    val cents = fullCents(s, d)
+    val path = graft.TempDirs.scratchAtExit("ivf_eval")
+      .resolve("idx").toString
+    Similarity.writeIvfIndex(ev, "embedding", "vec_id", cents, path)
+    // ≤ nQ rows: the evaluation's model-sized query batch
+    val qrows = e.filter(col("vec_id") < nQ)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probePairs = qrows.flatMap { case (qid, qv) =>
+      val q = qv.map(_.toDouble)
+      cents.zipWithIndex
+        .map { case (c, i) => (c.zip(q).map { case (a, b) => a * b }.sum, i) }
+        .sortBy { case (dot, i) => (-dot, i) }
+        .take(nProbe).map { case (_, i) => (qid, i) }
+    }
+    import s.implicits._
+    val probes = broadcast(probePairs.toSeq.toDF("qid", "list_id"))
+    val hit = probePairs.map(_._2).distinct.toSeq
+    val qdf = broadcast(e.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val exact = e.crossJoin(qdf)
+      .select(col("qid"), col("vec_id"),
+        round(graft.functions.CosineSimilarity(col("embedding"), col("qe")),
+          4).as("sim"))
+      .cache()
+    try {
+      val wExact = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val exactTop = exact.withColumn("rk", row_number().over(wExact))
+        .filter(col("rk") <= k)
+      val served = s.read.parquet(path)
+        .filter(col("list_id").isInCollection(hit))
+        .join(probes, Seq("list_id"))
+        .select(col("qid"), col("vec_id"))
+        .cache()
+      try {
+        val perQueryScanned = served.groupBy(col("qid"))
+          .agg(count(lit(1)).as("c")).agg(avg(col("c"))).head.getDouble(0)
+        val readFrac = perQueryScanned / e.count().toDouble
+        val wIvf = Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("vec_id"))
+        val ivfTop = served.join(exact, Seq("qid", "vec_id"))
+          .withColumn("prk", row_number().over(wIvf))
+          .filter(col("prk") <= k)
+        val meanRecall = ivfTop
+          .join(exactTop.select(col("qid"), col("vec_id")),
+            Seq("qid", "vec_id"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+          .agg(avg(col("hits") / lit(k.toDouble))).head.getDouble(0)
+        System.err.println(
+          f"[q172] meanRecall=$meanRecall%.3f readFrac=$readFrac%.4f")
+        exactTop.filter(col("rk") === 1)
+          .select(col("qid"), col("vec_id").as("top1"),
+            col("sim").as("sim1"),
+            lit(meanRecall >= 0.5).as("recall_ok"),
+            lit(readFrac <= 0.55).as("read_ok"))
+          .orderBy(col("qid"))
+          .localCheckpoint(true)
+      } finally served.unpersist()
+    } finally exact.unpersist()
+  }
+
   private val q163Sql =
     """WITH a AS (SELECT vec_id AS aid, embedding AS ae, label AS al
       |           FROM embeddings ORDER BY vec_id LIMIT 8),
@@ -1066,5 +1149,6 @@ object SimilarityQueries {
     QueryDef("q165_index_mined_negatives", q165, Some(q163Sql)),
     QueryDef("q169_mlsh_eval", q169, Some(q169Sql)),
     QueryDef("q170_mlsh_recrawl", q170, Some(q170Sql)),
-    QueryDef("q171_stream_mlsh_ingest", q171, Some(q170Sql)))
+    QueryDef("q171_stream_mlsh_ingest", q171, Some(q170Sql)),
+    QueryDef("q172_ivf_eval", q172, Some(q169Sql)))
 }

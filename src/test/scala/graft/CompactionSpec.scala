@@ -128,5 +128,54 @@ class CompactionSpec extends AnyFunSuite {
   test("compact on a missing or un-fragmented index is a no-op") {
     assert(PartitionedIndexOps.compact(spark, "/tmp/graft_no_such_idx",
       "wb").isEmpty)
+    assert(PartitionedIndexOps.compactMulti(spark, "/tmp/graft_no_such_idx",
+      Seq("tbl", "bucket")).isEmpty)
+  }
+
+  test("multi-table lsh index: compactMulti rewrites only fragmented pairs, content unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("compact_mlsh")
+      .resolve("idx").toString
+    val planeSets = (0 until 2).map(t =>
+      graft.operators.Similarity.hyperplanes(64, 2, seed = 500L + t))
+    // a multi-partition source writes one file per task per hit pair —
+    // the fragmented shape a bulk build leaves
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), col("embedding")).repartition(6)
+    graft.operators.LshIndex.writeMultiLshIndex(e, "embedding", "vec_id",
+      planeSets, dir)
+    def pairFiles(): Map[(String, String), Int] = {
+      val root = new java.io.File(dir)
+      (for {
+        outer <- root.listFiles().toSeq
+        if outer.isDirectory && outer.getName.startsWith("tbl=")
+        inner <- outer.listFiles().toSeq
+        if inner.isDirectory && inner.getName.startsWith("bucket=")
+      } yield (outer.getName, inner.getName) ->
+        inner.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val before = pairFiles()
+    assert(before.values.exists(_ > 2), s"expected fragmentation: $before")
+    def content() = spark.read.parquet(dir)
+      .select(col("vec_id"), col("tbl").cast("long"),
+        col("bucket").cast("long"), col("embedding").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    val pre = content()
+    val rewritten = PartitionedIndexOps.compactMulti(spark, dir,
+      Seq("tbl", "bucket"), maxFiles = 2)
+    assert(rewritten.nonEmpty)
+    val after = pairFiles()
+    rewritten.foreach { case (t, b) =>
+      assert(after((s"tbl=$t", s"bucket=$b")) == 1,
+        s"pair ($t,$b) not compacted: $after")
+    }
+    // under-threshold pairs untouched
+    before.filter(_._2 <= 2).foreach { case (p, n) => assert(after(p) == n) }
+    assert(content() == pre)
+    // the index stays maintainable after compaction
+    graft.operators.LshIndex.upsertMultiLshIndex(
+      e.filter(col("vec_id") < 5), "embedding", "vec_id", planeSets, dir)
+    assert(spark.read.parquet(dir).count() ==
+      Tables.embeddings(spark, TestSpark.sf0001).count() * 2)
   }
 }
