@@ -32,8 +32,19 @@ case class LshBuckets(child: Expression,
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "lsh_buckets"
 
+  // a ragged (shorter-than-plane) embedding must FAIL LOUDLY, not read
+  // past the array: ArrayData.getFloat beyond numElements is an unchecked
+  // memory read on unsafe rows — nondeterministic buckets would break the
+  // upsert==scratch and probe-routing contracts silently. (The composed
+  // element_at form throws under ANSI mode for the same input.)
+  private val maxDim: Int =
+    planeSets.iterator.flatMap(_.iterator.map(_.length)).max
+
   override def nullSafeEval(input: Any): Any = {
     val emb = input.asInstanceOf[ArrayData]
+    require(emb.numElements() >= maxDim,
+      s"embedding has ${emb.numElements()} elements; plane dimension is " +
+        s"$maxDim — cannot bucket a ragged vector")
     val out = new Array[Long](planeSets.length)
     var t = 0
     while (t < planeSets.length) {
@@ -69,6 +80,11 @@ case class LshBuckets(child: Expression,
       val i = ctx.freshName("i")
       val d = ctx.freshName("d")
       s"""
+         |if ($emb.numElements() < $maxDim) {
+         |  throw new IllegalArgumentException(
+         |    "embedding has " + $emb.numElements() + " elements; plane " +
+         |    "dimension is $maxDim - cannot bucket a ragged vector");
+         |}
          |long[] $out = new long[${planeSets.length}];
          |for (int $t = 0; $t < ${planeSets.length}; $t++) {
          |  double[][] $tbl = $planes[$t];

@@ -189,7 +189,11 @@ object LshIndex {
         "probe buckets would not line up")
     val nb = planes.length
     require(nb <= 20, s"numPlanes=$nb too large to enumerate probe sets")
-    requireNoCollisions(spark, path, anchors)
+    // ONE relation serves both the collision check (schema) and the probe
+    // scan — a separate spark.read for the check would double the
+    // partition-tree file listing on every serving-path call
+    val idx = spark.read.parquet(path)
+    requireNoCollisions(idx, anchors, path)
     // masks stay VALUES (one exploded literal array, one XOR) — building
     // one expression child per mask would put 2^numPlanes Catalyst nodes
     // in a single projection at the full-radius oracle configuration
@@ -212,8 +216,7 @@ object LshIndex {
     val hit = probes.select(col("bucket")).distinct()
       .collect().map(_.getLong(0)).toSeq
     new ProbeHandle(
-      spark.read.parquet(path)
-        .filter(col("bucket").isInCollection(hit))
+      idx.filter(col("bucket").isInCollection(hit))
         .join(broadcast(probes), Seq("bucket")),
       Seq(probes))
   }
@@ -223,11 +226,13 @@ object LshIndex {
     * overwritten by the probe's withColumn, and an anchor column named
     * like an index column (idCol/embCol/keepCols) would come out of the
     * join as an ambiguous duplicate that only fails (or mis-resolves)
-    * downstream. Mirrors the fail-fast style of the config-pin guards. */
-  private def requireNoCollisions(spark: SparkSession, path: String,
-      anchors: DataFrame): Unit = {
+    * downstream. Mirrors the fail-fast style of the config-pin guards.
+    * Takes the already-opened index relation so the schema check shares
+    * its file listing with the probe scan. */
+  private def requireNoCollisions(idx: DataFrame, anchors: DataFrame,
+      path: String): Unit = {
     val reserved = Set("bucket", "__b0", "__m")
-    val idxCols = spark.read.parquet(path).schema.fieldNames.toSet
+    val idxCols = idx.schema.fieldNames.toSet
     val clash = anchors.columns.toSet & (reserved ++ idxCols)
     require(clash.isEmpty,
       s"anchor frame columns $clash collide with the probe machinery " +
@@ -395,9 +400,11 @@ object LshIndex {
       anchors: DataFrame, anchorEmbCol: String,
       planeSets: Seq[Array[Array[Double]]]): ProbeHandle = {
     requireMultiPin(spark, path, planeSets)
-    require(!anchors.columns.contains("tbl"),
-      "anchor frame carries a 'tbl' column — rename it before probing")
-    requireNoCollisions(spark, path, anchors)
+    // one relation for both the collision check and the probe scan
+    // (requireNoCollisions rejects anchor 'tbl'/'bucket' columns — both
+    // are in the index schema)
+    val idx = spark.read.parquet(path)
+    requireNoCollisions(idx, anchors, path)
     val buckets = graft.functions.LshBuckets(col(anchorEmbCol), planeSets)
     // cached for the same two-evaluations-must-agree reason as batchProbe
     val probes = anchors
@@ -406,13 +413,16 @@ object LshIndex {
       .cache()
     val hit = probes.select(col("tbl"), col("bucket")).distinct()
       .collect().map(r => (r.getInt(0), r.getLong(1)))
-    val pred = hit.groupBy(_._1).toSeq.map { case (t, bs) =>
-      col("tbl") === lit(t) &&
-        col("bucket").isInCollection(bs.map(_._2).toSeq)
-    }.reduce(_ || _)
+    // empty anchor frame (idle serving tick): no per-table terms to OR —
+    // serve the empty result through the same plan shape
+    val pred =
+      if (hit.isEmpty) lit(false)
+      else hit.groupBy(_._1).toSeq.map { case (t, bs) =>
+        col("tbl") === lit(t) &&
+          col("bucket").isInCollection(bs.map(_._2).toSeq)
+      }.reduce(_ || _)
     new ProbeHandle(
-      spark.read.parquet(path).filter(pred)
-        .join(broadcast(probes), Seq("tbl", "bucket")),
+      idx.filter(pred).join(broadcast(probes), Seq("tbl", "bucket")),
       Seq(probes))
   }
 

@@ -633,6 +633,45 @@ object SimilarityQueries {
       .orderBy(col("sim").desc, col("vec_id"))
   }
 
+  /** Shared tail of the recall@10-vs-read-fraction eval harnesses
+    * (q169/q172/q173): `readRows` carries one row per (query, index row)
+    * READ — per-query counts are that query's solo-probe read, divided
+    * by `readDenom` — and `candPairs` the (qid, vec_id) candidates that
+    * survive the family's cut. ONE definition so the metric can't
+    * silently diverge between families; meanRecall counts a
+    * zero-candidate query as ZERO (hits summed over the batch ÷ nQ·k,
+    * never averaged over the queries that happened to survive a join —
+    * the inflation trap a per-group avg hides). Margins print to stderr
+    * as [tag] for drift diagnosis. */
+  private def recallContract(exact: DataFrame, readRows: DataFrame,
+      candPairs: DataFrame, nQ: Int, k: Int, readDenom: Double,
+      recallMin: Double, readMax: Double, tag: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val exactTop = exact.withColumn("rk", row_number().over(wExact))
+      .filter(col("rk") <= k)
+    val perQueryScanned = readRows.groupBy(col("qid"))
+      .agg(count(lit(1)).as("c")).agg(avg(col("c"))).head.getDouble(0)
+    val readFrac = perQueryScanned / readDenom
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val famTop = candPairs.join(exact, Seq("qid", "vec_id"))
+      .withColumn("prk", row_number().over(wTop))
+      .filter(col("prk") <= k)
+    val hits = famTop.join(exactTop.select(col("qid"), col("vec_id")),
+      Seq("qid", "vec_id"), "left_semi").count()
+    val meanRecall = hits.toDouble / (nQ.toDouble * k)
+    System.err.println(
+      f"[$tag] meanRecall=$meanRecall%.3f readFrac=$readFrac%.4f")
+    exactTop.filter(col("rk") === 1)
+      .select(col("qid"), col("vec_id").as("top1"), col("sim").as("sim1"),
+        lit(meanRecall >= recallMin).as("recall_ok"),
+        lit(readFrac <= readMax).as("read_ok"))
+      .orderBy(col("qid"))
+      .localCheckpoint(true)
+  }
+
   /** q158: batch ANN EVALUATION harness — recall@10 of the PQ path
     * against exact ground truth for 10 query vectors at once, the way a
     * retrieval library qualifies an index build. Batch shape (never a
@@ -697,11 +736,13 @@ object SimilarityQueries {
         .withColumn("prk", row_number().over(wPq))
         .filter(col("prk") <= k)
       // hits per query against the exact top-k; mean recall is 1 row
+      // zero-hit queries count as 0: hits summed over the batch ÷ nQ·k,
+      // never averaged over the groups that survive the join (the
+      // recallContract rule, applied to this pre-helper harness too)
       val meanRecall = pqTop
         .join(exactTop.select(col("qid"), col("vec_id")),
           Seq("qid", "vec_id"), "left_semi")
-        .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
-        .agg(avg(col("hits") / lit(k.toDouble))).head.getDouble(0)
+        .count().toDouble / (nQ.toDouble * k)
       exactTop.filter(col("rk") === 1)
         .select(col("qid"), col("vec_id").as("top1"), col("sim").as("sim1"),
           lit(meanRecall >= 0.7).as("recall_ok"))
@@ -869,34 +910,11 @@ object SimilarityQueries {
     val handle = LshIndex.batchProbeMultiManaged(s, path, qdf, "qe",
       planeSets)
     try {
-      val wExact = Window.partitionBy(col("qid"))
-        .orderBy(col("sim").desc, col("vec_id"))
-      val exactTop = exact.withColumn("rk", row_number().over(wExact))
-        .filter(col("rk") <= k)
-      val perQueryScanned = handle.result.groupBy(col("qid"))
-        .agg(count(lit(1)).as("c")).agg(avg(col("c"))).head.getDouble(0)
-      val readFrac = perQueryScanned / (e.count().toDouble * nTables)
-      val cand = handle.result.select(col("qid"), col("vec_id")).distinct()
-      val wLsh = Window.partitionBy(col("qid"))
-        .orderBy(col("sim").desc, col("vec_id"))
-      val lshTop = cand.join(exact, Seq("qid", "vec_id"))
-        .withColumn("prk", row_number().over(wLsh))
-        .filter(col("prk") <= k)
-      val meanRecall = lshTop
-        .join(exactTop.select(col("qid"), col("vec_id")),
-          Seq("qid", "vec_id"), "left_semi")
-        .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
-        .agg(avg(col("hits") / lit(k.toDouble))).head.getDouble(0)
-      // margins on stderr so a future boolean flip is diagnosable as
-      // recall/data drift from the run log, not just a hash mismatch
-      System.err.println(
-        f"[q169] meanRecall=$meanRecall%.3f readFrac=$readFrac%.4f")
-      exactTop.filter(col("rk") === 1)
-        .select(col("qid"), col("vec_id").as("top1"), col("sim").as("sim1"),
-          lit(meanRecall >= 0.7).as("recall_ok"),
-          lit(readFrac <= 0.25).as("read_ok"))
-        .orderBy(col("qid"))
-        .localCheckpoint(true)
+      recallContract(exact, readRows = handle.result,
+        candPairs = handle.result.select(col("qid"), col("vec_id"))
+          .distinct(),
+        nQ = nQ, k = k, readDenom = e.count().toDouble * nTables,
+        recallMin = 0.7, readMax = 0.25, tag = "q169")
     } finally {
       handle.close()
       exact.unpersist()
@@ -1044,12 +1062,10 @@ object SimilarityQueries {
     val qrows = e.filter(col("vec_id") < nQ)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // the production list selection itself — NOT a reimplementation, so
+    // a tie-break or metric change there is what this harness measures
     val probePairs = qrows.flatMap { case (qid, qv) =>
-      val q = qv.map(_.toDouble)
-      cents.zipWithIndex
-        .map { case (c, i) => (c.zip(q).map { case (a, b) => a * b }.sum, i) }
-        .sortBy { case (dot, i) => (-dot, i) }
-        .take(nProbe).map { case (_, i) => (qid, i) }
+      Similarity.probeLists(qv, cents, nProbe).map(i => (qid, i))
     }
     import s.implicits._
     val probes = broadcast(probePairs.toSeq.toDF("qid", "list_id"))
@@ -1062,38 +1078,15 @@ object SimilarityQueries {
           4).as("sim"))
       .cache()
     try {
-      val wExact = Window.partitionBy(col("qid"))
-        .orderBy(col("sim").desc, col("vec_id"))
-      val exactTop = exact.withColumn("rk", row_number().over(wExact))
-        .filter(col("rk") <= k)
       val served = s.read.parquet(path)
         .filter(col("list_id").isInCollection(hit))
         .join(probes, Seq("list_id"))
         .select(col("qid"), col("vec_id"))
         .cache()
       try {
-        val perQueryScanned = served.groupBy(col("qid"))
-          .agg(count(lit(1)).as("c")).agg(avg(col("c"))).head.getDouble(0)
-        val readFrac = perQueryScanned / e.count().toDouble
-        val wIvf = Window.partitionBy(col("qid"))
-          .orderBy(col("sim").desc, col("vec_id"))
-        val ivfTop = served.join(exact, Seq("qid", "vec_id"))
-          .withColumn("prk", row_number().over(wIvf))
-          .filter(col("prk") <= k)
-        val meanRecall = ivfTop
-          .join(exactTop.select(col("qid"), col("vec_id")),
-            Seq("qid", "vec_id"), "left_semi")
-          .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
-          .agg(avg(col("hits") / lit(k.toDouble))).head.getDouble(0)
-        System.err.println(
-          f"[q172] meanRecall=$meanRecall%.3f readFrac=$readFrac%.4f")
-        exactTop.filter(col("rk") === 1)
-          .select(col("qid"), col("vec_id").as("top1"),
-            col("sim").as("sim1"),
-            lit(meanRecall >= 0.5).as("recall_ok"),
-            lit(readFrac <= 0.55).as("read_ok"))
-          .orderBy(col("qid"))
-          .localCheckpoint(true)
+        recallContract(exact, readRows = served, candPairs = served,
+          nQ = nQ, k = k, readDenom = e.count().toDouble,
+          recallMin = 0.5, readMax = 0.55, tag = "q172")
       } finally served.unpersist()
     } finally exact.unpersist()
   }
@@ -1133,12 +1126,9 @@ object SimilarityQueries {
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
+    // the production list selection itself — NOT a reimplementation
     val probePairs = qrows.flatMap { case (qid, qv) =>
-      val q = qv.map(_.toDouble)
-      cents.zipWithIndex
-        .map { case (c, i) => (c.zip(q).map { case (a, b) => a * b }.sum, i) }
-        .sortBy { case (dot, i) => (-dot, i) }
-        .take(nProbe).map { case (_, i) => (qid, i) }
+      Similarity.probeLists(qv, cents, nProbe).map(i => (qid, i))
     }
     import s.implicits._
     val probes = broadcast(probePairs.toSeq.toDF("qid", "list_id"))
@@ -1151,10 +1141,6 @@ object SimilarityQueries {
           4).as("sim"))
       .cache()
     try {
-      val wExact = Window.partitionBy(col("qid"))
-        .orderBy(col("sim").desc, col("vec_id"))
-      val exactTop = exact.withColumn("rk", row_number().over(wExact))
-        .filter(col("rk") <= k)
       val luts = qrows.map { case (_, qv) =>
         val q = qv.map(_.toDouble)
         val n = math.sqrt(q.map(x => x * x).sum)
@@ -1172,33 +1158,14 @@ object SimilarityQueries {
         .join(probes, Seq("qid", "list_id"))
         .cache()
       try {
-        val perQueryScanned = cand.groupBy(col("qid"))
-          .agg(count(lit(1)).as("c")).agg(avg(col("c"))).head.getDouble(0)
-        val readFrac = perQueryScanned / e.count().toDouble
         val wAdc = Window.partitionBy(col("qid"))
           .orderBy(col("adc").desc, col("vec_id"))
-        val wPq = Window.partitionBy(col("qid"))
-          .orderBy(col("sim").desc, col("vec_id"))
-        val pqTop = cand.withColumn("crk", row_number().over(wAdc))
+        val cut = cand.withColumn("crk", row_number().over(wAdc))
           .filter(col("crk") <= rerank)
           .select(col("qid"), col("vec_id"))
-          .join(exact, Seq("qid", "vec_id"))
-          .withColumn("prk", row_number().over(wPq))
-          .filter(col("prk") <= k)
-        val meanRecall = pqTop
-          .join(exactTop.select(col("qid"), col("vec_id")),
-            Seq("qid", "vec_id"), "left_semi")
-          .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
-          .agg(avg(col("hits") / lit(k.toDouble))).head.getDouble(0)
-        System.err.println(
-          f"[q173] meanRecall=$meanRecall%.3f readFrac=$readFrac%.4f")
-        exactTop.filter(col("rk") === 1)
-          .select(col("qid"), col("vec_id").as("top1"),
-            col("sim").as("sim1"),
-            lit(meanRecall >= 0.5).as("recall_ok"),
-            lit(readFrac <= 0.55).as("read_ok"))
-          .orderBy(col("qid"))
-          .localCheckpoint(true)
+        recallContract(exact, readRows = cand, candPairs = cut,
+          nQ = nQ, k = k, readDenom = e.count().toDouble,
+          recallMin = 0.5, readMax = 0.55, tag = "q173")
       } finally cand.unpersist()
     } finally exact.unpersist()
   }

@@ -104,4 +104,21 @@ class EmptyBatchSpec extends AnyFunSuite {
       .select(col("vec_id").as("aid"), col("embedding").as("ae"))
     assert(LshIndex.batchProbe(spark, idx, anchors, "ae", planes).count() == 0)
   }
+
+  test("empty anchor frame: multi-table batchProbe returns no candidates and releases its cache") {
+    val planeSets = (0 until 3).map(t =>
+      Similarity.hyperplanes(64, 3, seed = 42L + t))
+    val idx = dir("empty_manchors")
+    LshIndex.writeMultiLshIndex(e.select(col("vec_id"), col("embedding")),
+      "embedding", "vec_id", planeSets, idx)
+    val anchors = e.filter(lit(false))
+      .select(col("vec_id").as("aid"), col("embedding").as("ae"))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val handle = LshIndex.batchProbeMultiManaged(spark, idx, anchors, "ae",
+      planeSets)
+    assert(handle.result.count() == 0)
+    handle.close()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "probe cache leaked on the empty-anchor path")
+  }
 }

@@ -72,6 +72,17 @@ class TextFunctionsSpec extends AnyFunSuite {
       // u = [1.0, 0.0]: t0 planes → dots (1.0, -1.0) → bits (1, 0) = 1;
       // t1 plane → dot 0.5 ≥ 0 → 1
       assert(r.getSeq[Long](3) == Seq(1L, 1L))
+      // a ragged (shorter-than-plane) embedding fails loudly instead of
+      // reading past the array (nondeterministic buckets)
+      val ragged = intercept[org.apache.spark.SparkException] {
+        spark.range(1)
+          .select(array(col("id").cast("float")).as("u1"))
+          .select(graft.functions.LshBuckets(col("u1"),
+            Seq(Array(Array(1.0, -1.0)))).as("b"))
+          .collect()
+      }
+      assert(Option(ragged.getCause).map(_.toString).getOrElse(
+        ragged.toString).contains("ragged"))
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)

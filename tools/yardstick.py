@@ -48,6 +48,14 @@ def main():
     subprocess.check_call(["sbt", "-batch", "runMain graft.Bench"],
                           cwd=REPO, env=env)
     spark = json.load(open(bench_out))["queries"]
+    # Bench records an errored query's median as -1.0; summing the
+    # sentinel would understate s_tot and could print INSIDE on a broken
+    # build. Errored queries fail the yardstick outright.
+    errored = sorted(q for q, v in spark.items() if v < 0)
+    if errored:
+        print(f"ERROR: bench queries failed at x10: {errored} -- "
+              "contract unverifiable", file=sys.stderr)
+        sys.exit(1)
     duck_names = sorted(k for k in spark if k not in EXCLUDE)
     duck = json.loads(subprocess.check_output(
         [sys.executable, os.path.join(REPO, "tools", "bench_duckdb.py"),
