@@ -427,4 +427,33 @@ class PropertySpec extends AnyFunSuite {
       assert(b.toSeq == tts.synthesizeBatch(Seq(t)).head.toSeq)
     }
   }
+
+  test("LshBuckets is bit-identical to the composed bucketExpr on random vectors") {
+    // the load-bearing claim of the native expression: an index built
+    // under either formulation probes correctly under the other. Random
+    // vectors incl. negatives, zeros, and sub-normal-ish magnitudes;
+    // three plane sets of mixed widths against the single-table composed
+    // form, evaluated per table.
+    import spark.implicits._
+    val dim = 16
+    val vecGen: Gen[Seq[Float]] = Gen.listOfN(dim,
+      Gen.chooseNum(-4.0f, 4.0f)).map(_.toSeq)
+    val vecs = samples(vecGen, 120) :+ Seq.fill(dim)(0.0f)
+    val planeSets = (0 until 3).map(t =>
+      graft.operators.Similarity.hyperplanes(dim, 2 + t, seed = 77L + t))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "emb").repartition(4)
+    val native = df.select(col("id"),
+        graft.functions.LshBuckets(col("emb"), planeSets).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    planeSets.zipWithIndex.foreach { case (planes, t) =>
+      val composed = df.select(col("id"),
+          graft.operators.Similarity.bucketExpr(col("emb"), planes)
+            .as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      composed.foreach { case (id, b) =>
+        assert(native(id)(t) == b, s"vector $id, table $t")
+      }
+    }
+  }
 }
