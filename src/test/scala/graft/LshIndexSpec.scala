@@ -312,6 +312,74 @@ class LshIndexSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("different plane"))
   }
 
+  test("upsert crash window heals under the same-batch retry") {
+    // single-table variant of the contract below: data committed, side
+    // table rolled back, retry converges
+    val dir = java.nio.file.Files.createTempDirectory("lsh_crash")
+      .resolve("idx").toString
+    val evens = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val crawl1 = evens.withColumn("embedding", reverse(col("embedding")))
+      .unionByName(e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), col("embedding")))
+    LshIndex.writeLshIndex(crawl1, "embedding", "vec_id", planes, dir)
+    val sideBefore = spark.read.parquet(dir + "_docs").localCheckpoint(true)
+    LshIndex.upsertLshIndex(evens, "embedding", "vec_id", planes, dir)
+    def snap(p: String, cols: Seq[String]) = spark.read.parquet(p)
+      .select(cols.map(c => col(c).cast("string")): _*)
+      .collect().map(_.mkString("|")).toSet
+    val cleanData = snap(dir, Seq("vec_id", "bucket", "embedding"))
+    val cleanSide = snap(dir + "_docs", Seq("vec_id", "bucket", "dbk"))
+    sideBefore.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("dbk").parquet(dir + "_docs")
+    assert(snap(dir + "_docs", Seq("vec_id", "bucket", "dbk")) != cleanSide,
+      "crash simulation vacuous — side table identical")
+    LshIndex.upsertLshIndex(evens, "embedding", "vec_id", planes, dir)
+    assert(snap(dir, Seq("vec_id", "bucket", "embedding")) == cleanData)
+    assert(snap(dir + "_docs", Seq("vec_id", "bucket", "dbk")) == cleanSide)
+  }
+
+  test("multi-table upsert crash window heals under the same-batch retry") {
+    // the documented foreachBatch contract: a crash BETWEEN the data
+    // overwrite and the side-table write leaves stale side rows; a retry
+    // of the SAME batch must converge to the clean post-upsert state
+    // (its affected set re-covers the touched partitions)
+    val planeSets = (0 until 3).map(t =>
+      Similarity.hyperplanes(64, 3, seed = 600L + t))
+    val dir = java.nio.file.Files.createTempDirectory("mlsh_crash")
+      .resolve("idx").toString
+    val evens = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val crawl1 = evens.withColumn("embedding", reverse(col("embedding")))
+      .unionByName(e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), col("embedding")))
+    LshIndex.writeMultiLshIndex(crawl1, "embedding", "vec_id", planeSets,
+      dir)
+    // pin the pre-upsert side table so the crash can be simulated
+    val sideBefore = spark.read.parquet(dir + "_docs").localCheckpoint(true)
+    LshIndex.upsertMultiLshIndex(evens, "embedding", "vec_id", planeSets,
+      dir)
+    def snap(p: String, cols: Seq[String]) = spark.read.parquet(p)
+      .select(cols.map(c => col(c).cast("string")): _*)
+      .collect().map(_.mkString("|")).toSet
+    val cleanData = snap(dir, Seq("vec_id", "tbl", "bucket", "embedding"))
+    val cleanSide = snap(dir + "_docs", Seq("vec_id", "tbl", "bucket", "dbk"))
+    // simulate the crash: data committed, side table rolled back to the
+    // pre-upsert state (as if the JVM died before the side write)
+    sideBefore.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("dbk").parquet(dir + "_docs")
+    assert(snap(dir + "_docs",
+      Seq("vec_id", "tbl", "bucket", "dbk")) != cleanSide,
+      "crash simulation vacuous — side table identical")
+    // the retry of the same batch heals both tables
+    LshIndex.upsertMultiLshIndex(evens, "embedding", "vec_id", planeSets,
+      dir)
+    assert(snap(dir, Seq("vec_id", "tbl", "bucket", "embedding"))
+      == cleanData)
+    assert(snap(dir + "_docs", Seq("vec_id", "tbl", "bucket", "dbk"))
+      == cleanSide)
+  }
+
   test("random overlapping multi-table upsert sequences equal a from-scratch build") {
     // 5 deterministic pseudo-random batches over 100 vectors, each
     // re-crawling some earlier ids with a sign-flipped embedding (flips
