@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Native Catalyst expression: the per-table sign-bit LSH buckets of an
   * `array<float>` embedding against L pinned plane sets, as one
@@ -32,6 +33,15 @@ case class LshBuckets(child: Expression,
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "lsh_buckets"
 
+  // only array<float> buckets correctly: getFloat on an array<double>'s
+  // 8-byte slots would silently read garbage halves. Reject at analysis
+  // time rather than producing wrong buckets at run time.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> input, got ${other.sql}")
+  }
+
   // a ragged (shorter-than-plane) embedding must FAIL LOUDLY, not read
   // past the array: ArrayData.getFloat beyond numElements is an unchecked
   // memory read on unsafe rows — nondeterministic buckets would break the
@@ -45,6 +55,17 @@ case class LshBuckets(child: Expression,
     require(emb.numElements() >= maxDim,
       s"embedding has ${emb.numElements()} elements; plane dimension is " +
         s"$maxDim — cannot bucket a ragged vector")
+    // a null ELEMENT is as silently corrupting as a ragged vector: the
+    // composed form folds it to bit 0, interpreted eval would NPE, and
+    // unsafe-row codegen reads 0.0 — three behaviors for one input. One
+    // pre-loop per row (not per table×plane) keeps the dot loops flat.
+    var nd = 0
+    while (nd < maxDim) {
+      require(!emb.isNullAt(nd),
+        s"embedding element $nd is null — cannot bucket a vector with " +
+          "null elements")
+      nd += 1
+    }
     val out = new Array[Long](planeSets.length)
     var t = 0
     while (t < planeSets.length) {
@@ -84,6 +105,13 @@ case class LshBuckets(child: Expression,
          |  throw new IllegalArgumentException(
          |    "embedding has " + $emb.numElements() + " elements; plane " +
          |    "dimension is $maxDim - cannot bucket a ragged vector");
+         |}
+         |for (int $d = 0; $d < $maxDim; $d++) {
+         |  if ($emb.isNullAt($d)) {
+         |    throw new IllegalArgumentException(
+         |      "embedding element " + $d + " is null - cannot bucket a " +
+         |      "vector with null elements");
+         |  }
          |}
          |long[] $out = new long[${planeSets.length}];
          |for (int $t = 0; $t < ${planeSets.length}; $t++) {

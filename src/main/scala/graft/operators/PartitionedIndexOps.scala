@@ -175,7 +175,14 @@ object PartitionedIndexOps {
     * construction); the rewrite read prunes on both partition columns;
     * content-identical, pins untouched, crash-re-compactable — the same
     * contract as the single-level form. Returns the (outer, inner) value
-    * pairs it rewrote. */
+    * pairs it rewrote.
+    *
+    * PRECONDITION: both partition columns must hold LONG-parseable
+    * values (the index families here partition on `tbl`/`bucket`/`dbk`
+    * longs) — the directory-name parse is `.toLong`, so a string
+    * partition value or a `__HIVE_DEFAULT_PARTITION__` from a null
+    * throws NumberFormatException mid-enumeration. Not a general-purpose
+    * string-partition compactor. */
   def compactMulti(spark: org.apache.spark.sql.SparkSession, path: String,
       partCols: Seq[String], maxFiles: Int = 4): Seq[(Long, Long)] = {
     import org.apache.spark.sql.functions.col

@@ -641,8 +641,9 @@ object SimilarityQueries {
     * silently diverge between families; meanRecall counts a
     * zero-candidate query as ZERO (hits summed over the batch ÷ nQ·k,
     * never averaged over the queries that happened to survive a join —
-    * the inflation trap a per-group avg hides). Margins print to stderr
-    * as [tag] for drift diagnosis. */
+    * the inflation trap a per-group avg hides), and readFrac applies the
+    * same rule (total reads ÷ nQ — a zero-read query counts as 0).
+    * Margins print to stderr as [tag] for drift diagnosis. */
   private def recallContract(exact: DataFrame, readRows: DataFrame,
       candPairs: DataFrame, nQ: Int, k: Int, readDenom: Double,
       recallMin: Double, readMax: Double, tag: String): DataFrame = {
@@ -651,8 +652,10 @@ object SimilarityQueries {
       .orderBy(col("sim").desc, col("vec_id"))
     val exactTop = exact.withColumn("rk", row_number().over(wExact))
       .filter(col("rk") <= k)
-    val perQueryScanned = readRows.groupBy(col("qid"))
-      .agg(count(lit(1)).as("c")).agg(avg(col("c"))).head.getDouble(0)
+    // sum-over-batch ÷ nQ, mirroring meanRecall: a query whose probe
+    // reads ZERO rows counts as 0, not dropped from the mean (a
+    // per-group avg over surviving qids silently inflates past it)
+    val perQueryScanned = readRows.count().toDouble / nQ
     val readFrac = perQueryScanned / readDenom
     val wTop = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("vec_id"))

@@ -31,7 +31,12 @@ object IngestHarness {
       val part = staging.toFile.listFiles
         .find(_.getName.endsWith(".parquet")).get.toPath
       val dst = srcDir.resolve(s"slice$i.parquet")
-      java.nio.file.Files.copy(part, dst)
+      // REPLACE_EXISTING: a retry of the same drain over an existing base
+      // (the crash-recovery scenario the checkpoint exists for) must
+      // restage idempotently, not die at staging before the checkpointed
+      // stream can resume
+      java.nio.file.Files.copy(part, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       // file-source order = (mtime, path); pin it so slice i is batch i
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 10000))

@@ -203,6 +203,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(halfTotal < latest.values.sum, "second run added nothing")
   }
 
+  test("IngestHarness.drain re-invocation over an existing base restages idempotently") {
+    import graft.streaming.IngestHarness
+    val base = Files.createTempDirectory("drain_retry")
+    val slices = Seq(
+      spark.range(3).select(col("id")),
+      spark.range(3, 6).select(col("id")))
+    var folded = List.empty[Set[Long]]
+    def fold(b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit =
+      folded = folded :+ b.collect().map(_.getLong(0)).toSet
+    IngestHarness.drain(spark, base, slices, fold)
+    assert(folded == List(Set(0L, 1L, 2L), Set(3L, 4L, 5L)))
+    // the crash-recovery scenario the checkpoint exists for: a retry of
+    // the SAME drain over the existing base must restage (not die on
+    // FileAlreadyExists) and the checkpoint must keep already-processed
+    // slices from re-folding
+    IngestHarness.drain(spark, base, slices, fold)
+    assert(folded.length == 2, s"retry re-folded processed slices: $folded")
+  }
+
   test("watermarked dedup drops duplicate event_ids") {
     val deduped = EventsStream.dedup(EventsStream.readEvents(spark, eventsDir))
     val got = EventsStream.runToMemory(spark, deduped, "dedup_test", "append")

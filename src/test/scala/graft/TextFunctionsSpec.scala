@@ -83,6 +83,31 @@ class TextFunctionsSpec extends AnyFunSuite {
       }
       assert(Option(ragged.getCause).map(_.toString).getOrElse(
         ragged.toString).contains("ragged"))
+      // a null ELEMENT fails loudly too — the composed form folds it to
+      // bit 0, interpreted eval NPEs, and unsafe-row codegen reads 0.0
+      // (three behaviors for one input); `when` with no `otherwise`
+      // yields a null float, keeping the array type float + containsNull
+      val nullEl = intercept[org.apache.spark.SparkException] {
+        spark.range(1)
+          .select(array(col("id").cast("float"),
+            when(col("id") > 100, lit(1.0f))).as("u2"))
+          .select(graft.functions.LshBuckets(col("u2"),
+            Seq(Array(Array(1.0, -1.0)))).as("b"))
+          .collect()
+      }
+      assert(Option(nullEl.getCause).map(_.toString).getOrElse(
+        nullEl.toString).contains("null"))
+      // a non-float array (getFloat on 8-byte double slots would read
+      // garbage halves) is rejected at ANALYSIS, not mis-bucketed at run
+      val wrongType = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.range(1)
+          .select(array(col("id").cast("double")).as("u3"))
+          .select(graft.functions.LshBuckets(col("u3"),
+            Seq(Array(Array(1.0)))).as("b"))
+          .collect()
+      }
+      assert(wrongType.getMessage.toLowerCase.contains("mismatch") ||
+        wrongType.getMessage.contains("array<float>"))
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
