@@ -13,8 +13,25 @@ Steps:
   3. Time the same-algorithm subset's oracle SQL in DuckDB (the three
      deliberate O(n^2) brute oracles q35/q135/q95 are excluded -- their
      gap is the engine WINNING, not a comparable algorithm).
-  4. Emit the ratio table to stdout and target/yardstick_x10.json; exit 1
-     if the contract (<=2x) is broken.
+  4. Emit the ratio table to stdout and target/yardstick_x10.json with a
+     PER-QUERY verdict (pass / exempt-floor / exempt-pinned / fail); exit 1
+     if the aggregate contract (<=2x) is broken OR any query fails
+     unexempted.
+
+Per-query exemption rules (the round-7 verdict's mechanical-pinning ask):
+  - exempt-floor: DuckDB time < FLOOR_DUCK seconds (and spark < ABS_CAP as
+    a backstop) -- when DuckDB finishes the whole query in sub-half-second,
+    the ratio measures Spark's multi-stage scheduling floor (~0.2 s/stage
+    an in-process DuckDB never pays), not a data slope. Keying the
+    exemption off the DUCK side keeps it stable under this box's measured
+    +/-25% spark-side wall-clock drift; the ABS_CAP backstop stops a real
+    regression from hiding behind a fast oracle.
+  - exempt-pinned: named queries whose >2x residual was adjudicated as a
+    constant serialization factor (q117 r7: 2.95x, q105 r7: 3.25x; both
+    sublinear at x100, rewrite attempts measured worse -- see PERF.md).
+    Their shuffle RECORD counts at x10 are pinned here as the regression
+    tripwire: records are plan-deterministic, so growth past the pin means
+    the plan regressed and the exemption voids (query FAILS).
 
 Usage: python3 tools/yardstick.py [x10_dir] [oracle_sql.json]
   x10_dir default /tmp/graft_sf1; oracle json default
@@ -31,6 +48,13 @@ EXCLUDE = {"q35_minhash_dupes", "q135_containment_dupes",
            "q95_incremental_dedup"}
 CONTRACT = 2.0
 R6_RATIO = 1.56  # round-6 measured reference
+FLOOR_DUCK = 0.5  # s: duck below this => ratio is Spark's stage floor
+ABS_CAP = 8.0     # s: spark above this fails even against a fast oracle
+# shuffle-record pins from bench/r07/bench_x10.json (plan-deterministic on
+# the deterministic x10 replica); 10% headroom absorbs partial-agg row
+# jitter without letting a real plan regression through
+PINNED = {"q117_exclusive_blame": 3811204, "q105_paragraph_dedup": 609630}
+PIN_TOL = 1.10
 
 
 def main():
@@ -67,26 +91,54 @@ def main():
         # surface it so "covered everything" stays honest
         print(f"WARNING: no oracle timing for {sorted(missing)}",
               file=sys.stderr)
+    shuffle = json.load(open(bench_out)).get("shuffle", {})
     s_tot = sum(spark[q] for q in common)
     d_tot = sum(duck[q] for q in common)
     ratio = s_tot / d_tot if d_tot else float("inf")
+
+    def per_query_verdict(q, r):
+        if r <= CONTRACT:
+            return "pass"
+        if q in PINNED:
+            recs = shuffle.get(q, {}).get("records", 0)
+            if recs <= PINNED[q] * PIN_TOL:
+                return "exempt-pinned"
+            return (f"fail(tripwire: {recs} shuffle records > pin "
+                    f"{PINNED[q]} x {PIN_TOL})")
+        if duck[q] < FLOOR_DUCK and spark[q] < ABS_CAP:
+            return "exempt-floor"
+        return "fail"
+
+    verdicts = {}
     rows = sorted(common, key=lambda q: -spark[q])
-    print(f"{'query':<28} {'spark':>8} {'duck':>8} {'ratio':>6}")
+    print(f"{'query':<28} {'spark':>8} {'duck':>8} {'ratio':>6}  verdict")
     for q in rows:
         r = spark[q] / duck[q] if duck[q] else float("inf")
-        print(f"{q:<28} {spark[q]:>8.3f} {duck[q]:>8.3f} {r:>6.2f}")
+        verdicts[q] = per_query_verdict(q, r)
+        print(f"{q:<28} {spark[q]:>8.3f} {duck[q]:>8.3f} {r:>6.2f}  "
+              f"{verdicts[q]}")
+    failed = sorted(q for q, v in verdicts.items() if v.startswith("fail"))
     verdict = "INSIDE" if ratio <= CONTRACT else "BROKEN"
     print(f"\nsame-algorithm set ({len(common)}q): Spark {s_tot:.1f}s vs "
           f"DuckDB {d_tot:.1f}s => {ratio:.2f}x ({verdict} the <=2x "
           f"contract; r6 reference {R6_RATIO}x)")
+    if failed:
+        print(f"per-query FAILURES (unexempted >2x): {failed}",
+              file=sys.stderr)
     result = {"x10_dir": x10, "n_queries": len(common), "ratio": round(ratio, 3),
               "spark_total": round(s_tot, 3), "duck_total": round(d_tot, 3),
               "contract": CONTRACT, "r6_reference": R6_RATIO,
-              "queries": {q: {"spark": spark[q], "duck": duck[q]}
+              "floor_duck": FLOOR_DUCK, "abs_cap": ABS_CAP, "pins": PINNED,
+              "queries": {q: {"spark": spark[q], "duck": duck[q],
+                              "ratio": round(spark[q] / duck[q], 3)
+                              if duck[q] else None,
+                              "verdict": verdicts[q],
+                              "shuffle_records":
+                              shuffle.get(q, {}).get("records")}
                           for q in common}}
     with open(os.path.join(REPO, "target", "yardstick_x10.json"), "w") as f:
         json.dump(result, f, indent=1)
-    sys.exit(0 if ratio <= CONTRACT else 1)
+    sys.exit(0 if ratio <= CONTRACT and not failed else 1)
 
 
 if __name__ == "__main__":
