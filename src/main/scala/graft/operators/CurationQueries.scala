@@ -207,6 +207,22 @@ object CurationQueries {
       |        ON a.doc_id % 5 != 4 AND b.doc_id % 5 = 4 AND a.doc_id != b.doc_id)
       |SELECT round(j, 4) AS jr, da, db FROM p WHERE j >= 0.5""".stripMargin
 
+  /** q175: q95's incremental dedup through the HOT-BUCKET-CAPPED corpus
+    * side ([[Dedup.incrementalDupPairsCapped]]) — the ingest-time twin of
+    * q174: a batch doc landing in a boilerplate bucket is bounded to the
+    * bucket's fingerprint representatives instead of fanning out to every
+    * corpus copy. Cap active (maxBucket = 64), not binding on the gate
+    * corpus, so the same brute cross-split oracle pins equality; the hot
+    * semantics are property-tested with planted clusters. */
+  private def q175(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    Dedup.incrementalDupPairsCapped(
+      corpus = all.filter(col("doc_id") % 5 =!= 4),
+      batch = all.filter(col("doc_id") % 5 === 4),
+      n = 3, numHashes = 32, rowsPerBand = 2, threshold = 0.5,
+      maxBucket = 64)
+  }
+
   /** q143: PERSISTED dedup index round trip — q95's incremental check with
     * the corpus side stored ([[DedupIndex]]: band table partitioned by band
     * bucket, shingle side table by doc bucket) and the batch answered by a
@@ -1428,6 +1444,7 @@ object CurationQueries {
     QueryDef("q93_repetition", q93, Some(q93Sql)),
     QueryDef("q94_seq_packing", q94, Some(q94Sql)),
     QueryDef("q95_incremental_dedup", q95, Some(q95Sql), bench = true),
+    QueryDef("q175_capped_incremental", q175, Some(q95Sql)),
     QueryDef("q96_embed_quantize", q96, Some(q96Sql)),
     QueryDef("q97_doc_chunks", q97, Some(q97Sql)),
     QueryDef("q99_quality_funnel", q99, Some(q99Sql)),

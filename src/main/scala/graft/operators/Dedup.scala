@@ -49,21 +49,44 @@ object Dedup {
     exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Band rows (doc_id, band, bh) for a signature frame: the signature split
-    * into bands of `rowsPerBand` hashes, each band reduced to one hash. This
-    * is the unit the LSH self-join AND the incremental corpus-vs-batch join
-    * share — and the thing a persisted dedup index would store. */
-  def signatureBands(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+  /** Per-band struct columns (band id + xxhash64 of the band's signature
+    * slice) — the banding shared by [[signatureBands]] and the capped
+    * fingerprint-carrying variant. */
+  private def bandStructs(numHashes: Int, rowsPerBand: Int): Seq[Column] = {
     val numBands = numHashes / rowsPerBand
-    val bandCols = (0 until numBands).map { b =>
+    (0 until numBands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
           .map(i => col(s"h$i")): _*).as("bh"))
     }
-    sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
+
+  /** Band rows (doc_id, band, bh) for a signature frame: the signature split
+    * into bands of `rowsPerBand` hashes, each band reduced to one hash. This
+    * is the unit the LSH self-join AND the incremental corpus-vs-batch join
+    * share — and the thing a persisted dedup index would store. */
+  def signatureBands(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame =
+    sig
+      .select(col("doc_id"),
+        explode(array(bandStructs(numHashes, rowsPerBand): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
+  /** Full-signature fingerprint: one xxhash64 over all `numHashes` minhash
+    * columns — equal iff every minhash agrees, i.e. (whp) the docs have
+    * identical shingle SETS. The hot-bucket cap collapses same-fingerprint
+    * cluster members to one representative, the cluster-representative
+    * pre-collapse that bounds boilerplate blowup. */
+  def signatureFingerprint(numHashes: Int): Column =
+    xxhash64((0 until numHashes).map(i => col(s"h$i")): _*)
+
+  /** [[signatureBands]] carrying the doc's signature fingerprint. */
+  private def signatureBandsWithFp(sig: DataFrame, numHashes: Int,
+      rowsPerBand: Int): DataFrame =
+    sig
+      .select(col("doc_id"), signatureFingerprint(numHashes).as("fp"),
+        explode(array(bandStructs(numHashes, rowsPerBand): _*)).as("bb"))
+      .select(col("doc_id"), col("fp"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
 
   /** LSH candidate pairs: split the signature into bands of `rowsPerBand`
     * hashes, bucket-join on (band, band-hash). */
@@ -80,6 +103,92 @@ object Dedup {
       .distinct()
   }
 
+  /** Hot-bucket-capped LSH candidate pairs — [[lshCandidates]] with a
+    * per-bucket population bound, the 100 TB guard against boilerplate
+    * clusters: an m-member (band, bh) bucket emits m(m−1)/2 pairs inside
+    * ONE task, so a 10 k-copy boilerplate cluster turns a band bucket into
+    * a 50 M-pair quadratic blowup no partitioning can split (the ×100
+    * rehearsal measured exactly this shape: q35 emitted 470 M genuine pair
+    * records). Buckets with ≤ `maxBucket` members are joined exactly as
+    * [[lshCandidates]] — on a corpus with no hot bucket the output is
+    * IDENTICAL, which is what the oracle gate pins. A hot bucket instead:
+    *
+    *   1. pre-collapses same-[[signatureFingerprint]] members (identical
+    *      shingle sets whp — the 100-copy case) to their min-doc_id
+    *      representative, each member STAR-linked to its rep (m − groups
+    *      pairs, linear, and exact: identical sets verify at j = 1);
+    *   2. all-pairs joins the representatives — capped at the `maxBucket`
+    *      smallest if genuinely diverse near-identical text survives the
+    *      collapse, with the dropped-rep count printed to stderr as
+    *      `[tag]` (the q167-style recall margin); every DROPPED rep is
+    *      still star-linked to the bucket's min rep, so no member is
+    *      orphaned — in a boilerplate near-clique that link verifies and
+    *      the component survives intact; only the pair ENUMERATION among
+    *      dropped reps is forgone (and can still surface through their 15
+    *      other bands).
+    *
+    * Per-bucket emission is thus ≤ m + maxBucket²/2 instead of m²/2, and
+    * connectivity for downstream [[dupComponents]] survives: every member
+    * reaches its rep, and every rep reaches the bucket min. */
+  def lshCandidatesCapped(sig: DataFrame, numHashes: Int, rowsPerBand: Int,
+      maxBucket: Int = 64, tag: String = "lsh-cap"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = signatureBandsWithFp(sig, numHashes, rowsPerBand)
+    val stats = bands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("m"))
+    val bs = bands.join(stats, Seq("band", "bh"))
+    val small = bs.filter(col("m") <= maxBucket)
+    val smallPairs = small.select(col("doc_id").as("da"), col("band"), col("bh"))
+      .join(small.select(col("doc_id").as("db"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"))
+    val hot = bs.filter(col("m") > maxBucket)
+    val reps = hot.groupBy(col("band"), col("bh"), col("fp"))
+      .agg(min(col("doc_id")).as("rep"))
+    // rep = min(doc_id) of the group, so star pairs are already da < db
+    val star = hot.join(reps, Seq("band", "bh", "fp"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("da"), col("doc_id").as("db"))
+    val rk = reps.withColumn("rk", row_number().over(
+      Window.partitionBy(col("band"), col("bh")).orderBy(col("rep"))))
+    val kept = rk.filter(col("rk") <= maxBucket)
+    val repPairs = kept.select(col("rep").as("da"), col("band"), col("bh"))
+      .join(kept.select(col("rep").as("db"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"))
+    // dropped reps star-link to the bucket's min rep (rank 1 under the
+    // rep ordering): linear, deterministic, and no member ends up orphaned
+    val dropped = rk.filter(col("rk") > maxBucket)
+    val repStar = dropped.join(
+        rk.filter(col("rk") === 1)
+          .select(col("band"), col("bh"), col("rep").as("da")),
+        Seq("band", "bh"))
+      .select(col("da"), col("rep").as("db"))
+    // recall margin, q167-style: how many diverse reps the cap dropped
+    // (bounded action — two longs; zero on any corpus with no hot bucket)
+    val m = dropped
+      .agg(count(lit(1)).as("reps"),
+        countDistinct(col("band"), col("bh")).as("buckets")).head
+    System.err.println(
+      s"[$tag] cappedBuckets=${m.getLong(1)} droppedReps=${m.getLong(0)}")
+    smallPairs.union(star).union(repPairs).union(repStar).distinct()
+  }
+
+  /** Exact-Jaccard verification of candidate (da, db) pairs against the
+    * cached shingle frame — the tail every near-dup pipeline shares.
+    * Output (jr, da, db). */
+  private def verifyCandidates(cands: DataFrame, sg: DataFrame,
+      threshold: Double): DataFrame = {
+    val j = TextFunctions.jaccard(col("sga"), col("sgb"))
+    cands
+      .join(sg.select(col("doc_id").as("da"), col("sg").as("sga")), "da")
+      .join(sg.select(col("doc_id").as("db"), col("sg").as("sgb")), "db")
+      .filter(j >= threshold)
+      .select(round(j, 4).as("jr"), col("da"), col("db"))
+  }
+
   /** Full MinHash-LSH near-dup pipeline with exact-Jaccard verification of
     * candidates. With 16 bands × 2 rows, P(miss) at j≥0.5 is (1−j²)^16 —
     * ≈1e-22 for the j≥0.9 pairs this corpus plants — so the verified output
@@ -90,12 +199,24 @@ object Dedup {
     // cache once instead of recomputing the scan+shingle pass three times
     val sg = shingleSets(docs, n).cache()
     val cands = lshCandidates(minhashSignatures(sg, numHashes), numHashes, rowsPerBand)
-    val j = TextFunctions.jaccard(col("sga"), col("sgb"))
-    cands
-      .join(sg.select(col("doc_id").as("da"), col("sg").as("sga")), "da")
-      .join(sg.select(col("doc_id").as("db"), col("sg").as("sgb")), "db")
-      .filter(j >= threshold)
-      .select(round(j, 4).as("jr"), col("da"), col("db"))
+    verifyCandidates(cands, sg, threshold)
+  }
+
+  /** [[minhashDupPairs]] through the hot-bucket-capped candidate path —
+    * output equals the uncapped pipeline whenever no band bucket exceeds
+    * `maxBucket` members (the oracle gate), and stays bounded (star +
+    * capped rep pairs per bucket) when boilerplate clusters would blow the
+    * uncapped join up quadratically. The signature frame is cached: the
+    * capped path reads it for band stats, star/rep routing, AND the margin
+    * action (at 100 TB the signatures live in the persisted
+    * [[DedupIndex]] instead). */
+  def minhashDupPairsCapped(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
+      rowsPerBand: Int = 2, threshold: Double = 0.5,
+      maxBucket: Int = 64): DataFrame = {
+    val sg = shingleSets(docs, n).cache()
+    val sig = minhashSignatures(sg, numHashes).cache()
+    val cands = lshCandidatesCapped(sig, numHashes, rowsPerBand, maxBucket)
+    verifyCandidates(cands, sg, threshold)
   }
 
   /** Incremental near-dup detection: a fresh BATCH of documents checked
@@ -122,6 +243,55 @@ object Dedup {
     val cand = cb.join(bb, Seq("band", "bh"))
       .select(col("da"), col("db"))
       .distinct()
+    val j = TextFunctions.jaccard(col("sga"), col("sgb"))
+    cand
+      .join(csg.select(col("doc_id").as("da"), col("sg").as("sga")), "da")
+      .join(bsg.select(col("doc_id").as("db"), col("sg").as("sgb")), "db")
+      .filter(j >= threshold)
+      .select(round(j, 4).as("jr"), col("da"), col("db"))
+  }
+
+  /** [[incrementalDupPairs]] with the hot-bucket cap applied to the CORPUS
+    * side of the band join — the ingest-time twin of
+    * [[lshCandidatesCapped]]: a batch doc landing in a boilerplate bucket
+    * must not fan out to every one of its 10 k corpus copies. Corpus
+    * buckets with ≤ `maxBucket` members join exactly as the uncapped path
+    * (output IDENTICAL when nothing is hot — the oracle gate); a hot
+    * bucket pre-collapses same-fingerprint corpus members to their
+    * min-doc_id representative and keeps at most `maxBucket` reps
+    * (dropped-rep margin on stderr). A batch doc that would have matched a
+    * collapsed member still matches the member's representative (identical
+    * shingle sets verify identically), so the dup VERDICT per batch doc
+    * survives; only the redundant partner enumeration is bounded. */
+  def incrementalDupPairsCapped(corpus: DataFrame, batch: DataFrame,
+      n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 2,
+      threshold: Double = 0.5, maxBucket: Int = 64,
+      tag: String = "lsh-cap-inc"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val csg = shingleSets(corpus, n).cache()
+    val bsg = shingleSets(batch, n).cache()
+    val csig = minhashSignatures(csg, numHashes).cache()
+    val cb = signatureBandsWithFp(csig, numHashes, rowsPerBand)
+    val bb = signatureBands(minhashSignatures(bsg, numHashes),
+      numHashes, rowsPerBand).toDF("db", "band", "bh")
+    val stats = cb.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("m"))
+    val cs = cb.join(stats, Seq("band", "bh"))
+    val small = cs.filter(col("m") <= maxBucket)
+      .select(col("doc_id").as("da"), col("band"), col("bh"))
+    val hot = cs.filter(col("m") > maxBucket)
+    val rk = hot.groupBy(col("band"), col("bh"), col("fp"))
+      .agg(min(col("doc_id")).as("rep"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("band"), col("bh")).orderBy(col("rep"))))
+    val kept = rk.filter(col("rk") <= maxBucket)
+      .select(col("rep").as("da"), col("band"), col("bh"))
+    val m = rk.filter(col("rk") > maxBucket)
+      .agg(count(lit(1)).as("reps"),
+        countDistinct(col("band"), col("bh")).as("buckets")).head
+    System.err.println(
+      s"[$tag] cappedBuckets=${m.getLong(1)} droppedReps=${m.getLong(0)}")
+    val cand = small.union(kept).join(bb, Seq("band", "bh"))
+      .select(col("da"), col("db")).distinct()
     val j = TextFunctions.jaccard(col("sga"), col("sgb"))
     cand
       .join(csg.select(col("doc_id").as("da"), col("sg").as("sga")), "da")

@@ -101,6 +101,19 @@ object TextQueries {
     Dedup.minhashDupPairs(docs(s, d), n = 3, numHashes = 32,
       rowsPerBand = 2, threshold = 0.5)
 
+  /** q174: MinHash-LSH near-dup pairs through the HOT-BUCKET-CAPPED
+    * candidate path ([[Dedup.minhashDupPairsCapped]]) — the 100 TB guard
+    * against boilerplate clusters blowing a band bucket up quadratically
+    * (the ×100 rehearsal's 470 M-pair q35 shape). The cap is ACTIVE
+    * (maxBucket = 64) but no gate-corpus bucket exceeds it, so the output
+    * equals the uncapped pipeline and the same brute-force oracle pins it;
+    * the hot-bucket semantics (fingerprint pre-collapse + star + capped
+    * rep pairs, bounded emission) are property-tested with planted hot
+    * buckets in PropertySpec. */
+  private def q174(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashDupPairsCapped(docs(s, d), n = 3, numHashes = 32,
+      rowsPerBand = 2, threshold = 0.5, maxBucket = 64)
+
   /** q89: near-dup pairs → connected components → survivor groups
     * ([[Dedup.dupComponents]]: iterative min-label propagation — the dedup
     * DECISION step). Oracle: DuckDB recursive-CTE transitive closure over
@@ -548,6 +561,7 @@ object TextQueries {
     QueryDef("q33_quality_score", q33, Some(q33Sql)),
     QueryDef("q34_jaccard_dupes", q34, Some(dupPairsSql)),
     QueryDef("q35_minhash_dupes", q35, Some(dupPairsSql), bench = true),
+    QueryDef("q174_capped_minhash", q174, Some(dupPairsSql), bench = true),
     QueryDef("q89_dup_components", q89, Some(q89Sql)),
     QueryDef("q135_containment_dupes", q135, Some(q135Sql), bench = true),
     QueryDef("q137_dedup_survivors", q137, Some(q137Sql)),

@@ -144,6 +144,95 @@ class PropertySpec extends AnyFunSuite {
     assert(inc == brute)
   }
 
+  test("capped minhash equals uncapped when no bucket is hot (self-join and incremental)") {
+    import spark.implicits._
+    val base = samples(Gen.listOfN(8, wordGen).map(_.mkString(" ")), 40)
+    val corpus = base.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      base.take(6).zipWithIndex.map { case (t, i) => (100L + i, t) }
+    val df = corpus.toDF("doc_id", "text")
+    val uncapped = graft.operators.Dedup.minhashDupPairs(df)
+      .collect().map(_.toSeq).toSet
+    val capped = graft.operators.Dedup.minhashDupPairsCapped(df, maxBucket = 64)
+      .collect().map(_.toSeq).toSet
+    assert(uncapped.nonEmpty)
+    assert(capped == uncapped)
+    val old = df.filter(col("doc_id") < 100)
+    val fresh = df.filter(col("doc_id") >= 100)
+    val incU = graft.operators.Dedup.incrementalDupPairs(old, fresh)
+      .collect().map(_.toSeq).toSet
+    val incC = graft.operators.Dedup
+      .incrementalDupPairsCapped(old, fresh, maxBucket = 64)
+      .collect().map(_.toSeq).toSet
+    assert(incU.nonEmpty)
+    assert(incC == incU)
+  }
+
+  test("hot-bucket cap: planted 60-copy cluster emits linear candidates, same components") {
+    import spark.implicits._
+    val boiler = "the quick brown fox jumps over the lazy dog again and again today"
+    val nCopies = 60
+    val distinct = samples(Gen.listOfN(12, wordGen).map(_.mkString(" ")), 20)
+    val corpus = (0 until nCopies).map(i => (i.toLong, boiler)) ++
+      distinct.zipWithIndex.map { case (t, i) => (1000L + i, t) }
+    val df = corpus.toDF("doc_id", "text")
+    val sg = graft.operators.Dedup.shingleSets(df, 3)
+    val sig = graft.operators.Dedup.minhashSignatures(sg, 32).cache()
+    try {
+      val uncapped = graft.operators.Dedup.lshCandidates(sig, 32, 2).count()
+      // the failure shape the ×100 rehearsal measured: quadratic in-bucket
+      assert(uncapped >= nCopies.toLong * (nCopies - 1) / 2)
+      val capped = graft.operators.Dedup
+        .lshCandidatesCapped(sig, 32, 2, maxBucket = 8).count()
+      // fingerprint pre-collapse: identical copies star-link to one rep —
+      // 59 pairs, not 1770 (plus at most a handful of rep cross pairs)
+      assert(capped < 2L * nCopies,
+        s"capped emission not linear: $capped pairs for $nCopies copies")
+      // the dedup DECISION is unchanged: verified pairs → same components
+      def comps(p: org.apache.spark.sql.DataFrame) =
+        graft.operators.Dedup.dupComponents(p.select(col("da"), col("db")))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val cu = comps(graft.operators.Dedup.minhashDupPairs(df))
+      val cc = comps(graft.operators.Dedup.minhashDupPairsCapped(df, maxBucket = 8))
+      assert(cu.nonEmpty)
+      assert(cc == cu)
+    } finally sig.unpersist()
+  }
+
+  test("diverse hot bucket: dropped reps stay connected via the min-rep star link") {
+    import spark.implicits._
+    // 30 near-identical docs: identical 14-word prefix, unique tail word →
+    // distinct fingerprints (no pre-collapse), pairwise j = 12/14 ≈ 0.86,
+    // so band buckets go hot with DIVERSE members and the rep cap must
+    // drop some — the margin path and the min-rep star backstop
+    val prefix = (1 to 14).map(i => s"w$i").mkString(" ")
+    val df = (0 until 30).map(i => (i.toLong, s"$prefix tail$i"))
+      .toDF("doc_id", "text")
+    val sg = graft.operators.Dedup.shingleSets(df, 3)
+    val sig = graft.operators.Dedup.minhashSignatures(sg, 32).cache()
+    try {
+      val baos = new java.io.ByteArrayOutputStream
+      val oldErr = System.err
+      System.setErr(new java.io.PrintStream(baos, true))
+      val capped =
+        try graft.operators.Dedup.lshCandidatesCapped(sig, 32, 2, maxBucket = 4)
+        finally System.setErr(oldErr)
+      val dropped = "droppedReps=(\\d+)".r
+        .findFirstMatchIn(baos.toString).map(_.group(1).toLong)
+      assert(dropped.exists(_ > 0), s"cap never dropped a rep: ${baos.toString}")
+      val cappedN = capped.count()
+      val uncappedN = graft.operators.Dedup.lshCandidates(sig, 32, 2).count()
+      assert(cappedN < uncappedN)
+      // every doc is a true near-dup of every other (j ≈ 0.86 ≥ 0.5): the
+      // capped VERIFIED pairs must still connect all 30 into one component
+      def comps(p: org.apache.spark.sql.DataFrame) =
+        graft.operators.Dedup.dupComponents(p.select(col("da"), col("db")))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val cc = comps(graft.operators.Dedup.minhashDupPairsCapped(df, maxBucket = 4))
+      assert(cc.size == 30 && cc.map(_._2) == Set(0L),
+        s"capped pairs fractured the cluster: $cc")
+    } finally sig.unpersist()
+  }
+
   test("chunking reassembles the original token stream for random docs") {
     import spark.implicits._
     val docs = samples(Gen.chooseNum(1, 150), 60).zipWithIndex.map {
