@@ -40,6 +40,11 @@ object DedupIndex {
   private def configPath(path: String) =
     new org.apache.hadoop.fs.Path(path + "/_meta/config.json")
 
+  // writer-version pin (concurrent-writer guard); the root _meta dir is
+  // never bulk-overwritten (only bands/ and shingles/ are), so it survives
+  private def versionPath(path: String) =
+    new org.apache.hadoop.fs.Path(path + "/_meta/version")
+
   private def fsOf(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -64,6 +69,8 @@ object DedupIndex {
       numHashes: Int = 32, rowsPerBand: Int = 2,
       nBuckets: Int = 16, nDocBuckets: Int = 16): Unit = {
     val sg = Dedup.shingleSets(docs, n).cache()
+    val fs = fsOf(docs.sparkSession, path)
+    val claimed = PartitionedIndexOps.claimVersion(fs, versionPath(path))
     try {
       requireUniqueIds(sg)
       // CONFIG FIRST: a crash at any later point leaves the true build
@@ -79,6 +86,10 @@ object DedupIndex {
       sg.withColumn("dbk", bucketOf(col("doc_id"), nDocBuckets))
         .write.partitionBy("dbk").mode("overwrite")
         .parquet(path + "/shingles")
+      // bands are the build's commit (hasIndex keys on them): a losing
+      // concurrent builder aborts here and the retry bulk-rebuilds
+      PartitionedIndexOps.requireVersion(fs, versionPath(path), claimed,
+        s"dedup index bulk build at $path")
       Dedup.signatureBands(Dedup.minhashSignatures(sg, numHashes),
           numHashes, rowsPerBand)
         .withColumn("wb", bucketOf(col("bh"), nBuckets))
@@ -141,6 +152,7 @@ object DedupIndex {
     val bandsPath = path + "/bands"
     val shPath = path + "/shingles"
     var prunedSh: Option[DataFrame] = None
+    val claimed = PartitionedIndexOps.claimVersion(fs, versionPath(path))
     try {
       requireUniqueIds(bsg) // before any index read — reject cheaply
       // ≤ nDocBuckets values by construction
@@ -176,6 +188,8 @@ object DedupIndex {
         .join(batchIds, Seq("doc_id"), "left_anti")
         .unionByName(
           bsg.withColumn("dbk", bucketOf(col("doc_id"), nDocBuckets)))
+      PartitionedIndexOps.requireVersion(fs, versionPath(path), claimed,
+        s"dedup index upsert at $path")
       PartitionedIndexOps.pinWrite(shMerged, shPath, "dbk")
     } finally prunedSh.foreach(_.unpersist())
   }

@@ -136,6 +136,10 @@ object Fts {
   private def cfgPath(path: String) =
     new org.apache.hadoop.fs.Path(path + "_meta/config.json")
 
+  // writer-version pin (concurrent-writer guard) — sibling _meta dir
+  private def versionPath(path: String) =
+    new org.apache.hadoop.fs.Path(path + "_meta/version")
+
   private def writeBucketConfig(fs: org.apache.hadoop.fs.FileSystem,
       path: String, nBuckets: Int, nDocBuckets: Int): Unit =
     PartitionedIndexOps.writeConfigPin(fs, cfgPath(path),
@@ -170,12 +174,15 @@ object Fts {
       // a window where the pin was lost forever)
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
         postings.sparkSession.sparkContext.hadoopConfiguration)
+      val claimed = PartitionedIndexOps.claimVersion(fs, versionPath(path))
       writeBucketConfig(fs, path, nBuckets, nDocBuckets)
       bucketed.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("wb").parquet(path)
       // doc-bucketed side table (doc_id → occupied term buckets): what lets
       // an incremental upsert find a re-crawled doc's OLD buckets without
       // scanning the index (see upsertPostingsIndex)
+      PartitionedIndexOps.requireVersion(fs, versionPath(path), claimed,
+        s"postings index bulk build at $path")
       docMeta(bucketed, nDocBuckets)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("db").parquet(path + "_docs")
@@ -203,6 +210,7 @@ object Fts {
     // a batch carrying the same doc twice would silently merge the copies'
     // positions and double tf — same guard as the sibling indexes
     PartitionedIndexOps.requireUniqueIds(newDocs, docIdCol)
+    val claimed = PartitionedIndexOps.claimVersion(fs, versionPath(path))
     val batch = positionalPostings(newDocs, docIdCol, textCol)
       .withColumn("wb", bucketCol(col("word"), nBuckets))
     val batchIds = batch.select(col("doc_id")).distinct()
@@ -249,6 +257,8 @@ object Fts {
               .join(batchIds, Seq("doc_id"), "left_anti")
               .unionByName(batchMeta)
           else docMeta(spark.read.parquet(path), nDocBuckets)
+        PartitionedIndexOps.requireVersion(fs, versionPath(path), claimed,
+          s"postings index upsert at $path")
         PartitionedIndexOps.pinWrite(docsMerged, docsPath, "db")
       } else {
         // config first — same crash-consistency rationale as
@@ -256,6 +266,8 @@ object Fts {
         writeBucketConfig(fs, path, nBuckets, nDocBuckets)
         batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .partitionBy("wb").parquet(path)
+        PartitionedIndexOps.requireVersion(fs, versionPath(path), claimed,
+          s"postings index bulk branch at $path")
         batchMeta.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .partitionBy("db").parquet(docsPath)
       }

@@ -46,6 +46,7 @@ object IvfPq {
       path: String, nDocBuckets: Int = 16): Unit = {
     val fs = fsOf(vecs.sparkSession, path)
     PartitionedIndexOps.requireUniqueIds(vecs, idCol)
+    val claimed = PartitionedIndexOps.claimVersion(fs, versionPath(path))
     fs.delete(pinPath(path), false)
     val assigned = assign(vecs, embCol, idCol, cents, books, nDocBuckets)
       .cache()
@@ -57,6 +58,10 @@ object IvfPq {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("dbk").parquet(refinePath(path))
     } finally assigned.unpersist()
+    // the config pin is the build's commit: a losing concurrent builder
+    // aborts here, leaving no valid pin (probes fail loudly)
+    PartitionedIndexOps.requireVersion(fs, versionPath(path), claimed,
+      s"IVF-PQ index bulk build at $path")
     PartitionedIndexOps.writeConfigPin(fs, pinPath(path),
       config(cents, books, nDocBuckets))
   }
@@ -90,6 +95,7 @@ object IvfPq {
         "codebooks, or doc-bucket geometry — an upsert would mis-assign " +
         "lists or store incomparable codes")
     PartitionedIndexOps.requireUniqueIds(newVecs, idCol)
+    val claimed = PartitionedIndexOps.claimVersion(fs, versionPath(path))
     val assigned = assign(newVecs, embCol, idCol, cents, books, nDocBuckets)
       .cache()
     var prunedRef: Option[DataFrame] = None
@@ -118,6 +124,8 @@ object IvfPq {
       val refMerged = pruned.join(batchIds, Seq(idCol), "left_anti")
         .unionByName(assigned.select(col(idCol), col("list_id"),
           col(embCol), col("dbk")))
+      PartitionedIndexOps.requireVersion(fs, versionPath(path), claimed,
+        s"IVF-PQ index upsert at $path")
       PartitionedIndexOps.pinWrite(refMerged, refinePath(path), "dbk")
     } finally {
       prunedRef.foreach(_.unpersist())
@@ -209,6 +217,10 @@ object IvfPq {
       sys.error("IVF-PQ pin is missing nDocBuckets")).toLong
 
   private def refinePath(path: String) = path + "_refine"
+
+  // writer-version pin (concurrent-writer guard) — sibling _meta dir
+  private def versionPath(path: String) =
+    new org.apache.hadoop.fs.Path(path + "_meta/version")
 
   private def pinPath(path: String) =
     new org.apache.hadoop.fs.Path(path + "_meta/config")

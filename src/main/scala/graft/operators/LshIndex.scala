@@ -37,6 +37,7 @@ object LshIndex {
       nDocBuckets: Int = 16, keepCols: Seq[String] = Nil): Unit = {
     val fs = fsOf(vecs.sparkSession, path)
     PartitionedIndexOps.requireUniqueIds(vecs, idCol)
+    val claimed = PartitionedIndexOps.claimVersion(fs, versionPath(path))
     fs.delete(pinPath(path), false)
     val assigned = assign(vecs, embCol, idCol, planes, nDocBuckets,
       keepCols).cache()
@@ -49,6 +50,10 @@ object LshIndex {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("dbk").parquet(path + "_docs")
     } finally assigned.unpersist()
+    // the config pin is the bulk build's commit: a losing concurrent
+    // builder aborts here, leaving no valid pin (probes fail loudly)
+    PartitionedIndexOps.requireVersion(fs, versionPath(path), claimed,
+      s"LSH index bulk build at $path")
     PartitionedIndexOps.writeConfigPin(fs, pinPath(path),
       config(planes, nDocBuckets, keepCols))
   }
@@ -83,6 +88,7 @@ object LshIndex {
         "doc-bucket geometry, or payload columns — an upsert would route " +
         "the wrong buckets or write a ragged schema")
     PartitionedIndexOps.requireUniqueIds(newVecs, idCol)
+    val claimed = PartitionedIndexOps.claimVersion(fs, versionPath(path))
     val assigned = assign(newVecs, embCol, idCol, planes, nDocBuckets,
       keepCols).cache()
     var prunedDocs: Option[DataFrame] = None
@@ -109,6 +115,8 @@ object LshIndex {
       // side table second (retry-healable); doc buckets never vacate
       val docsMerged = pruned.join(batchIds, Seq(idCol), "left_anti")
         .unionByName(assigned.select(col(idCol), col("bucket"), col("dbk")))
+      PartitionedIndexOps.requireVersion(fs, versionPath(path), claimed,
+        s"LSH index upsert at $path")
       PartitionedIndexOps.pinWrite(docsMerged, path + "_docs", "dbk")
     } finally {
       prunedDocs.foreach(_.unpersist())
@@ -263,6 +271,7 @@ object LshIndex {
     require(planeSets.nonEmpty, "need at least one plane set")
     val fs = fsOf(vecs.sparkSession, path)
     PartitionedIndexOps.requireUniqueIds(vecs, idCol)
+    val claimed = PartitionedIndexOps.claimVersion(fs, versionPath(path))
     fs.delete(pinPath(path), false)
     val assigned = assignMulti(vecs, embCol, idCol, planeSets,
       nDocBuckets, keepCols).cache()
@@ -278,6 +287,8 @@ object LshIndex {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("dbk").parquet(path + "_docs")
     } finally assigned.unpersist()
+    PartitionedIndexOps.requireVersion(fs, versionPath(path), claimed,
+      s"multi-table LSH index bulk build at $path")
     PartitionedIndexOps.writeConfigPin(fs, pinPath(path),
       multiConfig(planeSets, nDocBuckets, keepCols))
   }
@@ -307,6 +318,7 @@ object LshIndex {
         "sets, doc-bucket geometry, or payload columns — an upsert would " +
         "route the wrong partitions or write a ragged schema")
     PartitionedIndexOps.requireUniqueIds(newVecs, idCol)
+    val claimed = PartitionedIndexOps.claimVersion(fs, versionPath(path))
     val assigned = assignMulti(newVecs, embCol, idCol, planeSets,
       nDocBuckets, keepCols).cache()
     var prunedDocs: Option[DataFrame] = None
@@ -343,6 +355,8 @@ object LshIndex {
       val docsMerged = pruned.join(batchIds, Seq(idCol), "left_anti")
         .unionByName(assigned.select(col(idCol), col("tbl"), col("bucket"),
           col("dbk")))
+      PartitionedIndexOps.requireVersion(fs, versionPath(path), claimed,
+        s"multi-table LSH index upsert at $path")
       PartitionedIndexOps.pinWrite(docsMerged, path + "_docs", "dbk")
     } finally {
       prunedDocs.foreach(_.unpersist())
@@ -426,6 +440,64 @@ object LshIndex {
       Seq(probes))
   }
 
+  /** Query-directed multi-probe bucket list for ONE table: the exact
+    * sign-bit bucket plus single-bit flips of the `nProbes − 1` planes
+    * with the smallest |dot(plane, v)| margin — the FAISS/multi-probe-LSH
+    * observation that a near neighbor missing the exact bucket most
+    * likely differs in the query's least-confident bit. Probing T buckets
+    * per table trades probes for TABLES at fixed recall: L/2 tables at
+    * T = 2 reads the same bucket count as L tables at T = 1 while halving
+    * the index's storage amplification (the q176 eval row measures the
+    * trade). Driver-side by design — the probe set is per-query metadata,
+    * like [[queryBucket]]. */
+  private[operators] def multiProbeBuckets(v: Array[Float],
+      planes: Array[Array[Double]], nProbes: Int): Seq[Long] = {
+    val dots = planes.map(p =>
+      v.zip(p).map { case (x, h) => x.toDouble * h }.sum)
+    val base = dots.zipWithIndex
+      .map { case (d, i) => if (d >= 0) 1L << i else 0L }.reduce(_ | _)
+    val flips = dots.zipWithIndex.sortBy { case (d, _) => math.abs(d) }
+      .take(math.max(0, nProbes - 1) min planes.length)
+      .map { case (_, i) => base ^ (1L << i) }
+    base +: flips.toSeq
+  }
+
+  /** Batch multi-probe against a multi-table index for a DRIVER-SIDE
+    * anchor list — the [[batchProbeMultiManaged]] read shape (one pruned
+    * scan + broadcast probe join) with `probesPerTable` buckets per
+    * (anchor, table) instead of one. Anchors are passed as collected
+    * (id, vector) pairs because the probe set is query metadata computed
+    * driver-side (the [[multiProbeBuckets]] margin sort); callers own the
+    * bound, as with the eval harnesses' model-sized query batches.
+    * Returns one row per (anchor, index row, table-probe) hit with the
+    * anchor id as `qid` — per-anchor row counts are that anchor's solo
+    * multi-probe read. */
+  def batchProbeMultiProbed(spark: SparkSession, path: String,
+      anchors: Seq[(Long, Array[Float])],
+      planeSets: Seq[Array[Array[Double]]],
+      probesPerTable: Int = 2): DataFrame = {
+    requireMultiPin(spark, path, planeSets)
+    require(anchors.nonEmpty, "need at least one anchor")
+    require(anchors.size <= 4096,
+      s"${anchors.size} anchors — the probe set collects driver-side; " +
+        "batch model-sized anchor sets (≤ 4096)")
+    val probePairs = for {
+      (qid, v) <- anchors
+      (planes, t) <- planeSets.zipWithIndex
+      b <- multiProbeBuckets(v, planes, probesPerTable)
+    } yield (qid, t, b)
+    import spark.implicits._
+    val probes = probePairs.toDF("qid", "tbl", "bucket")
+      .dropDuplicates("qid", "tbl", "bucket")
+    val pred = probePairs.groupBy(_._2).toSeq.map { case (t, ps) =>
+      col("tbl") === lit(t) &&
+        col("bucket").isInCollection(ps.map(_._3).distinct)
+    }.reduce(_ || _)
+    spark.read.parquet(path)
+      .filter(pred)
+      .join(broadcast(probes), Seq("tbl", "bucket"))
+  }
+
   private def requireMultiPin(spark: SparkSession, path: String,
       planeSets: Seq[Array[Array[Double]]]): Unit = {
     val fs = fsOf(spark, path)
@@ -471,6 +543,11 @@ object LshIndex {
 
   private def pinPath(path: String) =
     new org.apache.hadoop.fs.Path(path + "_meta/config")
+
+  // writer-version pin (concurrent-writer guard) — sibling _meta dir, so
+  // it survives the bulk build's full-overwrite of the data dir
+  private def versionPath(path: String) =
+    new org.apache.hadoop.fs.Path(path + "_meta/version")
 
   private def fsOf(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)

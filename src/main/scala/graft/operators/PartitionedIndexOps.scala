@@ -75,6 +75,53 @@ object PartitionedIndexOps {
       }
     }
 
+  /** Optimistic single-writer guard shared by every persisted index: the
+    * multi-table upserts assume ONE writer, and two interleaved upserts
+    * could both pass the config-pin check and interleave their
+    * staged-overwrite / delete-vacated / side-table writes. The guard is
+    * a monotonic version pin next to the config pin:
+    *
+    *   - [[claimVersion]] at writer ENTRY (before any data write) reads
+    *     the current version and immediately publishes cur+1;
+    *   - [[requireVersion]] immediately BEFORE the writer's final commit
+    *     write re-reads it and aborts on mismatch — if another writer
+    *     claimed in between, the loser fails fast without publishing its
+    *     final table/pin.
+    *
+    * This DETECTS interleaving rather than preventing it (a filesystem
+    * has no compare-and-swap; at 100 TB you'd put the version in a
+    * transactional metastore): the loser may have staged partition
+    * overwrites before aborting, and the documented healing applies — a
+    * retry of the aborted batch AFTER the winner completes re-covers
+    * every partition it touched (the same-batch retry contract the crash
+    * windows already rely on), converging to the serial application.
+    * A crashed claimer never wedges the index: the next writer just
+    * claims the next version. */
+  def readVersion(fs: org.apache.hadoop.fs.FileSystem,
+      vPath: org.apache.hadoop.fs.Path): Long =
+    readPin(fs, vPath).map(_.trim.toLong).getOrElse(0L)
+
+  /** Publish this writer's claim (cur+1) and return it. Call before any
+    * data write. */
+  def claimVersion(fs: org.apache.hadoop.fs.FileSystem,
+      vPath: org.apache.hadoop.fs.Path): Long = {
+    val next = readVersion(fs, vPath) + 1
+    writePin(fs, vPath, next.toString)
+    next
+  }
+
+  /** Abort-before-commit check: the version on disk must still be this
+    * writer's claim. Call immediately before the final commit write. */
+  def requireVersion(fs: org.apache.hadoop.fs.FileSystem,
+      vPath: org.apache.hadoop.fs.Path, claimed: Long, what: String): Unit = {
+    val cur = readVersion(fs, vPath)
+    require(cur == claimed,
+      s"$what: concurrent writer detected — writer version $cur on disk, " +
+        s"this writer claimed $claimed. Aborting before the final commit; " +
+        "retry this batch after the other writer completes (the retry " +
+        "re-covers any partitions already staged).")
+  }
+
   /** Does `path` hold at least one `<partCol>=` partition? A bare
     * pre-created (or fully emptied) directory must route callers to their
     * bulk-build branch instead of a doomed schema-less merge read. */

@@ -162,6 +162,7 @@ object Similarity {
       nDocBuckets: Int = 16): Unit = {
     val fs = fsOf(index.sparkSession, path)
     PartitionedIndexOps.requireUniqueIds(index, idCol)
+    val claimed = PartitionedIndexOps.claimVersion(fs, versionPath(path))
     fs.delete(pinPath(path), false)
     val assigned = ivfAssign(index, embCol, cents).cache()
     try {
@@ -173,6 +174,10 @@ object Similarity {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("dbk").parquet(path + "_docs")
     } finally assigned.unpersist()
+    // the pin is the build's commit: a losing concurrent builder aborts
+    // here, leaving data-without-pin (the next caller refuses fast)
+    PartitionedIndexOps.requireVersion(fs, versionPath(path), claimed,
+      s"IVF index bulk build at $path")
     PartitionedIndexOps.writeConfigPin(fs, pinPath(path),
       ivfConfig(cents, nDocBuckets))
   }
@@ -210,6 +215,7 @@ object Similarity {
         "geometry — an upsert under retrained centroids would mis-assign " +
         "lists, and a different nDocBuckets would prune the wrong side buckets")
     PartitionedIndexOps.requireUniqueIds(newVecs, idCol)
+    val claimed = PartitionedIndexOps.claimVersion(fs, versionPath(path))
     val docsPath = path + "_docs"
     val assigned = ivfAssign(newVecs, embCol, cents)
       .withColumn("dbk", pmod(col(idCol), lit(nDocBuckets.toLong))).cache()
@@ -237,6 +243,8 @@ object Similarity {
       // empty (every removed id is re-inserted), so no delete pass
       val docsMerged = pruned.join(batchIds, Seq(idCol), "left_anti")
         .unionByName(assigned.select(col(idCol), col("list_id"), col("dbk")))
+      PartitionedIndexOps.requireVersion(fs, versionPath(path), claimed,
+        s"IVF index upsert at $path")
       PartitionedIndexOps.pinWrite(docsMerged, docsPath, "dbk")
     } finally {
       prunedDocs.foreach(_.unpersist())
@@ -261,6 +269,10 @@ object Similarity {
 
   private def pinPath(path: String) =
     new org.apache.hadoop.fs.Path(path + "_meta/centroids")
+
+  // writer-version pin (concurrent-writer guard) — sibling _meta dir
+  private def versionPath(path: String) =
+    new org.apache.hadoop.fs.Path(path + "_meta/version")
 
   /** Probe a persisted IVF index: the list_id filter prunes partitions at
     * the file index, before any data is read. */
