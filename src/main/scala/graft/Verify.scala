@@ -8,8 +8,14 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional third arg (dev only; the driver always passes two): a
     // comma-separated query-name filter for fast single-query iteration.
-    val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // A leading '-' inverts it into an EXCLUDE list (the x10 gate drops
+    // the deliberately-O(n²) brute baselines that are infeasible at that
+    // scale by design).
+    val (exclude, only): (Set[String], Option[Set[String]]) =
+      if (args.length <= 2) (Set.empty, None)
+      else if (args(2).startsWith("-"))
+        (args(2).drop(1).split(",").toSet, None)
+      else (Set.empty, Some(args(2).split(",").toSet))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus, "graft-verify")
@@ -17,7 +23,8 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) =>
+        only.forall(_.contains(name)) && !exclude.contains(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -585,14 +585,23 @@ object AdvancedQueries {
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("yr"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-        .as("volume"))
+      // integer-exact volume: prices are cent-exact and discounts
+      // hundredth-exact in this data, so sum cents × (100 − disc%) as
+      // LONGS and divide once at the end — float summation ORDER differs
+      // between engines, and at the x10 replica the 10×-larger double sum
+      // hit a last-cent rounding boundary (68204131.87 vs .86). Identical
+      // integers divided identically are bit-equal at any scale.
+      .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+        .cast("double") / 10000.0).as("volume"))
   }
 
   private val q50Sql =
     """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
       |  CAST(year(l_shipdate) AS INTEGER) AS yr,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS volume
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |       AS DOUBLE) / 10000.0 AS volume
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey

@@ -502,10 +502,16 @@ object RelationalQueries {
         sum(col("late")).as("n_late"),
         min(when(col("late") === 1L, col("l_suppkey"))).as("blame"))
       .filter(col("n_supp") >= 2 && col("n_late") === 1)
-    perOrder.groupBy(col("blame"))
+    // group by s_NAME (after the broadcast name join), not by suppkey:
+    // the SQL contract is GROUP BY s_name, and the two differ the moment
+    // two suppkeys share a name — the x10 replica gate caught exactly
+    // that (replicated suppliers keep their names under fresh keys; the
+    // key-grouped form split each name's count ~10 ways and returned a
+    // different top-10). One row per qualifying order reaches this agg
+    // either way — same shuffle volume.
+    perOrder.join(broadcast(sup(s, d)), col("blame") === col("s_suppkey"))
+      .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
-      .join(broadcast(sup(s, d)), col("blame") === col("s_suppkey"))
-      .select(col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(10)
   }
