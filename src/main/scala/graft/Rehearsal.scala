@@ -65,6 +65,17 @@ object Rehearsal {
       }
     }
     val pairCount = dedupProbes.head._1
+    // the capped probe (the ingestBatch default) on the same batch: on a
+    // boilerplate-heavy replica the fingerprint collapse should bound the
+    // fan-out the uncapped numbers above pay in full
+    val cappedProbes = (1 to 3).map { _ =>
+      time {
+        val h = operators.DedupIndex.probeIndexCappedManaged(spark,
+          dedupPath, batch)
+        val n = h.result.count(); h.close(); n
+      }
+    }
+    val cappedPairs = cappedProbes.head._1
 
     println(f"""{"dir":"$dir","nVec":$nVec,"nCorpusDocs":$nCorpus,""" +
       f""""lshBuildSec":$lshBuild%.2f,""" +
@@ -72,7 +83,9 @@ object Rehearsal {
       f""""bruteScanSec":${median(bruteTimes)}%.3f,""" +
       f""""dedupBuildSec":$dedupBuild%.2f,""" +
       f""""dedupProbe500Sec":${median(dedupProbes.map(_._2))}%.2f,""" +
-      f""""dedupProbePairs":$pairCount}""")
+      f""""dedupProbePairs":$pairCount,""" +
+      f""""cappedProbe500Sec":${median(cappedProbes.map(_._2))}%.2f,""" +
+      f""""cappedProbePairs":$cappedPairs}""")
     spark.stop()
   }
 }

@@ -69,11 +69,13 @@ object Graft {
     def buildIndex(docs: DataFrame, path: String): Unit =
       DedupIndex.writeSignatureIndex(docs, path)
 
-    /** Probe a batch against the persisted index (pruned reads) —
-      * [[DedupIndex.probeIndex]]. */
+    /** Probe a batch against the persisted index (pruned reads,
+      * hot-bucket-capped — the 100 TB-safe default; use
+      * [[DedupIndex.probeIndex]] directly for the uncapped variant) —
+      * [[DedupIndex.probeIndexCapped]]. */
     def probeIndex(spark: SparkSession, path: String,
         batch: DataFrame): DataFrame =
-      DedupIndex.probeIndex(spark, path, batch)
+      DedupIndex.probeIndexCapped(spark, path, batch)
 
     /** Probe + fold a batch into the index (the streaming ingest step) —
       * [[DedupIndex.ingestBatch]]. */

@@ -241,6 +241,25 @@ object CurationQueries {
     DedupIndex.probeIndex(s, path, all.filter(col("doc_id") % 5 === 4))
   }
 
+  /** q177: the persisted-index probe through the HOT-BUCKET CAP
+    * ([[DedupIndex.probeIndexCapped]]) — q143's round trip with the
+    * corpus side's band buckets population-bounded, closing the capped
+    * family: q174 caps the self-join, q175 the inline incremental join,
+    * q177 the INDEX-SERVED probe a 100 TB ingest pipeline actually runs
+    * (and [[DedupIndex.ingestBatch]] now defaults to). Cap active
+    * (maxBucket = 64), not binding on the gate corpus, so the same brute
+    * cross-split oracle pins equality with the uncapped q143; the hot
+    * semantics are property-tested with planted clusters. */
+  private def q177(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val path = graft.TempDirs.scratchAtExit("dedup_idx_cap")
+      .resolve("idx").toString
+    DedupIndex.writeSignatureIndex(
+      all.filter(col("doc_id") % 5 =!= 4), path)
+    DedupIndex.probeIndexCapped(s, path, all.filter(col("doc_id") % 5 === 4),
+      maxBucket = 64)
+  }
+
   /** q144: dedup index UPSERT round trip (q132's shape for the dedup
     * family): bulk-build on a v1 crawl (ids %5 ∈ {0,1,2}), upsert a batch
     * that both ADDS the %5==3 docs and RE-CRAWLS the %5==1 docs with
@@ -1465,6 +1484,7 @@ object CurationQueries {
     QueryDef("q140_quality_floor", q140, Some(q140Sql)),
     QueryDef("q141_index_orphans", q141, Some(q141Sql)),
     QueryDef("q143_dedup_index_probe", q143, Some(q95Sql)),
+    QueryDef("q177_capped_index_probe", q177, Some(q95Sql)),
     QueryDef("q144_dedup_index_upsert", q144, Some(q144Sql)),
     QueryDef("q145_stream_ingest_dedup", q145, Some(q145Sql)),
     QueryDef("q152_trained_filter", q152, Some(q152Sql)),

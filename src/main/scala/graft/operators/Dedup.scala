@@ -79,8 +79,10 @@ object Dedup {
   def signatureFingerprint(numHashes: Int): Column =
     xxhash64((0 until numHashes).map(i => col(s"h$i")): _*)
 
-  /** [[signatureBands]] carrying the doc's signature fingerprint. */
-  private def signatureBandsWithFp(sig: DataFrame, numHashes: Int,
+  /** [[signatureBands]] carrying the doc's signature fingerprint —
+    * shared with [[DedupIndex]], whose bands table stores the fingerprint
+    * so the persisted-index probe can hot-bucket-collapse. */
+  private[operators] def signatureBandsWithFp(sig: DataFrame, numHashes: Int,
       rowsPerBand: Int): DataFrame =
     sig
       .select(col("doc_id"), signatureFingerprint(numHashes).as("fp"),

@@ -11,8 +11,13 @@ import org.apache.spark.sql.functions._
   * (the [[Fts]] persisted-index pattern applied to the dedup family).
   *
   * Layout:
-  *   path/bands     (doc_id, band, bh)  partitioned by wb  = bh mod nBuckets
-  *   path/shingles  (doc_id, sg)        partitioned by dbk = doc_id mod nDocBuckets
+  *   path/bands     (doc_id, fp, band, bh)  partitioned by wb  = bh mod nBuckets
+  *   path/shingles  (doc_id, sg)            partitioned by dbk = doc_id mod nDocBuckets
+  *
+  * `fp` is the doc's full-signature fingerprint
+  * ([[Dedup.signatureFingerprint]], 8 B/row): it lets the capped probe
+  * pre-collapse boilerplate clusters ([[probeIndexCapped]]) without
+  * re-reading signatures; the uncapped probe column-prunes it away.
   *
   * A probe computes the batch's bands, reads ONLY the band buckets those hit
   * (partition pruning on wb, spec-asserted like the Fts/IVF indexes),
@@ -60,10 +65,16 @@ object DedupIndex {
       cfg.map { case (k, v) => k -> v.toString },
       s"dedup index at $path")
 
+  // bandsFp: bands-table schema generation — 1 = rows carry the doc's
+  // full-signature fingerprint (enables the hot-bucket-capped probe's
+  // same-fingerprint pre-collapse). Pinned so a probe never meets an
+  // index whose bands lack the column it collapses on: an index built by
+  // pre-fingerprint code fails the pin loudly and is rebuilt.
   private def configOf(n: Int, numHashes: Int, rowsPerBand: Int,
       nBuckets: Int, nDocBuckets: Int): Map[String, Int] =
     Map("n" -> n, "numHashes" -> numHashes, "rowsPerBand" -> rowsPerBand,
-      "nBuckets" -> nBuckets, "nDocBuckets" -> nDocBuckets)
+      "nBuckets" -> nBuckets, "nDocBuckets" -> nDocBuckets,
+      "bandsFp" -> 1)
 
   def writeSignatureIndex(docs: DataFrame, path: String, n: Int = 3,
       numHashes: Int = 32, rowsPerBand: Int = 2,
@@ -90,7 +101,10 @@ object DedupIndex {
       // concurrent builder aborts here and the retry bulk-rebuilds
       PartitionedIndexOps.requireVersion(fs, versionPath(path), claimed,
         s"dedup index bulk build at $path")
-      Dedup.signatureBands(Dedup.minhashSignatures(sg, numHashes),
+      // bands carry the signature fingerprint (8 B/row) so the capped
+      // probe can pre-collapse boilerplate clusters without re-reading
+      // signatures; the uncapped probe column-prunes it away
+      Dedup.signatureBandsWithFp(Dedup.minhashSignatures(sg, numHashes),
           numHashes, rowsPerBand)
         .withColumn("wb", bucketOf(col("bh"), nBuckets))
         .write.partitionBy("wb").mode("overwrite").parquet(path + "/bands")
@@ -161,7 +175,7 @@ object DedupIndex {
       val pruned = spark.read.parquet(shPath)
         .filter(col("dbk").isInCollection(dbkHit)).cache()
       prunedSh = Some(pruned)
-      val newBands = Dedup.signatureBands(
+      val newBands = Dedup.signatureBandsWithFp(
           Dedup.minhashSignatures(bsg, numHashes), numHashes, rowsPerBand)
         .withColumn("wb", bucketOf(col("bh"), nBuckets))
       val batchIds = bsg.select(col("doc_id")).distinct()
@@ -171,7 +185,7 @@ object DedupIndex {
       val oldSg = pruned
         .join(batchIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("sg"))
-      val oldBands = Dedup.signatureBands(
+      val oldBands = Dedup.signatureBandsWithFp(
           Dedup.minhashSignatures(oldSg, numHashes), numHashes, rowsPerBand)
         .withColumn("wb", bucketOf(col("bh"), nBuckets))
       // ≤ nBuckets values by construction
@@ -228,6 +242,38 @@ object DedupIndex {
     new ProbeHandle(plan, Seq(bsg, cand))
   }
 
+  /** [[probeIndex]] with the hot-bucket population cap on the CORPUS side
+    * of the band join — the persisted-index twin of
+    * [[Dedup.incrementalDupPairsCapped]], and the probe shape a 100 TB
+    * ingest pipeline should default to: without it, one boilerplate
+    * bucket with 10 k stored copies fans every matching batch doc out to
+    * all of them inside a single task. Output is identical to
+    * [[probeIndex]] whenever no hit bucket exceeds `maxBucket` members
+    * (the q177 oracle gate); on a hot bucket the batch doc's dup VERDICT
+    * survives via the fingerprint representatives, only the redundant
+    * partner enumeration is bounded (dropped-rep margin on stderr). */
+  def probeIndexCapped(spark: SparkSession, path: String, batch: DataFrame,
+      n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 2,
+      threshold: Double = 0.5, nBuckets: Int = 16,
+      nDocBuckets: Int = 16, maxBucket: Int = 64): DataFrame =
+    probeIndexCappedManaged(spark, path, batch, n, numHashes, rowsPerBand,
+      threshold, nBuckets, nDocBuckets, maxBucket).result
+
+  /** [[probeIndexCapped]] with cache ownership ([[probeIndexManaged]]'s
+    * contract). */
+  def probeIndexCappedManaged(spark: SparkSession, path: String,
+      batch: DataFrame, n: Int = 3, numHashes: Int = 32,
+      rowsPerBand: Int = 2, threshold: Double = 0.5, nBuckets: Int = 16,
+      nDocBuckets: Int = 16, maxBucket: Int = 64): ProbeHandle = {
+    requireConfig(spark, path,
+      configOf(n, numHashes, rowsPerBand, nBuckets, nDocBuckets))
+    val bsg = Dedup.shingleSets(batch, n).cache()
+    val (plan, cand) = probeCore(spark, path, bsg,
+      numHashes, rowsPerBand, threshold, nBuckets, nDocBuckets,
+      Some(maxBucket))
+    new ProbeHandle(plan, Seq(bsg, cand))
+  }
+
   /** The probe over a precomputed (cached) shingle frame — shared by
     * [[probeIndex]] and [[ingestBatch]] so the ingest loop pays the
     * shingle/signature pass once. Returns (pairs plan, pinned candidate
@@ -237,7 +283,8 @@ object DedupIndex {
     * pinned so the pruned-scan plan stays inspectable/composable. */
   private def probeCore(spark: SparkSession, path: String, bsg: DataFrame,
       numHashes: Int, rowsPerBand: Int, threshold: Double,
-      nBuckets: Int, nDocBuckets: Int): (DataFrame, DataFrame) = {
+      nBuckets: Int, nDocBuckets: Int,
+      maxBucket: Option[Int] = None): (DataFrame, DataFrame) = {
     val bb = Dedup.signatureBands(Dedup.minhashSignatures(bsg, numHashes),
         numHashes, rowsPerBand)
       .toDF("db", "band", "bh")
@@ -245,9 +292,46 @@ object DedupIndex {
     // ≤ nBuckets values by construction
     val hit = bb.select(bucketOf(col("bh"), nBuckets).as("wb")).distinct()
       .collect().map(_.getLong(0))
-    val cb = spark.read.parquet(path + "/bands")
+    // wb = bh mod nBuckets, so every member of a hit (band, bh) bucket is
+    // inside the pruned read — the capped branch's population counts see
+    // the FULL bucket membership
+    val cbAll = spark.read.parquet(path + "/bands")
       .filter(col("wb").isin(hit: _*))
-      .select(col("doc_id").as("da"), col("band"), col("bh"))
+    val cb = maxBucket match {
+      case None =>
+        cbAll.select(col("doc_id").as("da"), col("band"), col("bh"))
+      case Some(cap) =>
+        // [[Dedup.incrementalDupPairsCapped]]'s corpus-side cap served
+        // from the index: a batch doc landing in a boilerplate bucket is
+        // bounded to the bucket's fingerprint representatives instead of
+        // fanning out to every stored copy. Small buckets join exactly as
+        // the uncapped path (output IDENTICAL when nothing is hot — the
+        // q177 oracle gate); hot buckets collapse same-fp members to
+        // their min-doc_id rep (identical shingle sets whp — a batch doc
+        // matching a collapsed member matches its rep identically) and
+        // keep the `cap` smallest reps, dropped-rep margin on stderr.
+        import org.apache.spark.sql.expressions.Window
+        val base = cbAll.select(col("doc_id").as("da"), col("fp"),
+          col("band"), col("bh"))
+        val stats = base.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("m"))
+        val cs = base.join(stats, Seq("band", "bh"))
+        val small = cs.filter(col("m") <= cap)
+          .select(col("da"), col("band"), col("bh"))
+        val rk = cs.filter(col("m") > cap)
+          .groupBy(col("band"), col("bh"), col("fp"))
+          .agg(min(col("da")).as("da"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("band"), col("bh")).orderBy(col("da"))))
+        val m = rk.filter(col("rk") > cap)
+          .agg(count(lit(1)).as("reps"),
+            countDistinct(col("band"), col("bh")).as("buckets")).head
+        System.err.println(
+          s"[lsh-cap-idx] cappedBuckets=${m.getLong(1)} " +
+            s"droppedReps=${m.getLong(0)}")
+        small.union(
+          rk.filter(col("rk") <= cap).select(col("da"), col("band"), col("bh")))
+    }
     val cand = cb.join(bb.select(col("db"), col("band"), col("bh")),
         Seq("band", "bh"))
       .select(col("da"), col("db")).distinct().cache()
@@ -276,11 +360,15 @@ object DedupIndex {
     * upsertSignatureIndex would pay it twice). Returns the verified pairs
     * against the PRE-upsert index, checkpointed before the upsert mutates
     * the partitions the probe plan reads. First batch on an empty index
-    * bulk-builds and returns no pairs. */
+    * bulk-builds and returns no pairs. The probe runs hot-bucket-CAPPED
+    * (`maxBucket`, default 64): a long-running ingest is exactly where a
+    * boilerplate cluster accumulates, and the capped probe bounds the
+    * per-batch fan-out while preserving each batch doc's dup verdict
+    * (identical output while no bucket is hot — the q145 oracle). */
   def ingestBatch(spark: SparkSession, path: String, batch: DataFrame,
       n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 2,
       threshold: Double = 0.5, nBuckets: Int = 16,
-      nDocBuckets: Int = 16): DataFrame = {
+      nDocBuckets: Int = 16, maxBucket: Int = 64): DataFrame = {
     requireConfig(spark, path,
       configOf(n, numHashes, rowsPerBand, nBuckets, nDocBuckets))
     val fs = fsOf(spark, path)
@@ -299,8 +387,12 @@ object DedupIndex {
     }
     val bsg = Dedup.shingleSets(batch, n).cache()
     try {
+      // the ingest loop is the 100 TB path — capped by default: a corpus
+      // that has accumulated a boilerplate cluster must not quadratic-fan
+      // every matching batch doc (q175's bound, served from the index)
       val (plan, cand) = probeCore(spark, path, bsg,
-        numHashes, rowsPerBand, threshold, nBuckets, nDocBuckets)
+        numHashes, rowsPerBand, threshold, nBuckets, nDocBuckets,
+        Some(maxBucket))
       val pairs = plan
         .localCheckpoint(true) // pin before the upsert rewrites the index
       // pairs is fully materialized — release the candidate cache so a

@@ -94,6 +94,11 @@ class EmptyBatchSpec extends AnyFunSuite {
     assert(snapshot(idx + "/bands", Seq("doc_id", "band", "bh")) == bands)
     val pairs = DedupIndex.probeIndex(spark, idx, docs.filter(lit(false)))
     assert(pairs.count() == 0)
+    // the capped probe's stats/collapse branch must survive an empty
+    // batch too (zero hit buckets -> empty corpus side -> zero-row margin)
+    val capped = DedupIndex.probeIndexCapped(
+      spark, idx, docs.filter(lit(false)))
+    assert(capped.count() == 0)
   }
 
   test("empty anchor frame: batchProbe returns no candidates") {

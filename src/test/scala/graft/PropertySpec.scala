@@ -233,6 +233,58 @@ class PropertySpec extends AnyFunSuite {
     } finally sig.unpersist()
   }
 
+  test("capped index probe: hot stored bucket bounds fan-out, dup verdicts survive") {
+    import spark.implicits._
+    // a stored boilerplate cluster (60 identical copies) plus distinct
+    // docs; the batch re-sends the boilerplate and one distinct doc
+    val boiler = "the quick brown fox jumps over the lazy dog again and again today"
+    val nCopies = 60
+    val distinct = samples(Gen.listOfN(12, wordGen).map(_.mkString(" ")), 20)
+    val corpus = (0 until nCopies).map(i => (i.toLong, boiler)) ++
+      distinct.zipWithIndex.map { case (t, i) => (1000L + i, t) }
+    val idx = java.nio.file.Files.createTempDirectory("cap_idx")
+      .resolve("idx").toString
+    graft.operators.DedupIndex.writeSignatureIndex(
+      corpus.toDF("doc_id", "text"), idx)
+    val batch = Seq((5000L, boiler), (5001L, distinct.head))
+      .toDF("doc_id", "text")
+    val uncapped = graft.operators.DedupIndex.probeIndex(spark, idx, batch)
+    val capped = graft.operators.DedupIndex.probeIndexCapped(
+      spark, idx, batch, maxBucket = 8)
+    val u = uncapped.filter(col("db") === 5000L).count()
+    val c = capped.filter(col("db") === 5000L).count()
+    // uncapped: the batch copy pairs every stored copy (the blowup shape);
+    // capped: the fingerprint collapse bounds it to the cluster rep
+    assert(u == nCopies.toLong, s"expected full fan-out, got $u")
+    assert(c >= 1 && c < u, s"capped fan-out not bounded: $c vs $u")
+    // the distinct doc's buckets aren't hot: its pairs are IDENTICAL
+    val uf = uncapped.filter(col("db") === 5001L)
+      .collect().map(_.toSeq).toSet
+    val cf = capped.filter(col("db") === 5001L)
+      .collect().map(_.toSeq).toSet
+    assert(uf.nonEmpty, "distinct batch doc found no stored dup — vacuous")
+    assert(cf == uf)
+  }
+
+  test("capped index probe equals uncapped when no stored bucket is hot") {
+    import spark.implicits._
+    val base = samples(Gen.listOfN(8, wordGen).map(_.mkString(" ")), 40)
+    val corpus = base.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val batch = base.take(6).zipWithIndex
+      .map { case (t, i) => (100L + i, t) }
+    val idx = java.nio.file.Files.createTempDirectory("cap_idx_eq")
+      .resolve("idx").toString
+    graft.operators.DedupIndex.writeSignatureIndex(
+      corpus.toDF("doc_id", "text"), idx)
+    val b = batch.toDF("doc_id", "text")
+    val u = graft.operators.DedupIndex.probeIndex(spark, idx, b)
+      .collect().map(_.toSeq).toSet
+    val c = graft.operators.DedupIndex.probeIndexCapped(spark, idx, b)
+      .collect().map(_.toSeq).toSet
+    assert(u.nonEmpty)
+    assert(c == u)
+  }
+
   test("chunking reassembles the original token stream for random docs") {
     import spark.implicits._
     val docs = samples(Gen.chooseNum(1, 150), 60).zipWithIndex.map {

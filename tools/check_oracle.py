@@ -8,18 +8,30 @@ by name and rows by all columns, and compares values exactly.
 
 Usage: python3 tools/check_oracle.py <sfDir> <outDir> [oracle_timeout_sec]
 
-The optional third arg caps each ORACLE query's DuckDB runtime (via
-connection.interrupt()); a timed-out oracle reports `skip` instead of
-fail. Only meaningful for scale-replica gates (x10: the deliberate
-O(n^2) brute oracles are 2.5G-pair scans DuckDB cannot finish) — the
-driver-parity default runs every oracle to completion.
+The optional third arg caps each ORACLE's wall time; a timed-out oracle
+reports `skip` instead of fail. Only meaningful for scale-replica gates
+(x10: the deliberate O(n^2) brute oracles are 1.25G-pair scans DuckDB
+cannot finish) — the driver-parity default runs every oracle in-process
+to completion. The cap is a HARD kill: each oracle runs in its own
+spawned child process (connection.interrupt() proved insufficient — the
+q89 recursive-closure-over-brute-pairs oracle ran >25 min at x10 with an
+armed 120 s interrupt timer, because DuckDB's pair-join morsels never
+check the interrupt flag). A child killed by a signal (our timeout kill,
+or the OOM killer on a pair-explosion) records `skip`; an SQL error
+inside the child still records FAIL.
 """
 import json
 import math
+import multiprocessing
+import os
+import pickle
 import sys
-import threading
+import tempfile
 
 import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
 
 
 def canon(rows, cols):
@@ -40,12 +52,62 @@ def canon(rows, cols):
     return out
 
 
+def _run_oracle(sf_dir, sql, out_path):
+    """Child-process oracle runner: own connection, result via pickle."""
+    try:
+        con = duckdb.connect()
+        # the progress bar writes partial lines to OUR stdout; they prefix
+        # the per-query verdict lines and break gate_x10's line parsing
+        con.execute("SET enable_progress_bar=false")
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        rel = con.sql(sql)
+        payload = ("ok", rel.fetchall(), list(rel.columns))
+    except Exception as e:  # an SQL error is a real FAIL, not a timeout
+        payload = ("err", str(e), None)
+    with open(out_path, "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def oracle_rows(con, sf_dir, sql, timeout, ctx):
+    """Returns (status, rows, cols) with status ok|err|skip."""
+    if timeout is None:
+        rel = con.sql(sql)
+        return "ok", rel.fetchall(), list(rel.columns)
+    fd, tmp = tempfile.mkstemp(suffix=".pkl")
+    os.close(fd)
+    try:
+        p = ctx.Process(target=_run_oracle, args=(sf_dir, sql, tmp))
+        p.start()
+        p.join(timeout)
+        if p.is_alive():
+            p.kill()
+            p.join()
+            return "skip", f"oracle exceeded {timeout}s (hard-killed)", None
+        if p.exitcode != 0:
+            return ("skip",
+                    f"oracle child died (signal/OOM, exit {p.exitcode})",
+                    None)
+        with open(tmp, "rb") as f:
+            status, a, b = pickle.load(f)
+        return (status, a, b)
+    finally:
+        os.unlink(tmp)
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     timeout = float(sys.argv[3]) if len(sys.argv) > 3 else None
+    ctx = multiprocessing.get_context("spawn")
     con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
+    # long spark-result reads otherwise emit progress-bar fragments that
+    # prefix our verdict lines and break gate_x10's line parsing (the
+    # round-8 x10 artifact under-counted 9 skips to exactly this)
+    con.execute("SET enable_progress_bar=false")
+    # the in-process (no-timeout, driver-parity) path runs oracles on this
+    # connection; the hard-kill path re-creates the views in each child
+    for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
@@ -55,44 +117,42 @@ def main():
             spark_rel = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             srows, scols = spark_rel.fetchall(), [c for c in spark_rel.columns]
-            timer = (threading.Timer(timeout, con.interrupt)
-                     if timeout else None)
-            if timer:
-                timer.start()
-            try:
-                duck_rel = con.sql(oracle[name])
-                drows, dcols = (duck_rel.fetchall(),
-                                [c for c in duck_rel.columns])
-            finally:
-                if timer:
-                    timer.cancel()
-        except duckdb.InterruptException:
-            print(f"skip {name}: oracle exceeded {timeout}s in DuckDB "
-                  "(scale-replica gate: brute oracle infeasible at this SF)")
+            status, drows, dcols = oracle_rows(
+                con, sf_dir, oracle[name], timeout, ctx)
+        except Exception as e:
+            print(f"FAIL {name}: {e}", flush=True)
+            n_bad += 1
+            continue
+        if status == "skip":
+            print(f"skip {name}: {drows} (scale-replica gate: brute oracle "
+                  "infeasible at this SF)", flush=True)
             n_skip += 1
             continue
-        except Exception as e:
-            print(f"FAIL {name}: {e}")
+        if status == "err":
+            print(f"FAIL {name}: {drows}", flush=True)
             n_bad += 1
             continue
         if sorted(scols) != sorted(dcols):
-            print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            print(f"FAIL {name}: columns spark={sorted(scols)} "
+                  f"duck={sorted(dcols)}", flush=True)
             n_bad += 1
             continue
         cs, cd = canon(srows, scols), canon(drows, dcols)
         if len(cs) != len(cd):
-            print(f"FAIL {name}: rows spark={len(cs)} duck={len(cd)}")
+            print(f"FAIL {name}: rows spark={len(cs)} duck={len(cd)}",
+                  flush=True)
             n_bad += 1
         elif cs != cd:
             diff = [i for i, (a, b) in enumerate(zip(cs, cd)) if a != b]
             print(f"FAIL {name}: {len(diff)} mismatched rows of {len(cs)}; "
-                  f"first: spark={cs[diff[0]]} duck={cd[diff[0]]}")
+                  f"first: spark={cs[diff[0]]} duck={cd[diff[0]]}",
+                  flush=True)
             n_bad += 1
         else:
-            print(f"ok   {name} ({len(cs)} rows)")
+            print(f"ok   {name} ({len(cs)} rows)", flush=True)
             n_ok += 1
     skip_note = f", {n_skip} skip(oracle-timeout)" if n_skip else ""
-    print(f"== {n_ok} ok, {n_bad} fail{skip_note} ==")
+    print(f"== {n_ok} ok, {n_bad} fail{skip_note} ==", flush=True)
     sys.exit(1 if n_bad else 0)
 
 
