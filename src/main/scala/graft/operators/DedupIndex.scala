@@ -313,9 +313,10 @@ object DedupIndex {
         import org.apache.spark.sql.expressions.Window
         val base = cbAll.select(col("doc_id").as("da"), col("fp"),
           col("band"), col("bh"))
-        val stats = base.groupBy(col("band"), col("bh"))
-          .agg(count(lit(1)).as("m"))
-        val cs = base.join(stats, Seq("band", "bh"))
+        // single-exchange bucket counts (see Dedup.lshCandidatesCapped):
+        // the window partitioning also serves the fp collapse + rep rank
+        val cs = base.withColumn("m",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
         val small = cs.filter(col("m") <= cap)
           .select(col("da"), col("band"), col("bh"))
         val rk = cs.filter(col("m") > cap)
