@@ -154,8 +154,10 @@ object Dedup {
       .filter(col("da") < col("db"))
       .select(col("da"), col("db"))
     val hot = bs.filter(col("m") > maxBucket)
+    // gm = collapsed group size, carried so the margin can report how much
+    // work the fingerprint collapse absorbed (not just what the cap dropped)
     val reps = hot.groupBy(col("band"), col("bh"), col("fp"))
-      .agg(min(col("doc_id")).as("rep"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("gm"))
     // rep = min(doc_id) of the group, so star pairs are already da < db
     val star = hot.join(reps, Seq("band", "bh", "fp"))
       .filter(col("doc_id") =!= col("rep"))
@@ -176,13 +178,20 @@ object Dedup {
           .select(col("band"), col("bh"), col("rep").as("da")),
         Seq("band", "bh"))
       .select(col("da"), col("rep").as("db"))
-    // recall margin, q167-style: how many diverse reps the cap dropped
-    // (bounded action — two longs; zero on any corpus with no hot bucket)
-    val m = dropped
-      .agg(count(lit(1)).as("reps"),
-        countDistinct(col("band"), col("bh")).as("buckets")).head
+    // recall margin, q167-style, one bounded agg: hotBuckets/hotMembers
+    // show what the fingerprint collapse absorbed (a 100-copy boilerplate
+    // cluster can bound 469 M pairs to 84 M with ZERO dropped reps — the
+    // ×100 rehearsal's shape); droppedReps/cappedBuckets show what the rep
+    // cap actually forwent. All zero on a corpus with no hot bucket.
+    val m = rk.agg(
+      countDistinct(col("band"), col("bh")).as("hotBuckets"),
+      coalesce(sum(col("gm")), lit(0L)).as("hotMembers"),
+      count(when(col("rk") > maxBucket, 1)).as("droppedReps"),
+      countDistinct(when(col("rk") > maxBucket,
+        struct(col("band"), col("bh")))).as("cappedBuckets")).head
     System.err.println(
-      s"[$tag] cappedBuckets=${m.getLong(1)} droppedReps=${m.getLong(0)}")
+      s"[$tag] hotBuckets=${m.getLong(0)} hotMembers=${m.getLong(1)} " +
+        s"cappedBuckets=${m.getLong(3)} droppedReps=${m.getLong(2)}")
     smallPairs.union(star).union(repPairs).union(repStar).distinct()
   }
 
@@ -284,24 +293,37 @@ object Dedup {
     val cb = signatureBandsWithFp(csig, numHashes, rowsPerBand)
     val bb = signatureBands(minhashSignatures(bsg, numHashes),
       numHashes, rowsPerBand).toDF("db", "band", "bh")
+    // restrict the corpus side to buckets the BATCH hits before counting
+    // (broadcast semi on the batch's tiny (band, bh) key set): counts stay
+    // exact — every member of a hit bucket survives the semi — and the
+    // window below never pays for buckets that could not produce a
+    // candidate (the ×100 index-probe A/B measured 3× on this)
+    val cbHit = cb.join(
+      broadcast(bb.select(col("band"), col("bh")).distinct()),
+      Seq("band", "bh"), "left_semi")
     // single-exchange bucket counts (see lshCandidatesCapped): the window
     // partitioning serves the small/hot split AND the rep collapse below
-    val cs = cb.withColumn("m",
+    val cs = cbHit.withColumn("m",
       count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
     val small = cs.filter(col("m") <= maxBucket)
       .select(col("doc_id").as("da"), col("band"), col("bh"))
     val hot = cs.filter(col("m") > maxBucket)
     val rk = hot.groupBy(col("band"), col("bh"), col("fp"))
-      .agg(min(col("doc_id")).as("rep"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("gm"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("band"), col("bh")).orderBy(col("rep"))))
     val kept = rk.filter(col("rk") <= maxBucket)
       .select(col("rep").as("da"), col("band"), col("bh"))
-    val m = rk.filter(col("rk") > maxBucket)
-      .agg(count(lit(1)).as("reps"),
-        countDistinct(col("band"), col("bh")).as("buckets")).head
+    // margin: collapse absorption + cap action (see lshCandidatesCapped)
+    val m = rk.agg(
+      countDistinct(col("band"), col("bh")).as("hotBuckets"),
+      coalesce(sum(col("gm")), lit(0L)).as("hotMembers"),
+      count(when(col("rk") > maxBucket, 1)).as("droppedReps"),
+      countDistinct(when(col("rk") > maxBucket,
+        struct(col("band"), col("bh")))).as("cappedBuckets")).head
     System.err.println(
-      s"[$tag] cappedBuckets=${m.getLong(1)} droppedReps=${m.getLong(0)}")
+      s"[$tag] hotBuckets=${m.getLong(0)} hotMembers=${m.getLong(1)} " +
+        s"cappedBuckets=${m.getLong(3)} droppedReps=${m.getLong(2)}")
     val cand = small.union(kept).join(bb, Seq("band", "bh"))
       .select(col("da"), col("db")).distinct()
     val j = TextFunctions.jaccard(col("sga"), col("sgb"))

@@ -297,6 +297,10 @@ object DedupIndex {
     // the FULL bucket membership
     val cbAll = spark.read.parquet(path + "/bands")
       .filter(col("wb").isin(hit: _*))
+    // capped branch's semi-filtered+counted frame, cached so the margin
+    // action and the candidate materialization share ONE pruned read;
+    // released below once cand is pinned
+    var capCs: Option[DataFrame] = None
     val cb = maxBucket match {
       case None =>
         cbAll.select(col("doc_id").as("da"), col("band"), col("bh"))
@@ -311,25 +315,44 @@ object DedupIndex {
         // matching a collapsed member matches its rep identically) and
         // keep the `cap` smallest reps, dropped-rep margin on stderr.
         import org.apache.spark.sql.expressions.Window
+        // restrict to buckets the BATCH actually hits before any counting:
+        // wb-pruning alone still reads every bucket sharing the hit wb
+        // values (≈ the whole corpus for a spread batch), and the ×100
+        // rehearsal measured the window count paying for all of it (7.2 M
+        // hot members, capped probe 5.8 s vs uncapped 1.8 s). The batch's
+        // (band, bh) key set is tiny (|batch| × bands rows), so a
+        // broadcast semi-join drops non-hit buckets for free; counts stay
+        // exact because every member of a hit bucket survives the semi,
+        // and non-hit buckets could never produce candidates anyway.
+        val hitKeys = broadcast(
+          bb.select(col("band"), col("bh")).distinct())
         val base = cbAll.select(col("doc_id").as("da"), col("fp"),
           col("band"), col("bh"))
+          .join(hitKeys, Seq("band", "bh"), "left_semi")
         // single-exchange bucket counts (see Dedup.lshCandidatesCapped):
         // the window partitioning also serves the fp collapse + rep rank
         val cs = base.withColumn("m",
           count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+          .cache()
+        capCs = Some(cs)
         val small = cs.filter(col("m") <= cap)
           .select(col("da"), col("band"), col("bh"))
         val rk = cs.filter(col("m") > cap)
           .groupBy(col("band"), col("bh"), col("fp"))
-          .agg(min(col("da")).as("da"))
+          .agg(min(col("da")).as("da"), count(lit(1)).as("gm"))
           .withColumn("rk", row_number().over(
             Window.partitionBy(col("band"), col("bh")).orderBy(col("da"))))
-        val m = rk.filter(col("rk") > cap)
-          .agg(count(lit(1)).as("reps"),
-            countDistinct(col("band"), col("bh")).as("buckets")).head
+        // margin: collapse absorption + cap action (Dedup.lshCandidatesCapped)
+        val m = rk.agg(
+          countDistinct(col("band"), col("bh")).as("hotBuckets"),
+          coalesce(sum(col("gm")), lit(0L)).as("hotMembers"),
+          count(when(col("rk") > cap, 1)).as("droppedReps"),
+          countDistinct(when(col("rk") > cap,
+            struct(col("band"), col("bh")))).as("cappedBuckets")).head
         System.err.println(
-          s"[lsh-cap-idx] cappedBuckets=${m.getLong(1)} " +
-            s"droppedReps=${m.getLong(0)}")
+          s"[lsh-cap-idx] hotBuckets=${m.getLong(0)} " +
+            s"hotMembers=${m.getLong(1)} cappedBuckets=${m.getLong(3)} " +
+            s"droppedReps=${m.getLong(2)}")
         small.union(
           rk.filter(col("rk") <= cap).select(col("da"), col("band"), col("bh")))
     }
@@ -339,9 +362,11 @@ object DedupIndex {
     // ≤ nDocBuckets values by construction
     val dHit = cand.select(bucketOf(col("da"), nDocBuckets).as("dbk"))
       .distinct().collect().map(_.getLong(0))
-    // cand is fully materialized by the collect above; bb is dead now —
-    // release it so per-batch probes don't accumulate pinned caches
+    // cand is fully materialized by the collect above; bb and the capped
+    // branch's cs are dead now — release them so per-batch probes don't
+    // accumulate pinned caches
     bb.unpersist()
+    capCs.foreach(_.unpersist())
     val csg = spark.read.parquet(path + "/shingles")
       .filter(col("dbk").isin(dHit: _*))
       .select(col("doc_id").as("da"), col("sg").as("sga"))
