@@ -233,6 +233,72 @@ class PropertySpec extends AnyFunSuite {
     } finally sig.unpersist()
   }
 
+  test("capped candidates preserve dup COMPONENTS under planted boilerplate") {
+    import spark.implicits._
+    // the star-link design's central claim, asserted as a partition
+    // equality: boilerplate clusters (identical copies → one fingerprint
+    // group) collapse to a representative with every member star-linked,
+    // so dupComponents over the capped pipeline must equal the uncapped
+    // partition EXACTLY — same components, same min-id survivor — while
+    // the capped pair list is far smaller. Two clusters (one far over the
+    // cap, one under it) plus random distinct docs.
+    val bigBoiler = "terms of service apply to all users of this site every day"
+    val smallBoiler = "subscribe to our newsletter for updates and exclusive offers now"
+    val distinct = samples(Gen.listOfN(12, wordGen).map(_.mkString(" ")), 25)
+    val docs = ((0 until 40).map(i => (i.toLong, bigBoiler)) ++
+      (0 until 5).map(i => (100L + i, smallBoiler)) ++
+      distinct.zipWithIndex.map { case (t, i) => (1000L + i, t) })
+      .toDF("doc_id", "text")
+    val cap = 8
+    val uPairs = graft.operators.Dedup.minhashDupPairs(docs)
+    val cPairs = graft.operators.Dedup.minhashDupPairsCapped(docs,
+      maxBucket = cap)
+    val uComp = graft.operators.Dedup.dupComponents(
+      uPairs.select(col("da"), col("db"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cComp = graft.operators.Dedup.dupComponents(
+      cPairs.select(col("da"), col("db"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uComp.nonEmpty, "no components formed — vacuous corpus")
+    assert(cComp == uComp,
+      s"capped components diverge: ${cComp.diff(uComp)} vs ${uComp.diff(cComp)}")
+    // and the cap actually did work: the 40-copy cluster's pair list is
+    // bounded (star + rep pairs), not the 40·39/2 clique
+    val uBig = uPairs.filter(col("da") < 40 && col("db") < 40).count()
+    val cBig = cPairs.filter(col("da") < 40 && col("db") < 40).count()
+    assert(uBig == 40L * 39 / 2, s"uncapped clique expected, got $uBig")
+    assert(cBig < uBig, s"capped pair list not bounded: $cBig vs $uBig")
+  }
+
+  test("capped index probe preserves per-batch-doc dup verdicts on a mixed corpus") {
+    import spark.implicits._
+    // verdict preservation, the ingest loop's contract: the SET of batch
+    // docs flagged as duplicates must be identical capped vs uncapped —
+    // a batch doc matching a collapsed boilerplate member matches its
+    // representative instead, and one that matches nothing stays clean.
+    val boiler = "click here to accept cookies and continue to the main content"
+    val distinct = samples(Gen.listOfN(12, wordGen).map(_.mkString(" ")), 30)
+    val corpus = ((0 until 50).map(i => (i.toLong, boiler)) ++
+      distinct.take(20).zipWithIndex.map { case (t, i) => (1000L + i, t) })
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("cap_verdict")
+      .resolve("idx").toString
+    graft.operators.DedupIndex.writeSignatureIndex(corpus, idx)
+    // batch: re-sent boilerplate, re-sent distinct docs, and fresh docs
+    // the corpus has never seen
+    val batch = (Seq((5000L, boiler), (5001L, distinct(3)), (5002L, distinct(7))) ++
+      distinct.drop(20).zipWithIndex.map { case (t, i) => (6000L + i, t) })
+      .toDF("doc_id", "text")
+    val u = graft.operators.DedupIndex.probeIndex(spark, idx, batch)
+      .select(col("db")).distinct().collect().map(_.getLong(0)).toSet
+    val c = graft.operators.DedupIndex.probeIndexCapped(
+        spark, idx, batch, maxBucket = 8)
+      .select(col("db")).distinct().collect().map(_.getLong(0)).toSet
+    assert(u.contains(5000L) && u.contains(5001L),
+      s"uncapped probe missed planted dups — vacuous: $u")
+    assert(c == u, s"verdict sets diverge: capped $c vs uncapped $u")
+  }
+
   test("capped index probe: hot stored bucket bounds fan-out, dup verdicts survive") {
     import spark.implicits._
     // a stored boilerplate cluster (60 identical copies) plus distinct
