@@ -137,16 +137,19 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val bands = signatureBandsWithFp(sig, numHashes, rowsPerBand)
     // bucket population as a WINDOW count over the (band, bh) partitioning,
-    // not an aggregate joined back: the join-back shape pays the bands
-    // exchange twice (once into the agg, once into the join) where this
-    // pays it ONCE — and every branch below (small self-join, fp collapse,
-    // rep rank) clusters on (band, bh)-prefixed keys, so Catalyst serves
-    // them all from this single exchange with no further shuffle
-    // (q174 ×10 A/B: join-back 9.5 s / 11.9 M shuffle records → window
-    // 6.4 s / 9.9 M; the residual vs the uncapped 3.9 s is the window
-    // sort plus the margin action — the price of the bound)
+    // not an aggregate joined back (q174 ×10 A/B: join-back 9.5 s / 11.9 M
+    // shuffle records → window 6.4 s / 9.9 M), and the windowed frame
+    // CACHED: without the cache each of the branches below re-executes the
+    // band exchange — per-branch column pruning pushes different projects
+    // under it, so ReuseExchange never matches them (PlanSpec pins the
+    // cached shape: exactly one band-table-sized exchange). The cache is
+    // in line with this path's existing corpus-sized sg/sig caches (the
+    // scaladoc's 100 TB note applies: at that scale the signatures live in
+    // the persisted DedupIndex and the probe paths cache only the
+    // batch-hit slice).
     val bs = bands.withColumn("m",
       count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .cache()
     val small = bs.filter(col("m") <= maxBucket)
     val smallPairs = small.select(col("doc_id").as("da"), col("band"), col("bh"))
       .join(small.select(col("doc_id").as("db"), col("band"), col("bh")),
@@ -301,10 +304,13 @@ object Dedup {
     val cbHit = cb.join(
       broadcast(bb.select(col("band"), col("bh")).distinct()),
       Seq("band", "bh"), "left_semi")
-    // single-exchange bucket counts (see lshCandidatesCapped): the window
-    // partitioning serves the small/hot split AND the rep collapse below
+    // windowed bucket counts over the batch-hit slice, cached so the
+    // small/hot branches and the margin action share one computation
+    // (see lshCandidatesCapped — without the cache each branch re-runs
+    // the exchange); small by construction: only buckets the batch hits
     val cs = cbHit.withColumn("m",
       count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .cache()
     val small = cs.filter(col("m") <= maxBucket)
       .select(col("doc_id").as("da"), col("band"), col("bh"))
     val hot = cs.filter(col("m") > maxBucket)

@@ -120,9 +120,22 @@ object Pq {
 
   /** Encode a raw vector to its `m` nearest-codeword ids over the
     * NORMALIZED vector (ADC dots then approximate cosine) — the stored
-    * index representation; pure flat expression, computed at ingest.
+    * index representation, computed at ingest. Served by the native
+    * [[graft.functions.PqEncode]] expression: the composed
+    * array-of-greatest form ([[encodeExprComposed]], kept for the
+    * bit-parity property test) expands to m × k × subDim element_at
+    * nodes and overflowed janino at m=8, k=16, dim=64, silently dropping
+    * the ENCODE SCAN — index build included — to interpreted eval
+    * (measured on q150/q151/q154/q158; the LshBuckets story repeating on
+    * the PQ path). Codes are bit-identical between the two forms.
     * `norm` must be [[vecNorm]] hoisted into its own column. */
   def encodeExpr(emb: Column, norm: Column,
+      books: Array[Array[Array[Double]]]): Column =
+    graft.functions.PqEncode(emb, norm, books)
+
+  /** The pre-native composed encode — the bit-parity reference for
+    * [[graft.functions.PqEncode]] (PropertySpec), never the hot path. */
+  private[graft] def encodeExprComposed(emb: Column, norm: Column,
       books: Array[Array[Array[Double]]]): Column = {
     val subDim = books(0)(0).length
     array(books.indices.map { j =>

@@ -242,4 +242,70 @@ class PlanSpec extends AnyFunSuite {
     val stale = bounded.keys.filterNot(found.contains)
     assert(stale.isEmpty, s"whitelist entries with no collect anymore: $stale")
   }
+
+  test("capped LSH candidate gen pays the band-table exchange ONCE") {
+    // the single-exchange claim behind the q174 ×10 win (join-back 9.5 s →
+    // window 6.4 s): bucket populations come from a window over the
+    // (band, bh) partitioning, and every downstream branch reuses that one
+    // exchange. Pin it by metric: exactly ONE shuffle carries the full
+    // band-table volume (nDocs × 16 bands); the join-back shape carried it
+    // twice. A plan regression (lost reuse, reintroduced join-back) shows
+    // up as a second band-sized exchange and fails here.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def nodes(p: SparkPlan): Seq[SparkPlan] = (p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case _ => p.children.flatMap(nodes)
+    }) :+ p
+    val nDocs = 80
+    val docs = (0 until nDocs).map(i =>
+      (i.toLong, s"alpha bravo charlie delta echo foxtrot golf hotel india d$i"))
+      .toDF("doc_id", "text")
+    val sig = graft.operators.Dedup.minhashSignatures(
+      graft.operators.Dedup.shingleSets(docs, 3), 32).cache()
+    try {
+      val cands = graft.operators.Dedup.lshCandidatesCapped(sig, 32, 2)
+      cands.collect()
+      val bandRows = nDocs.toLong * 16
+      val written = nodes(cands.queryExecution.executedPlan).collect {
+        case s: ShuffleExchangeLike =>
+          s.metrics.get("shuffleRecordsWritten").map(_.value)
+            .getOrElse(fail(s"shuffleRecordsWritten metric missing on $s"))
+      }
+      val bandSized = written.count(_ >= bandRows)
+      assert(bandSized == 1,
+        s"expected exactly one band-table-sized exchange (>= $bandRows " +
+          s"records), got $bandSized of $written")
+    } finally sig.unpersist()
+    // and with a planted hot cluster (100 copies, cap 8): NO exchange may
+    // carry the quadratic pair volume the cap exists to prevent — the
+    // uncapped clique alone would put ~100·99/2 ≈ 4950 pair records
+    // through the candidate exchange; capped, every exchange stays within
+    // the linear band-table volume plus the bounded candidate output
+    val hotDocs = ((0 until 100).map(i =>
+      (i.toLong, "one two three four five six seven eight nine ten")) ++
+      (0 until 30).map(i =>
+        (500L + i, s"golf hotel india juliet kilo lima mike november x$i")))
+      .toDF("doc_id", "text")
+    val hotSig = graft.operators.Dedup.minhashSignatures(
+      graft.operators.Dedup.shingleSets(hotDocs, 3), 32).cache()
+    try {
+      val cands = graft.operators.Dedup.lshCandidatesCapped(hotSig, 32, 2,
+        maxBucket = 8)
+      val n = cands.collect().length
+      val hotBandRows = 130L * 16
+      val writtenHot = nodes(cands.queryExecution.executedPlan).collect {
+        case s: ShuffleExchangeLike =>
+          s.metrics.get("shuffleRecordsWritten").map(_.value)
+            .getOrElse(fail(s"shuffleRecordsWritten metric missing on $s"))
+      }
+      assert(writtenHot.forall(_ <= hotBandRows + n + 100),
+        s"an exchange carries quadratic hot-bucket volume: $writtenHot " +
+          s"(band rows $hotBandRows, candidates $n)")
+    } finally hotSig.unpersist()
+  }
 }

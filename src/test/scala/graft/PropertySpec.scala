@@ -663,4 +663,33 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("PqEncode is bit-identical to the composed encode on random vectors") {
+    // same load-bearing claim as the LshBuckets parity: codes stored by
+    // either formulation must probe correctly under the other. Trained
+    // codebooks (not random ones) so ties and near-ties occur the way
+    // they do in production; vectors include negatives and a zero vector
+    // (vecNorm guards it to norm 1).
+    import spark.implicits._
+    val dim = 16; val m = 4; val k = 8
+    val vecGen: Gen[Seq[Float]] = Gen.listOfN(dim,
+      Gen.chooseNum(-4.0f, 4.0f)).map(_.toSeq)
+    val vecs = samples(vecGen, 150) :+ Seq.fill(dim)(0.0f)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "emb").repartition(4)
+    val books = graft.operators.Pq.trainCodebooks(df, "emb", "id", m, k)
+    val base = df.withColumn("n",
+      graft.operators.Pq.vecNorm(col("emb"), dim))
+    val native = base.select(col("id"),
+        graft.operators.Pq.encodeExpr(col("emb"), col("n"), books).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val composed = base.select(col("id"),
+        graft.operators.Pq.encodeExprComposed(col("emb"), col("n"), books)
+          .as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(native.nonEmpty && native.size == composed.size)
+    composed.foreach { case (id, c) =>
+      assert(native(id) == c, s"vector $id: native ${native(id)} vs $c")
+    }
+  }
 }
