@@ -22,11 +22,23 @@ object Similarity {
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit bucket id of a vector (flat element_at arithmetic over a
-    * literal plane matrix — stays inside whole-stage codegen; the
-    * higher-order-function formulation was CodegenFallback/interpreted,
-    * same fold order so buckets are bit-identical). */
+  /** Sign-bit bucket id of an `array<float>` vector — served by the native
+    * [[graft.functions.LshBuckets]] expression (one plane set, element 1 of
+    * the per-table array). The flat element_at form ([[bucketExprComposed]],
+    * kept as the bit-parity reference) expands to numPlanes × dim Catalyst
+    * nodes — at the q84/q136 geometry (16 planes × 64 dims = 1024 nodes,
+    * and the dot sums re-inlined per sign test) the generated projection
+    * overflows janino and the whole bucketing stage silently drops to
+    * interpreted eval. Buckets are bit-identical between the two forms
+    * (PropertySpec), so indexes and oracle hashes are unchanged. */
   def bucketExpr(emb: Column, planes: Array[Array[Double]]): Column =
+    element_at(graft.functions.LshBuckets(emb, Seq(planes)), 1)
+
+  /** The pre-native composed bucket expression — the bit-parity reference
+    * for [[graft.functions.LshBuckets]] (PropertySpec), never the hot
+    * path. Unlike the native form it accepts any numeric element type. */
+  private[graft] def bucketExprComposed(emb: Column,
+      planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val dot = p.indices.map { d =>
         element_at(emb, d + 1).cast("double") * lit(p(d))
@@ -71,16 +83,30 @@ object Similarity {
 
   /** Dot product of a vector column against a literal double vector
     * (centroids are unit-normalized, so argmax dot == argmax cosine).
-    * Flat element_at sum — codegen-friendly, bit-identical to the old
-    * aggregate/zip_with fold (IEEE: 0.0 + a == a). */
+    * Flat element_at sum — bit-identical to the old aggregate/zip_with
+    * fold (IEEE: 0.0 + a == a). Parity-reference use only. */
   private def dotLit(emb: Column, c: Array[Double]): Column =
     c.indices.map { d =>
       element_at(emb, d + 1).cast("double") * lit(c(d))
     }.reduce(_ + _)
 
-  /** Nearest-centroid id by max (dot, cid) — deterministic tiebreak.
-    * greatest() unifies the struct types and renames fields col1/col2. */
+  /** Nearest-centroid id by max (dot, cid) — deterministic tiebreak to the
+    * highest id. Served by the native [[graft.functions.NearestCentroid]]
+    * expression: the composed greatest-of-structs form
+    * ([[nearestListExprComposed]], kept for the bit-parity property test)
+    * inlines nLists × dim element_at terms and overflowed janino at the
+    * 8-list × 64-dim IVF default, silently dropping the assignment scan —
+    * q62's probe and every ivfAssign index build — to interpreted eval.
+    * Assignments are bit-identical between the two forms. */
   def nearestListExpr(emb: Column, cents: Array[Array[Double]]): Column =
+    graft.functions.NearestCentroid(emb, cents)
+
+  /** The pre-native composed assignment — the bit-parity reference for
+    * [[graft.functions.NearestCentroid]] (PropertySpec), never the hot
+    * path. greatest() unifies the struct types and renames fields
+    * col1/col2. */
+  private[graft] def nearestListExprComposed(emb: Column,
+      cents: Array[Array[Double]]): Column =
     greatest(cents.zipWithIndex.map { case (c, i) =>
       struct(dotLit(emb, c), lit(i))
     }: _*).getField("col2")

@@ -243,6 +243,47 @@ class PlanSpec extends AnyFunSuite {
     assert(stale.isEmpty, s"whitelist entries with no collect anymore: $stale")
   }
 
+  test("production-geometry vector pipelines compile with codegen fallback off") {
+    // the janino-overflow regression class: each native expression compiles
+    // ALONE (TextFunctionsSpec), but the overflows that actually shipped
+    // were compositional — a composed encode/bucket/assign inlined into a
+    // projection or aggregate stage grew past janino's 64 KB method limit
+    // at PRODUCTION geometry only, and the stage silently fell back to
+    // interpreted eval (caught by a stderr audit of a full Verify run, not
+    // by any green test). Pin the fix end-to-end: the three pipelines that
+    // carried the five fallbacks — q84/q136's 16-plane × 64-dim sign
+    // bucketing, q62's 8-list × 64-dim centroid assignment, and the
+    // m=8 × k=16 PQ encode — execute at that geometry with fallback OFF,
+    // so a reintroduced overflow (or a new giant composed expression in
+    // these paths) fails here instead of silently interpreting.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val dim = 64
+      val vecs = (0 until 40).map { i =>
+        (i.toLong, Seq.tabulate(dim)(d => math.sin(i * 31 + d).toFloat))
+      }.toDF("vec_id", "embedding")
+      graft.operators.Dedup.embeddingDupPairs(vecs, "embedding", "vec_id")
+        .collect()
+      val cents = graft.operators.Similarity.ivfCentroids(
+        vecs, "embedding", "vec_id", 8)
+      graft.operators.Similarity.ivfAssign(vecs, "embedding", cents).collect()
+      val books = graft.operators.Pq.trainCodebooks(
+        vecs, "embedding", "vec_id", 8, 16)
+      vecs.withColumn("n", graft.operators.Pq.vecNorm(col("embedding"), dim))
+        .select(graft.operators.Pq.encodeExpr(col("embedding"), col("n"),
+          books).as("c"))
+        .collect()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("capped LSH candidate gen pays the band-table exchange ONCE") {
     // the single-exchange claim behind the q174 ×10 win (join-back 9.5 s →
     // window 6.4 s): bucket populations come from a window over the

@@ -655,12 +655,41 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     planeSets.zipWithIndex.foreach { case (planes, t) =>
       val composed = df.select(col("id"),
-          graft.operators.Similarity.bucketExpr(col("emb"), planes)
+          graft.operators.Similarity.bucketExprComposed(col("emb"), planes)
             .as("b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       composed.foreach { case (id, b) =>
         assert(native(id)(t) == b, s"vector $id, table $t")
       }
+    }
+  }
+
+  test("NearestCentroid is bit-identical to the composed assignment") {
+    // the IVF-assignment member of the literal-table parity family: list
+    // assignments under either formulation must route to the same
+    // partitions. Trained (unit-normalized, near-tie-prone) centroids via
+    // ivfCentroids; vectors include negatives and the zero vector — the
+    // zero vector is the signed-zero edge the first-product-seeded dot
+    // exists for (an all-(-0.0)-products dot must stay -0.0, not 0.0).
+    import spark.implicits._
+    val dim = 12
+    val vecGen: Gen[Seq[Float]] = Gen.listOfN(dim,
+      Gen.chooseNum(-4.0f, 4.0f)).map(_.toSeq)
+    val vecs = samples(vecGen, 150) :+ Seq.fill(dim)(0.0f)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "emb").repartition(4)
+    val cents = graft.operators.Similarity.ivfCentroids(df, "emb", "id", 6)
+    val native = df.select(col("id"),
+        graft.operators.Similarity.nearestListExpr(col("emb"), cents)
+          .as("l"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val composed = df.select(col("id"),
+        graft.operators.Similarity.nearestListExprComposed(col("emb"), cents)
+          .as("l"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(native.nonEmpty && native.size == composed.size)
+    composed.foreach { case (id, l) =>
+      assert(native(id) == l, s"vector $id: native ${native(id)} vs $l")
     }
   }
 

@@ -58,13 +58,18 @@ class TextFunctionsSpec extends AnyFunSuite {
       val r = spark.range(1)
         .select(
           concat(lit("a b c "), col("id").cast("string")).as("t"),
-          array((col("id") + 1).cast("float"), col("id").cast("float")).as("u"))
+          array((col("id") + 1).cast("float"), col("id").cast("float")).as("u"),
+          (col("id") + 1).cast("double").as("nm"))
         .select(WordNgrams(col("t"), 2).as("g"),
           graft.functions.CosineSimilarity(col("u"), col("u")).as("sim"),
           graft.functions.Int8Quantize(col("u")).as("q"),
           graft.functions.LshBuckets(col("u"),
             Seq(Array(Array(1.0, -1.0), Array(-1.0, -1.0)),
-              Array(Array(0.5, 0.5)))).as("b"))
+              Array(Array(0.5, 0.5)))).as("b"),
+          graft.functions.PqEncode(col("u"), col("nm"),
+            Array(Array(Array(1.0, 0.0), Array(0.0, 1.0)))).as("pq"),
+          graft.functions.NearestCentroid(col("u"),
+            Array(Array(1.0, -1.0), Array(-1.0, -1.0))).as("nc"))
         .collect().head
       assert(r.getSeq[String](0) == Seq("a b", "b c", "c 0"))
       assert(r.getDouble(1) == 1.0)
@@ -72,6 +77,10 @@ class TextFunctionsSpec extends AnyFunSuite {
       // u = [1.0, 0.0]: t0 planes → dots (1.0, -1.0) → bits (1, 0) = 1;
       // t1 plane → dot 0.5 ≥ 0 → 1
       assert(r.getSeq[Long](3) == Seq(1L, 1L))
+      // PQ codebook [(1,0), (0,1)], norm 1: scores 1−0.5 vs 0−0.5 → code 0
+      assert(r.getSeq[Int](4) == Seq(0))
+      // centroids (1,-1)/(-1,-1): dots 1.0 / −1.0 → list 0
+      assert(r.getInt(5) == 0)
       // a ragged (shorter-than-plane) embedding fails loudly instead of
       // reading past the array (nondeterministic buckets)
       val ragged = intercept[org.apache.spark.SparkException] {
