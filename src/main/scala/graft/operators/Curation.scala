@@ -15,16 +15,30 @@ object Curation {
 
   /** Per-doc contamination scores against an eval/benchmark corpus: the
     * fraction of each training doc's n-gram shingles that appear anywhere
-    * in `eval`. Returns (doc_id, n_sh, n_contam). Shuffle equi-join on the
-    * shingle string; at 100 TB join on xxhash64(shingle) to shrink the
-    * payload (byte-identical modulo 2^-64 collisions). */
+    * in `eval`. Returns (doc_id, n_sh, n_contam).
+    *
+    * The distinct eval-shingle set is BROADCAST-HINTED, not left to AQE —
+    * eval benchmarks are bounded by construction (fixed suites; their
+    * DISTINCT shingles don't grow with corpus replication), but the static
+    * planner estimates the side from the eval SCAN size, so at the ×1000
+    * rehearsal it planned a sort-merge join and the train side's 226 M
+    * shingle rows / 5 GB had already materialized as a shuffle stage by
+    * the time AQE's runtime statistics flipped the join to broadcast —
+    * the flip saved the join but not the exchange (measured: q90 ×1000
+    * 239 M → 4.6 M shuffle records with the hint). The contract is the
+    * q164-vs-q162 distinction: hint sides bounded by CONSTRUCTION
+    * (benchmarks); leave corpus-derived dims to AQE (forcing those would
+    * OOM at real scale). Callers probing a corpus-sized `eval` should
+    * use the dedup/index paths instead. At 100 TB also join on
+    * xxhash64(shingle) to shrink the broadcast payload (byte-identical
+    * modulo 2^-64 collisions). */
   def contaminationCounts(train: DataFrame, eval: DataFrame, n: Int = 5): DataFrame = {
     val evalSh = Dedup.shingleSets(eval, n)
       .select(explode(col("sg")).as("s")).distinct()
       .withColumn("hit", lit(1))
     Dedup.shingleSets(train, n)
       .select(col("doc_id"), explode(col("sg")).as("s"))
-      .join(evalSh, Seq("s"), "left")
+      .join(broadcast(evalSh), Seq("s"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_contam"))
   }

@@ -243,6 +243,23 @@ class PlanSpec extends AnyFunSuite {
     assert(stale.isEmpty, s"whitelist entries with no collect anymore: $stale")
   }
 
+  test("contamination eval shingles broadcast at plan time, not via AQE") {
+    // the ×1000-rehearsal find: eval benchmarks are bounded by
+    // construction, but the static planner estimates the join side from
+    // the eval SCAN size — at ×1000 it planned a sort-merge join and the
+    // corpus side's 226 M shingle rows had already materialized as a
+    // shuffle stage before AQE's runtime stats flipped the join to
+    // broadcast (the flip saved the join, not the exchange; 239 M → 4.6 M
+    // shuffle records with the explicit hint). Pin the static plan: the
+    // contamination join must be a broadcast join in the SPARK PLAN before
+    // any AQE re-optimization, at every scale.
+    val p = SparkEntry.queries("q90_contamination")(spark, TestSpark.sf0001)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"contamination join not statically broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side SMJ planned:\n$p")
+  }
+
   test("production-geometry vector pipelines compile with codegen fallback off") {
     // the janino-overflow regression class: each native expression compiles
     // ALONE (TextFunctionsSpec), but the overflows that actually shipped

@@ -7,6 +7,7 @@ Copies whichever of these exist, skipping absentees with a note:
   target/bench.json          (graft.Bench at the driver SF)
   target/bench_x10.json      (Bench on the x10 replica, via yardstick)
   target/bench_x100.json     (x100 corpus rehearsal)
+  target/bench_x1000.json    (x1000 corpus rehearsal)
   target/yardstick_x10.json  (per-query Spark-vs-DuckDB verdicts)
   CORRECTNESS_x10.json       (full-surface x10 oracle gate)
 
@@ -21,6 +22,7 @@ ARTIFACTS = [
     "target/bench.json",
     "target/bench_x10.json",
     "target/bench_x100.json",
+    "target/bench_x1000.json",
     "target/yardstick_x10.json",
     "CORRECTNESS_x10.json",
 ]
