@@ -21,14 +21,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   *
   * Bit-compatibility with the composed form (property-tested):
   * - the dot is accumulated left-to-right in d-order SEEDED WITH THE FIRST
-  *   PRODUCT, exactly like `dotLit`'s reduce — a 0.0-seeded loop would turn
-  *   an all-products-negative-zero dot (e.g. the zero vector against a
-  *   negative-leading centroid) from -0.0 into 0.0, and struct ordering
-  *   distinguishes the two, flipping the argmax on that edge;
-  * - the winner is `greatest(struct(dot, i))`: maximum dot, ties to the
-  *   HIGHEST centroid id, NaN greater than everything (java
-  *   `Double.compare` == Spark's struct ordering here) — replicated by an
-  *   ascending scan keeping `compare(s, best) >= 0`.
+  *   PRODUCT, exactly like `dotLit`'s reduce (value parity on the
+  *   signed-zero edge: an all-products-negative-zero dot stays -0.0);
+  * - the winner is `greatest(struct(dot, i))` under SPARK's double
+  *   ordering (SQLOrderingUtil.compareDoubles: -0.0 == +0.0, NaN == NaN,
+  *   NaN greater than everything): maximum dot, ties to the HIGHEST
+  *   centroid id — replicated by an ascending scan keeping
+  *   `s == best || compare(s, best) >= 0` (the `s == best` disjunct makes
+  *   a -0.0/+0.0 pair a TIE, where bare Double.compare would rank +0.0
+  *   strictly above and pin the argmax to the +0.0 member regardless of
+  *   index — the zero vector against a mix of negative-leading and
+  *   positive-leading centroids hits exactly that).
   * So list assignments, partition layouts, and every IVF oracle hash are
   * unchanged, and an index assigned under either formulation probes
   * correctly under the other. */
@@ -74,7 +77,9 @@ case class NearestCentroid(child: Expression,
         s += emb.getFloat(d).toDouble * cw(d)
         d += 1
       }
-      if (c == 0 || java.lang.Double.compare(s, best) >= 0) { best = s; bi = c }
+      if (c == 0 || s == best || java.lang.Double.compare(s, best) >= 0) {
+        best = s; bi = c
+      }
       c += 1
     }
     bi
@@ -110,7 +115,8 @@ case class NearestCentroid(child: Expression,
          |  for (int $d = 1; $d < $dim; $d++) {
          |    $s += (double) $emb.getFloat($d) * $cw[$d];
          |  }
-         |  if ($c == 0 || java.lang.Double.compare($s, $best) >= 0) {
+         |  if ($c == 0 || $s == $best ||
+         |      java.lang.Double.compare($s, $best) >= 0) {
          |    $best = $s; $bi = $c;
          |  }
          |}

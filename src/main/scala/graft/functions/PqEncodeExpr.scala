@@ -22,12 +22,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * Bit-compatibility with [[graft.operators.Pq.encodeExpr]]'s composed
   * form (property-tested): per subspace j and codeword c the score is
   * `Σ_d ((double) emb[j·subDim+d] / norm) · c[d] − ‖c‖²/2` accumulated
-  * left-to-right in d-order (the dotNormAt fold order), and the winner is
-  * the `greatest(struct(score, i))` rule — maximum score, ties to the
-  * HIGHEST code index, NaN greater than everything (java
-  * `Double.compare` ordering == Spark's struct ordering here) — so codes,
-  * stored indexes, and every oracle hash are unchanged, and an index
-  * encoded under either formulation probes correctly under the other. */
+  * left-to-right in d-order seeded by the FIRST product (the dotNormAt
+  * fold order — a 0.0 seed would flip a -0.0 subspace sum to +0.0), and
+  * the winner is the `greatest(struct(score, i))` rule under SPARK's
+  * double ordering (SQLOrderingUtil.compareDoubles: -0.0 == +0.0, NaN ==
+  * NaN, NaN greater than everything) — maximum score, ties to the
+  * HIGHEST code index — so codes, stored indexes, and every oracle hash
+  * are unchanged, and an index encoded under either formulation probes
+  * correctly under the other. */
 case class PqEncode(left: Expression, right: Expression,
     books: Array[Array[Array[Double]]]) extends BinaryExpression {
 
@@ -76,16 +78,24 @@ case class PqEncode(left: Expression, right: Expression,
       var c = 0
       while (c < book.length) {
         val cw = book(c)
-        var s = 0.0
-        var d = 0
+        // seed with the FIRST product, not 0.0 — the composed reduce's
+        // left fold starts at term 0, and a 0.0 seed flips a -0.0 subspace
+        // sum to +0.0 (the NearestCentroid signed-zero rule)
+        var s = emb.getFloat(j * subDim).toDouble / norm * cw(0)
+        var d = 1
         while (d < subDim) {
           s += emb.getFloat(j * subDim + d).toDouble / norm * cw(d)
           d += 1
         }
         s -= hs(c)
-        // ascending scan + >= replicates greatest(struct(score, i)):
-        // max score, ties (and NaN==NaN) to the highest code index
-        if (java.lang.Double.compare(s, best) >= 0) { best = s; bi = c }
+        // ascending scan + >= replicates greatest(struct(score, i)) under
+        // SPARK's double ordering (SQLOrderingUtil.compareDoubles): the
+        // `s == best` disjunct makes -0.0 == +0.0 a TIE (→ highest code
+        // index), where bare Double.compare would rank +0.0 above -0.0;
+        // NaN==NaN and NaN-greatest come from Double.compare as before
+        if (s == best || java.lang.Double.compare(s, best) >= 0) {
+          best = s; bi = c
+        }
         c += 1
       }
       out(j) = bi
@@ -129,12 +139,14 @@ case class PqEncode(left: Expression, right: Expression,
          |  int $bi = 0;
          |  for (int $c = 0; $c < $book.length; $c++) {
          |    double[] $cw = $book[$c];
-         |    double $s = 0.0;
-         |    for (int $d = 0; $d < $subDim; $d++) {
+         |    double $s = (double) $emb.getFloat($j * $subDim) / $norm * $cw[0];
+         |    for (int $d = 1; $d < $subDim; $d++) {
          |      $s += (double) $emb.getFloat($j * $subDim + $d) / $norm * $cw[$d];
          |    }
          |    $s -= $hs[$c];
-         |    if (java.lang.Double.compare($s, $best) >= 0) { $best = $s; $bi = $c; }
+         |    if ($s == $best || java.lang.Double.compare($s, $best) >= 0) {
+         |      $best = $s; $bi = $c;
+         |    }
          |  }
          |  $out[$j] = $bi;
          |}

@@ -125,15 +125,33 @@ object Dedup {
     *      `[tag]` (the q167-style recall margin); every DROPPED rep is
     *      still star-linked to the bucket's min rep, so no member is
     *      orphaned — in a boilerplate near-clique that link verifies and
-    *      the component survives intact; only the pair ENUMERATION among
-    *      dropped reps is forgone (and can still surface through their 15
-    *      other bands).
+    *      the component survives intact. What IS forgone in this bucket:
+    *      pair enumeration among dropped reps AND between a dropped rep
+    *      and the kept reps other than the bucket min — a dropped rep
+    *      that is a true near-dup of kept rep #3 but NOT of the min rep
+    *      keeps only its (unverifiable) min-rep star link here, so that
+    *      edge survives only if one of the doc pair's 15 other bands
+    *      resurfaces it in a small-enough bucket (probabilistic, not
+    *      guaranteed — this is the cap's recall trade, and `droppedReps`
+    *      on stderr is its exposure gauge; droppedReps=0 means NOTHING
+    *      was forgone, the ×100/×1000 boilerplate rehearsal shape).
+    *
+    * CONSTRUCTION IS EAGER: the margin aggregate executes the band
+    * pipeline (a corpus-scale job) before this returns — unlike the lazy
+    * uncapped twin, calling this just to inspect the plan pays the scan.
     *
     * Per-bucket emission is thus ≤ m + maxBucket²/2 instead of m²/2, and
     * connectivity for downstream [[dupComponents]] survives: every member
     * reaches its rep, and every rep reaches the bucket min. */
   def lshCandidatesCapped(sig: DataFrame, numHashes: Int, rowsPerBand: Int,
-      maxBucket: Int = 64, tag: String = "lsh-cap"): DataFrame = {
+      maxBucket: Int = 64, tag: String = "lsh-cap"): DataFrame =
+    lshCandidatesCappedCore(sig, numHashes, rowsPerBand, maxBucket, tag)._1
+
+  /** [[lshCandidatesCapped]] plus the windowed band frame it pins, so
+    * managed callers can release it ([[minhashDupPairsCappedManaged]]). */
+  private def lshCandidatesCappedCore(sig: DataFrame, numHashes: Int,
+      rowsPerBand: Int, maxBucket: Int,
+      tag: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val bands = signatureBandsWithFp(sig, numHashes, rowsPerBand)
     // bucket population as a WINDOW count over the (band, bh) partitioning,
@@ -195,7 +213,7 @@ object Dedup {
     System.err.println(
       s"[$tag] hotBuckets=${m.getLong(0)} hotMembers=${m.getLong(1)} " +
         s"cappedBuckets=${m.getLong(3)} droppedReps=${m.getLong(2)}")
-    smallPairs.union(star).union(repPairs).union(repStar).distinct()
+    (smallPairs.union(star).union(repPairs).union(repStar).distinct(), bs)
   }
 
   /** Exact-Jaccard verification of candidate (da, db) pairs against the
@@ -234,11 +252,24 @@ object Dedup {
     * [[DedupIndex]] instead). */
   def minhashDupPairsCapped(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
       rowsPerBand: Int = 2, threshold: Double = 0.5,
-      maxBucket: Int = 64): DataFrame = {
+      maxBucket: Int = 64): DataFrame =
+    minhashDupPairsCappedManaged(docs, n, numHashes, rowsPerBand,
+      threshold, maxBucket).result
+
+  /** [[minhashDupPairsCapped]] with cache ownership: this path pins THREE
+    * corpus-sized frames (shingles, signatures, and the windowed band
+    * frame) that the bare variant leaves pinned for the life of the
+    * session — fine for a one-shot job, a leak for a long-lived session
+    * calling it per batch (the [[ProbeHandle]] rationale). Materialize
+    * `result`, then `close()`. */
+  def minhashDupPairsCappedManaged(docs: DataFrame, n: Int = 3,
+      numHashes: Int = 32, rowsPerBand: Int = 2, threshold: Double = 0.5,
+      maxBucket: Int = 64): ProbeHandle = {
     val sg = shingleSets(docs, n).cache()
     val sig = minhashSignatures(sg, numHashes).cache()
-    val cands = lshCandidatesCapped(sig, numHashes, rowsPerBand, maxBucket)
-    verifyCandidates(cands, sg, threshold)
+    val (cands, bs) =
+      lshCandidatesCappedCore(sig, numHashes, rowsPerBand, maxBucket, "lsh-cap")
+    new ProbeHandle(verifyCandidates(cands, sg, threshold), Seq(sg, sig, bs))
   }
 
   /** Incremental near-dup detection: a fresh BATCH of documents checked
@@ -284,11 +315,25 @@ object Dedup {
     * (dropped-rep margin on stderr). A batch doc that would have matched a
     * collapsed member still matches the member's representative (identical
     * shingle sets verify identically), so the dup VERDICT per batch doc
-    * survives; only the redundant partner enumeration is bounded. */
+    * survives; only the redundant partner enumeration is bounded.
+    * CONSTRUCTION IS EAGER (the margin aggregate runs the batch-hit band
+    * job before returning — see [[lshCandidatesCapped]]). */
   def incrementalDupPairsCapped(corpus: DataFrame, batch: DataFrame,
       n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 2,
       threshold: Double = 0.5, maxBucket: Int = 64,
-      tag: String = "lsh-cap-inc"): DataFrame = {
+      tag: String = "lsh-cap-inc"): DataFrame =
+    incrementalDupPairsCappedManaged(corpus, batch, n, numHashes,
+      rowsPerBand, threshold, maxBucket, tag).result
+
+  /** [[incrementalDupPairsCapped]] with cache ownership over the FOUR
+    * frames it pins (corpus+batch shingles, corpus signatures, batch-hit
+    * window) — the per-ingest call pattern is exactly the long-lived
+    * session the [[ProbeHandle]] contract exists for. Materialize
+    * `result`, then `close()`. */
+  def incrementalDupPairsCappedManaged(corpus: DataFrame, batch: DataFrame,
+      n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 2,
+      threshold: Double = 0.5, maxBucket: Int = 64,
+      tag: String = "lsh-cap-inc"): ProbeHandle = {
     import org.apache.spark.sql.expressions.Window
     val csg = shingleSets(corpus, n).cache()
     val bsg = shingleSets(batch, n).cache()
@@ -333,11 +378,12 @@ object Dedup {
     val cand = small.union(kept).join(bb, Seq("band", "bh"))
       .select(col("da"), col("db")).distinct()
     val j = TextFunctions.jaccard(col("sga"), col("sgb"))
-    cand
+    val out = cand
       .join(csg.select(col("doc_id").as("da"), col("sg").as("sga")), "da")
       .join(bsg.select(col("doc_id").as("db"), col("sg").as("sgb")), "db")
       .filter(j >= threshold)
       .select(round(j, 4).as("jr"), col("da"), col("db"))
+    new ProbeHandle(out, Seq(csg, bsg, csig, cs))
   }
 
   /** Cross-engine-reproducible word hash: a 31-bit polynomial fold over the

@@ -82,44 +82,77 @@ object PartitionedIndexOps {
     * a monotonic version pin next to the config pin:
     *
     *   - [[claimVersion]] at writer ENTRY (before any data write) reads
-    *     the current version and immediately publishes cur+1;
+    *     the current version and immediately publishes cur+1 together
+    *     with a WRITER-UNIQUE token;
     *   - [[requireVersion]] immediately BEFORE the writer's final commit
-    *     write re-reads it and aborts on mismatch — if another writer
-    *     claimed in between, the loser fails fast without publishing its
-    *     final table/pin.
+    *     write re-reads the pin and aborts unless BOTH the version and
+    *     the token are this writer's — if another writer claimed in
+    *     between, the loser fails fast without publishing its final
+    *     table/pin.
+    *
+    * The token is what closes the simultaneous-claim hole a bare counter
+    * leaves open: two writers that both read version v before either
+    * publishes would both claim v+1 and both pass a version-only check;
+    * with the token, the pin on disk can only hold ONE writer's token at
+    * commit time, so at most one of them validates (last claim wins, the
+    * other aborts).
     *
     * This DETECTS interleaving rather than preventing it (a filesystem
     * has no compare-and-swap; at 100 TB you'd put the version in a
-    * transactional metastore): the loser may have staged partition
-    * overwrites before aborting, and the documented healing applies — a
-    * retry of the aborted batch AFTER the winner completes re-covers
-    * every partition it touched (the same-batch retry contract the crash
-    * windows already rely on), converging to the serial application.
-    * A crashed claimer never wedges the index: the next writer just
-    * claims the next version. */
+    * transactional metastore — the residual window is between a writer's
+    * requireVersion read and its commit write): the loser may have staged
+    * partition overwrites before aborting, and the documented healing
+    * applies — a retry of the aborted batch AFTER the winner completes
+    * re-covers every partition it touched (the same-batch retry contract
+    * the crash windows already rely on), converging to the serial
+    * application. A crashed claimer never wedges the index: the next
+    * writer just claims the next version. */
   def readVersion(fs: org.apache.hadoop.fs.FileSystem,
       vPath: org.apache.hadoop.fs.Path): Long =
-    readPin(fs, vPath).map(_.trim.toLong).getOrElse(0L)
+    readPin(fs, vPath)
+      .map(_.trim.split(":", 2)(0).toLong).getOrElse(0L)
 
-  /** Publish this writer's claim (cur+1) and return it. Call before any
-    * data write. */
+  /** A writer's published claim: the monotonic version plus the token
+    * that distinguishes this writer from a simultaneous claimer of the
+    * same version. */
+  final case class VersionClaim(version: Long, token: String)
+
+  private def readClaim(fs: org.apache.hadoop.fs.FileSystem,
+      vPath: org.apache.hadoop.fs.Path): VersionClaim =
+    readPin(fs, vPath).map { s =>
+      val parts = s.trim.split(":", 2)
+      // legacy bare-counter pins (pre-token format) carry no token; they
+      // can never match a tokened claim, which is the safe direction
+      VersionClaim(parts(0).toLong,
+        if (parts.length > 1) parts(1) else "")
+    }.getOrElse(VersionClaim(0L, ""))
+
+  /** Publish this writer's claim (cur+1, unique token) and return it.
+    * Call before any data write. */
   def claimVersion(fs: org.apache.hadoop.fs.FileSystem,
-      vPath: org.apache.hadoop.fs.Path): Long = {
+      vPath: org.apache.hadoop.fs.Path): VersionClaim = {
     val next = readVersion(fs, vPath) + 1
-    writePin(fs, vPath, next.toString)
-    next
+    val token = java.util.UUID.randomUUID().toString
+    writePin(fs, vPath, s"$next:$token")
+    VersionClaim(next, token)
   }
 
-  /** Abort-before-commit check: the version on disk must still be this
-    * writer's claim. Call immediately before the final commit write. */
+  /** Abort-before-commit check: the pin on disk must still be this
+    * writer's claim — version AND token. Call immediately before the
+    * final commit write. */
   def requireVersion(fs: org.apache.hadoop.fs.FileSystem,
-      vPath: org.apache.hadoop.fs.Path, claimed: Long, what: String): Unit = {
-    val cur = readVersion(fs, vPath)
+      vPath: org.apache.hadoop.fs.Path, claimed: VersionClaim,
+      what: String): Unit = {
+    val cur = readClaim(fs, vPath)
     require(cur == claimed,
-      s"$what: concurrent writer detected — writer version $cur on disk, " +
-        s"this writer claimed $claimed. Aborting before the final commit; " +
-        "retry this batch after the other writer completes (the retry " +
-        "re-covers any partitions already staged).")
+      s"$what: concurrent writer detected — writer version ${cur.version} " +
+        s"on disk, this writer claimed ${claimed.version}" +
+        (if (cur.version == claimed.version)
+           " (same version, different writer token — simultaneous claim)"
+         else "") +
+        ". Aborting before the final commit; retry this batch after the " +
+        "other writer completes (the retry re-covers any partitions " +
+        "already staged).")
   }
 
   /** Does `path` hold at least one `<partCol>=` partition? A bare

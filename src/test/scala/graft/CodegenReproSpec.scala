@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every native literal-table expression must compile under
+  * GenerateUnsafeProjection DIRECTLY — no CodeGeneratorWithInterpretedFallback
+  * to paper over a janino syntax error. This is the path the
+  * production-geometry WholeStageCodegen gate does NOT cover: the two
+  * render paths apply Block.toString's stripMargin a different number of
+  * times, so a generated line whose content starts with `|` (e.g. a
+  * condition continued onto a new line starting with `||`) survives one
+  * path and is margin-eaten on the other — the round-8 NearestCentroid
+  * regression (`')' expected instead of 'java'`) compiled fine in
+  * WholeStageCodegen and fell back to interpreted eval in every
+  * UnsafeProjection context (localCheckpoint, shuffle writers). House
+  * rule for doGenCode templates: never begin a generated line with `|`;
+  * put trailing operators at line END. */
+class CodegenReproSpec extends AnyFunSuite {
+
+  private val dim = 64
+  private def emb = BoundReference(0, ArrayType(FloatType), nullable = true)
+  private def norm = BoundReference(1, DoubleType, nullable = true)
+
+  private def mustCompile(name: String, e: Expression): Unit =
+    // throws CompileException on a generated-code syntax error
+    GenerateUnsafeProjection.generate(Seq(e))
+
+  test("NearestCentroid compiles as a bare UnsafeProjection at IVF geometry") {
+    val cents = Array.tabulate(8)(i => Array.tabulate(dim)(d =>
+      math.sin(i * 31 + d).toDouble))
+    mustCompile("nearest_centroid", graft.functions.NearestCentroid(emb, cents))
+  }
+
+  test("PqEncode compiles as a bare UnsafeProjection at PQ geometry") {
+    val books = Array.tabulate(8)(j => Array.tabulate(16)(c =>
+      Array.tabulate(dim / 8)(d => math.cos(j * 17 + c * 3 + d).toDouble)))
+    mustCompile("pq_encode", graft.functions.PqEncode(emb, norm, books))
+  }
+
+  test("LshBuckets compiles as a bare UnsafeProjection at mLSH geometry") {
+    val planeSets = (0 until 8).map(t =>
+      graft.operators.Similarity.hyperplanes(dim, 16, seed = 7L + t)).toArray
+    mustCompile("lsh_buckets", graft.functions.LshBuckets(emb, planeSets))
+  }
+}

@@ -30,10 +30,10 @@ class ConcurrentWriterSpec extends AnyFunSuite {
       java.nio.file.Files.createTempDirectory("wv").resolve("version").toString)
     assert(PartitionedIndexOps.readVersion(fs, v) == 0L)
     val a = PartitionedIndexOps.claimVersion(fs, v)
-    assert(a == 1L)
+    assert(a.version == 1L)
     PartitionedIndexOps.requireVersion(fs, v, a, "writer A") // holds
     val b = PartitionedIndexOps.claimVersion(fs, v)
-    assert(b == 2L)
+    assert(b.version == 2L)
     // A's final check after B claimed: must abort, and the message names
     // the conflict
     val ex = intercept[IllegalArgumentException] {
@@ -41,6 +41,37 @@ class ConcurrentWriterSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("concurrent writer"))
     PartitionedIndexOps.requireVersion(fs, v, b, "writer B") // winner holds
+  }
+
+  test("simultaneous claim of the same version: at most one writer validates") {
+    // the hole a bare counter leaves open: A and B both read version v
+    // before either publishes, both claim v+1, and a version-only check
+    // passes BOTH. With the writer token, the pin can hold only one
+    // writer's token at commit time — the overwritten claimer aborts,
+    // and the abort message names the simultaneous claim.
+    val v = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("wv2").resolve("version").toString)
+    val a = PartitionedIndexOps.claimVersion(fs, v) // A publishes 1:tokA
+    val b = PartitionedIndexOps.claimVersion(fs, v) // B overwrites: 2:tokB
+    // simulate the same-version race directly: force the pin to B's token
+    // under A's version number (as if both read 0 and both wrote 1)
+    PartitionedIndexOps.writePin(fs, v, s"${a.version}:${b.token}")
+    val ex = intercept[IllegalArgumentException] {
+      PartitionedIndexOps.requireVersion(fs, v, a, "writer A")
+    }
+    assert(ex.getMessage.contains("simultaneous claim"))
+    PartitionedIndexOps.requireVersion(fs, v,
+      PartitionedIndexOps.VersionClaim(a.version, b.token), "writer B")
+  }
+
+  test("legacy bare-counter version pins never validate a tokened claim") {
+    val v = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("wv3").resolve("version").toString)
+    PartitionedIndexOps.writePin(fs, v, "7") // pre-token format
+    assert(PartitionedIndexOps.readVersion(fs, v) == 7L)
+    val c = PartitionedIndexOps.claimVersion(fs, v)
+    assert(c.version == 8L)
+    PartitionedIndexOps.requireVersion(fs, v, c, "writer") // own claim holds
   }
 
   test("dedup index: overtaken writer fails fast; index equals the winner's serial application") {
@@ -56,7 +87,7 @@ class ConcurrentWriterSpec extends AnyFunSuite {
     // runs a complete real upsert
     val claimedA = PartitionedIndexOps.claimVersion(fs, vPath)
     DedupIndex.upsertSignatureIndex(docs.filter(col("doc_id") % 5 === 3), dir)
-    assert(PartitionedIndexOps.readVersion(fs, vPath) == claimedA + 1,
+    assert(PartitionedIndexOps.readVersion(fs, vPath) == claimedA.version + 1,
       "a completed upsert must advance the version by exactly one")
     // A resumes at its commit point: the guard the upserts call must abort
     val ex = intercept[IllegalArgumentException] {
@@ -90,7 +121,7 @@ class ConcurrentWriterSpec extends AnyFunSuite {
     LshIndex.upsertLshIndex(
       e.filter(col("vec_id") % 2 === 1).select(col("vec_id"), col("embedding")),
       "embedding", "vec_id", planes, dir)
-    assert(PartitionedIndexOps.readVersion(fs, vPath) == claimedA + 1)
+    assert(PartitionedIndexOps.readVersion(fs, vPath) == claimedA.version + 1)
     val ex = intercept[IllegalArgumentException] {
       PartitionedIndexOps.requireVersion(fs, vPath, claimedA,
         "LSH index upsert (writer A)")
@@ -99,6 +130,6 @@ class ConcurrentWriterSpec extends AnyFunSuite {
     // version survives (sibling _meta) and keeps advancing across a bulk
     // REBUILD that wipes the data dir
     LshIndex.writeLshIndex(evens, "embedding", "vec_id", planes, dir)
-    assert(PartitionedIndexOps.readVersion(fs, vPath) == claimedA + 2)
+    assert(PartitionedIndexOps.readVersion(fs, vPath) == claimedA.version + 2)
   }
 }

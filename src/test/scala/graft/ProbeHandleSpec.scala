@@ -36,6 +36,32 @@ class ProbeHandleSpec extends AnyFunSuite {
     assert(pinnedCount == before)
   }
 
+  test("capped pair builders: managed variants release every pinned cache; bare output identical") {
+    import graft.operators.Dedup
+    val before = pinnedCount
+    // self-join family: three pinned frames (shingles, signatures, band
+    // window) — the facade default for nearPairs
+    val h = Dedup.minhashDupPairsCappedManaged(docs)
+    val pairs = h.result.collect().map(_.toSeq).toSet
+    assert(pinnedCount > before, "capped builder caches never materialized")
+    h.close()
+    assert(pinnedCount == before,
+      "capped self-join caches still pinned after close()")
+    // incremental family: four pinned frames
+    val h2 = Dedup.incrementalDupPairsCappedManaged(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+    h2.result.count()
+    assert(pinnedCount > before)
+    h2.close()
+    assert(pinnedCount == before,
+      "capped incremental caches still pinned after close()")
+    // and the bare variant (which the oracle gate runs) returns the same
+    // pairs as the managed one — same core, different ownership
+    val bare = Dedup.minhashDupPairsCapped(docs).collect().map(_.toSeq).toSet
+    assert(bare == pairs)
+  }
+
   test("dedup probeIndexManaged releases both probe caches on close") {
     val dir = java.nio.file.Files.createTempDirectory("ph_dedup")
       .resolve("idx").toString

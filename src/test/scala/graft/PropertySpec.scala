@@ -693,6 +693,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("NearestCentroid signed-zero parity: zero vector vs opposite-sign centroids") {
+    // the zero vector dots to +0.0 against a positive-leading centroid
+    // and -0.0 against an all-negative one; Spark's ordering ties the two
+    // (→ HIGHEST centroid id), while bare Double.compare would pin the
+    // winner to the +0.0 centroid regardless of index.
+    import spark.implicits._
+    val dim = 4
+    val cents: Array[Array[Double]] = Array(
+      Array.fill(dim)(1.0),   // dot +0.0 on the zero vector
+      Array.fill(dim)(-1.0))  // dot -0.0 on the zero vector
+    val df = Seq((0L, Seq.fill(dim)(0.0f))).toDF("id", "emb")
+    val native = df.select(
+      graft.operators.Similarity.nearestListExpr(col("emb"), cents))
+      .head.getInt(0)
+    val composed = df.select(
+      graft.operators.Similarity.nearestListExprComposed(col("emb"), cents))
+      .head.getInt(0)
+    assert(native == composed, s"native $native vs composed $composed")
+    assert(composed == 1) // the ±0.0 tie resolves to the highest id
+  }
+
   test("PqEncode is bit-identical to the composed encode on random vectors") {
     // same load-bearing claim as the LshBuckets parity: codes stored by
     // either formulation must probe correctly under the other. Trained
@@ -719,6 +740,43 @@ class PropertySpec extends AnyFunSuite {
     assert(native.nonEmpty && native.size == composed.size)
     composed.foreach { case (id, c) =>
       assert(native(id) == c, s"vector $id: native ${native(id)} vs $c")
+    }
+  }
+
+  test("PqEncode signed-zero parity: +0.0 vs -0.0 zero codewords") {
+    // the signed-zero ordering edge: a positive vector against an
+    // all-(-0.0) codeword scores -0.0 (hs = 0), against an all-(+0.0)
+    // sibling +0.0. Spark's double ordering (SQLOrderingUtil) treats the
+    // two as EQUAL, so greatest(struct(score, i)) ties to the HIGHEST
+    // index — a native loop comparing with bare java Double.compare would
+    // instead rank +0.0 strictly above -0.0 and pin the winner to index 0.
+    // Handcrafted books — training never emits -0.0, but a deserialized
+    // or externally-built codebook can.
+    import spark.implicits._
+    val dim = 8; val m = 2; val subDim = dim / m
+    val books: Array[Array[Array[Double]]] = Array.fill(m)(Array(
+      Array.fill(subDim)(0.0),   // dot = +0.0 (positive vec), score +0.0
+      Array.fill(subDim)(-0.0),  // dot = -0.0 under the left fold
+      Array.fill(subDim)(-1.0))) // a real codeword: negative score
+    val vecs = Seq(Seq.fill(dim)(1.0f), Seq.fill(dim)(0.25f),
+      Seq.tabulate(dim)(d => (d + 1).toFloat))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "emb")
+    val base = df.withColumn("n",
+      graft.operators.Pq.vecNorm(col("emb"), dim))
+    val native = base.select(col("id"),
+        graft.operators.Pq.encodeExpr(col("emb"), col("n"), books).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val composed = base.select(col("id"),
+        graft.operators.Pq.encodeExprComposed(col("emb"), col("n"), books)
+          .as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    vecs.indices.foreach { i =>
+      assert(native(i.toLong) == composed(i.toLong),
+        s"vector $i: native ${native(i.toLong)} vs ${composed(i.toLong)}")
+      // and the winner is the ±0.0 TIE resolved to the highest zero
+      // codeword index (1), never the negative real codeword (2)
+      assert(composed(i.toLong) == Seq.fill(m)(1))
     }
   }
 }

@@ -103,7 +103,14 @@ def main():
         if r <= CONTRACT:
             return "pass"
         if q in PINNED:
-            recs = shuffle.get(q, {}).get("records", 0)
+            # fail CLOSED on a missing metric: the tripwire is what voids
+            # the exemption on plan regression, so absent shuffle data
+            # (older bench artifact, errored collection) must not grant it
+            recs = shuffle.get(q, {}).get("records")
+            if recs is None:
+                return (f"fail(tripwire: no shuffle-record metric for "
+                        f"pinned query {q} -- cannot verify pin "
+                        f"{PINNED[q]})")
             if recs <= PINNED[q] * PIN_TOL:
                 return "exempt-pinned"
             return (f"fail(tripwire: {recs} shuffle records > pin "
