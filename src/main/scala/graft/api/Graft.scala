@@ -42,7 +42,12 @@ object Graft {
 
     /** Verified near-dup pairs via hot-bucket-capped MinHash-LSH —
       * [[Dedup.minhashDupPairsCapped]] (the 100 TB-safe default; pass
-      * `maxBucket = Int.MaxValue` for the uncapped q35 semantics). */
+      * `maxBucket = Int.MaxValue` for the uncapped q35 semantics). Pins
+      * three corpus-sized caches for the life of the session; a
+      * long-lived session calling per batch should use
+      * [[Dedup.minhashDupPairsCappedManaged]] and `close()` the handle
+      * (same for [[incrementalPairs]] /
+      * [[Dedup.incrementalDupPairsCappedManaged]]). */
     def nearPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
         rowsPerBand: Int = 2, threshold: Double = 0.5,
         maxBucket: Int = 64): DataFrame =
@@ -178,10 +183,18 @@ object Graft {
     * span-level scrubbing, trained quality filters. */
   object curate {
     /** Eval-contamination counts by n-gram overlap —
-      * [[Curation.contaminationCounts]]. */
-    def contamination(train: DataFrame, eval: DataFrame,
-        n: Int = 5): DataFrame =
-      Curation.contaminationCounts(train, eval, n)
+      * [[Curation.contaminationCounts]]. `broadcastEval = false` for a
+      * corpus-sized eval side (the default hint assumes a fixed benchmark
+      * suite, bounded by construction). */
+    def contamination(train: DataFrame, eval: DataFrame, n: Int = 5,
+        broadcastEval: Boolean = true): DataFrame =
+      Curation.contaminationCounts(train, eval, n, broadcastEval)
+
+    /** Deterministic serpentine bin packing into near-equal-token output
+      * shards (the dataloader-file assignment) —
+      * [[Curation.balancedShards]]. */
+    def shards(docs: DataFrame, nShards: Int): DataFrame =
+      Curation.balancedShards(docs, nShards)
 
     /** Greedy first-fit sequence packing — [[Curation.packSequences]]. */
     def pack(docs: DataFrame, capacity: Int): DataFrame =

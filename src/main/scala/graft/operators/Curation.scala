@@ -28,17 +28,22 @@ object Curation {
     * 239 M → 4.6 M shuffle records with the hint). The contract is the
     * q164-vs-q162 distinction: hint sides bounded by CONSTRUCTION
     * (benchmarks); leave corpus-derived dims to AQE (forcing those would
-    * OOM at real scale). Callers probing a corpus-sized `eval` should
-    * use the dedup/index paths instead. At 100 TB also join on
-    * xxhash64(shingle) to shrink the broadcast payload (byte-identical
-    * modulo 2^-64 collisions). */
-  def contaminationCounts(train: DataFrame, eval: DataFrame, n: Int = 5): DataFrame = {
+    * OOM at real scale). A caller probing a CORPUS-SIZED `eval` must pass
+    * `broadcastEval = false` (the hint is unconditional otherwise, and a
+    * multi-GB eval side turns it into a driver OOM / 8 GB broadcast-limit
+    * failure where the un-hinted plan completes via sort-merge) — or
+    * better, use the dedup/index paths, which are built for that shape.
+    * At 100 TB also join on xxhash64(shingle) to shrink the broadcast
+    * payload (byte-identical modulo 2^-64 collisions). */
+  def contaminationCounts(train: DataFrame, eval: DataFrame, n: Int = 5,
+      broadcastEval: Boolean = true): DataFrame = {
     val evalSh = Dedup.shingleSets(eval, n)
       .select(explode(col("sg")).as("s")).distinct()
       .withColumn("hit", lit(1))
+    val evalSide = if (broadcastEval) broadcast(evalSh) else evalSh
     Dedup.shingleSets(train, n)
       .select(col("doc_id"), explode(col("sg")).as("s"))
-      .join(broadcast(evalSh), Seq("s"), "left")
+      .join(evalSide, Seq("s"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_contam"))
   }
@@ -257,6 +262,59 @@ object Curation {
     * single-partition sort. */
   def shufflePosition(key: Column): Column = // 506952114 = 2654435761 mod M
     ((key % 2147483647L) * lit(506952114L)) % 2147483647L
+
+  /** Balanced training shards: assign every doc to one of `nShards` output
+    * shards with near-equal TOKEN budgets — the step that writes the final
+    * dataloader files, where hash-assignment ([[groupSplit]]-style) only
+    * balances in expectation and a heavy-tailed doc-length distribution
+    * leaves shards percents apart. Deterministic serpentine bin packing:
+    * docs ranked by (tokens desc, doc_id), rank r goes to shard
+    * `pos = r mod S` on even passes and `S-1-pos` on odd passes (the
+    * boustrophedon fold — each pass hands the largest remaining docs to
+    * the shards that got the smallest last pass), which bounds the
+    * shard-total spread by roughly one max-doc, independent of the length
+    * distribution (property-tested vs hash assignment on the skewed gate
+    * corpus).
+    *
+    * Scale shape: the exact global rank WITHOUT a single-partition sort —
+    * `repartitionByRange` + `sortWithinPartitions` on (tokens desc,
+    * doc_id) (ONE exchange of 16-byte rows), then per-partition offsets
+    * (bounded collect: one count per partition) + the
+    * `monotonically_increasing_id` local offset, so rank = offset[pid] +
+    * local position with no window exchange and no driver-side data. The
+    * doc_id tiebreak makes the order TOTAL, so rank is exact regardless of
+    * where the range sampler places partition boundaries. Returns
+    * (doc_id, n_toks, shard). */
+  def balancedShards(docs: DataFrame, nShards: Int, rangeParts: Int = 0,
+      textCol: String = "text"): DataFrame = {
+    require(nShards > 0, "need at least one shard")
+    val parts = if (rangeParts > 0) rangeParts
+      else docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = docs
+      .select(col("doc_id"), TextFunctions.tokenCount(col(textCol)).as("n_toks"))
+      .repartitionByRange(parts, col("n_toks").desc, col("doc_id"))
+      .sortWithinPartitions(col("n_toks").desc, col("doc_id"))
+      // mid encodes (partition << 33) | row-position-in-partition; cached so
+      // the offset job and the assignment read ONE materialization (the ids
+      // are order-stable only within a single computation)
+      .select(col("doc_id"), col("n_toks"),
+        monotonically_increasing_id().as("__mid"))
+      .cache()
+    // one count per partition (<= `parts` rows) -> cumulative rank offsets
+    val counts = ranged
+      .groupBy(shiftright(col("__mid"), 33).cast("int").as("pid"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] =
+      counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2)).toMap
+    val rk = element_at(typedLit(offsets),
+        shiftright(col("__mid"), 33).cast("int")) +
+      (col("__mid") % (1L << 33))
+    ranged.withColumn("__rk", rk.cast("long"))
+      .withColumn("shard",
+        when(expr(s"(__rk div $nShards) % 2 = 0"), col("__rk") % nShards)
+          .otherwise(lit(nShards - 1) - col("__rk") % nShards).cast("long"))
+      .drop("__mid", "__rk")
+  }
 
   /** Cross-document paragraph-level dedup (the C4 recipe at block
     * granularity): each doc splits into non-overlapping `blockWords`-word

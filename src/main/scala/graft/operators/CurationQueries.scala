@@ -1456,8 +1456,35 @@ object CurationQueries {
        |FROM dw JOIN dt ON dw.source = dt.source AND dw.doc_id = dt.doc_id
        |GROUP BY dw.source""".stripMargin
 
+  /** q179: balanced training shards — the dataloader-file assignment step
+    * after curation: every doc goes to one of 8 shards with near-equal
+    * TOKEN totals via [[Curation.balancedShards]]'s deterministic
+    * serpentine packing over the exact global (tokens desc, doc_id) rank.
+    * Hash assignment (q106's split) balances DOC COUNTS in expectation
+    * only; this bounds the TOKEN spread by ~one max-doc regardless of the
+    * length distribution (ShardingSpec measures both on the gate corpus).
+    * The report: per-shard doc and token totals — the oracle pins the
+    * whole assignment (any doc swapping shards moves its tokens). */
+  private def q179(s: SparkSession, d: String): DataFrame =
+    Curation.balancedShards(docs(s, d), nShards = 8)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).cast("long").as("n_toks"))
+
+  private val q179Sql =
+    """WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS n_toks
+      |           FROM documents),
+      |r AS (SELECT doc_id, n_toks,
+      |        row_number() OVER (ORDER BY n_toks DESC, doc_id) - 1 AS rk
+      |      FROM t)
+      |SELECT CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8
+      |            ELSE 7 - (rk % 8) END AS shard,
+      |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_toks
+      |FROM r GROUP BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q90_contamination", q90, Some(q90Sql), bench = true),
+    QueryDef("q179_balanced_shards", q179, Some(q179Sql)),
     QueryDef("q91_stratified_sample", q91, Some(q91Sql)),
     QueryDef("q92_pii_scrub", q92, Some(q92Sql)),
     QueryDef("q93_repetition", q93, Some(q93Sql)),

@@ -169,11 +169,16 @@ object TextQueries {
     * the non-survivor set is component-bounded (≤ one row per duplicated
     * doc), so at 100 TB it is the small side and broadcasts — pruning the
     * corpus costs one scan plus a dim-sized join, not a fact shuffle. */
-  private def q137(s: SparkSession, d: String): DataFrame = {
-    val all = docs(s, d)
+  private def q137(s: SparkSession, d: String): DataFrame =
     // literally q35's pair pipeline — reusing the def keeps the two from
     // drifting if the LSH parameters are ever tuned
-    val comps = Dedup.dupComponents(q35(s, d).select(col("da"), col("db")))
+    survivorReport(docs(s, d), q35(s, d))
+
+  /** Shared q137/q178 tail: pairs → components → per-source kept/dropped
+    * report (the non-survivor set is component-bounded, so it broadcasts
+    * at any corpus size — pruning costs one scan + a dim join). */
+  private def survivorReport(all: DataFrame, pairs: DataFrame): DataFrame = {
+    val comps = Dedup.dupComponents(pairs.select(col("da"), col("db")))
     val dropped = comps.filter(col("v") =!= col("comp"))
       .select(col("v").as("doc_id"))
     val flagged = all.join(broadcast(dropped.withColumn("is_dup", lit(1))),
@@ -184,6 +189,19 @@ object TextQueries {
         sum(when(col("is_dup").isNull, tokenCount(col("text")))
           .otherwise(0L)).cast("long").as("kept_tokens"))
   }
+
+  /** q178: the dedup DECISION path end-to-end through the hot-bucket CAP —
+    * q137's survivor corpus with q174's capped pair stage feeding the
+    * components. Round 8 capped pair GENERATION (q174/q175/q177); this
+    * gates what a 100 TB pipeline actually ships: the per-source
+    * kept/dropped decision derived from capped pairs. On the gate corpus
+    * no bucket exceeds maxBucket, so the report equals q137's under the
+    * same oracle; on a boilerplate corpus the capped star links keep every
+    * collapsed member attached to its component (PropertySpec's planted
+    * hot-bucket invariant: capped components == uncapped), so the DECISION
+    * survives the cap even where pair enumeration is bounded. */
+  private def q178(s: SparkSession, d: String): DataFrame =
+    survivorReport(docs(s, d), q174(s, d))
 
   private val q137Sql =
     """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -565,6 +583,7 @@ object TextQueries {
     QueryDef("q89_dup_components", q89, Some(q89Sql)),
     QueryDef("q135_containment_dupes", q135, Some(q135Sql), bench = true),
     QueryDef("q137_dedup_survivors", q137, Some(q137Sql)),
+    QueryDef("q178_capped_survivors", q178, Some(q137Sql)),
     QueryDef("q142_best_survivors", q142, Some(q142Sql)),
     // xxhash64 scale path — rows-only in the driver gate; value-pinned by
     // its portable-hash sibling q69_simhash_portable (oracle-green)

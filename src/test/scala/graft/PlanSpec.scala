@@ -219,6 +219,8 @@ class PlanSpec extends AnyFunSuite {
         (6, "upserts (single + multi): doc-bucket + affected-partition sets (<= nDocBuckets / <= 2^numPlanes / <= 2·batch·L pairs); batchProbe/batchProbeMulti: probe-partition unions (<= 2^numPlanes / <= anchors×L)"),
       "operators/CurationQueries.scala" ->
         (1, "q109 CMS: one serialized sketch per language"),
+      "operators/Curation.scala" ->
+        (1, "balancedShards rank offsets: one count row per range partition (<= rangeParts)"),
       "Rehearsal.scala" ->
         (2, "dev-only rehearsal main: two top-10 probe results, materialized for the timing harness"),
       "llm/RagPipeline.scala" ->

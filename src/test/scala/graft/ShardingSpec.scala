@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Balanced training shards ([[Curation.balancedShards]]): the distributed
+  * exact-rank serpentine packer must (1) equal the single-window reference
+  * formulation — proving the range-partition + offset + local-id rank is
+  * the exact global rank, (2) be invariant to the range partition count,
+  * (3) bound the per-shard token spread by ~one max doc, which is the
+  * whole point over hash assignment on a heavy-tailed length
+  * distribution. */
+class ShardingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val docs = Tables.documents(spark, TestSpark.sf0001)
+
+  private def assignment(rangeParts: Int): Map[Long, Long] =
+    Curation.balancedShards(docs, nShards = 8, rangeParts = rangeParts)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("shard")).toMap
+
+  test("distributed rank equals the single-window reference; partition-count invariant") {
+    val dist = assignment(rangeParts = 7) // odd, small: offsets do real work
+    val dist32 = assignment(rangeParts = 32)
+    // reference: one global window (fine at test scale; the op exists so
+    // production never plans this single-partition sort)
+    val w = Window.orderBy(col("n_toks").desc, col("doc_id"))
+    val ref = docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_toks"))
+      .withColumn("rk", row_number().over(w) - 1)
+      .withColumn("shard",
+        when(expr("(rk div 8) % 2 = 0"), col("rk") % 8)
+          .otherwise(lit(7) - col("rk") % 8).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("shard")).toMap
+    assert(dist.size == ref.size)
+    assert(dist == ref, "distributed rank diverged from the global window")
+    assert(dist32 == ref, "assignment depends on the range partition count")
+  }
+
+  test("token spread is bounded by one max doc; beats hash assignment on spread") {
+    val sh = Curation.balancedShards(docs, nShards = 8)
+    val totals = sh.groupBy(col("shard")).agg(sum(col("n_toks")).as("t"))
+      .collect().map(_.getAs[Long]("t"))
+    assert(totals.length == 8)
+    val spread = totals.max - totals.min
+    val maxDoc = sh.agg(max(col("n_toks")).cast("long")).head.getLong(0)
+    assert(spread <= maxDoc,
+      s"serpentine spread $spread exceeds one max doc ($maxDoc)")
+    // hash assignment on the same corpus: balanced in expectation only —
+    // on this heavy-tailed corpus its spread is strictly worse
+    val hashTotals = docs
+      .select((((col("doc_id") % 100) * lit(61L)) % 8).as("hs"), // knuth-mod family
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_toks"))
+      .groupBy(col("hs")).agg(sum(col("n_toks")).as("t"))
+      .collect().map(_.getAs[Long]("t"))
+    val hashSpread = hashTotals.max - hashTotals.min
+    info(s"serpentine spread=$spread, hash spread=$hashSpread, maxDoc=$maxDoc")
+    assert(spread <= hashSpread,
+      s"serpentine ($spread) should not be worse than hash ($hashSpread)")
+  }
+
+  test("assignment is deterministic across invocations") {
+    assert(assignment(rangeParts = 16) == assignment(rangeParts = 16))
+  }
+}
