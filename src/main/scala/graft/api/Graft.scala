@@ -196,6 +196,13 @@ object Graft {
     def shards(docs: DataFrame, nShards: Int): DataFrame =
       Curation.balancedShards(docs, nShards)
 
+    /** Materialize a mixing plan as fractional-epoch doc replication —
+      * [[Curation.epochExpand]] over [[Curation.epochPlan]]'s
+      * token-equalizing per-source repeat factors (capped in basis
+      * points; 10000 = one epoch). */
+    def epochs(docs: DataFrame, capBp: Long = 40000L): DataFrame =
+      Curation.epochExpand(docs, Curation.epochPlan(docs, capBp))
+
     /** Greedy first-fit sequence packing — [[Curation.packSequences]]. */
     def pack(docs: DataFrame, capacity: Int): DataFrame =
       Curation.packSequences(docs, capacity)

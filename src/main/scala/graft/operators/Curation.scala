@@ -104,6 +104,59 @@ object Curation {
         max(col("n_min")).as("n_min"))
   }
 
+  /** Fractional-epoch corpus expansion — the step that MATERIALIZES a
+    * mixing plan ([[temperatureSampleReport]] and q113 derive WEIGHTS;
+    * training recipes run some sources for >1 epoch): every doc emits
+    * `repeat_bp div 10000` full copies plus one more iff a deterministic
+    * per-doc draw falls below the fractional remainder, so a source with
+    * repeat_bp = 25000 contributes each doc 2 times plus a 50%-hash-chance
+    * third copy — in aggregate exactly 2.5 epochs, with the SAME docs
+    * picked every run (the repo's no-rand() rule: Knuth-multiplicative
+    * draw in exact integer arithmetic, reproducible across engines and
+    * partitionings). `repeats` columns: (sourceCol, repeat_bp: long,
+    * basis points, 10000 = one epoch). Output: the input rows replicated
+    * with an `epoch` column (0-based copy index).
+    *
+    * Scale shape: the plan is a per-source dim (broadcast join); the
+    * expansion is a narrow generate (`explode(sequence(...))`) — ZERO
+    * shuffles; output size is the token budget the plan asked for, and a
+    * downstream writer orders by [[shufflePosition]] so copies of one doc
+    * never cluster in a training shard. */
+  def epochExpand(docs: DataFrame, repeats: DataFrame,
+      sourceCol: String = "source", keyCol: String = "doc_id"): DataFrame = {
+    // 5761 = 2654435761 mod 10000 (modular form, overflow-safe; see the
+    // note on hashSampled)
+    val draw = ((col(keyCol) % 10000L) * lit(5761L)) % 10000L
+    // div, not /: Spark's / on longs is DOUBLE division, and a
+    // cast-truncated double can land one off an exact integer quotient
+    val copies = expr("repeat_bp div 10000") +
+      when(draw < col("repeat_bp") % 10000L, 1L).otherwise(0L)
+    docs.join(broadcast(repeats), sourceCol)
+      .withColumn("__n", copies)
+      .filter(col("__n") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("__n") - 1L)))
+      .drop("__n", "repeat_bp")
+  }
+
+  /** Per-source repeat plan that equalizes TOKEN budgets: every source is
+    * repeated up to the LARGEST source's token count, capped at `capBp`
+    * basis points (recipes cap low-resource sources at a few epochs
+    * rather than repeating them tens of times). Integer-exact:
+    * repeat_bp = min(capBp, max_tokens·10000 div source_tokens). One
+    * map-side-combinable agg; the plan is a ≤|sources|-row dim. */
+  def epochPlan(docs: DataFrame, capBp: Long = 40000L,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    val toks = docs.groupBy(col(sourceCol))
+      .agg(sum(TextFunctions.tokenCount(col(textCol)).cast("long"))
+        .as("n_toks"))
+    val maxT = toks.agg(max(col("n_toks")).as("max_toks"))
+    toks.crossJoin(broadcast(maxT))
+      .select(col(sourceCol),
+        least(lit(capBp), expr("(max_toks * 10000) div n_toks"))
+          .as("repeat_bp"))
+  }
+
   /** Within-document repetition ratio over n-gram occurrences:
     * 1 − distinct/total (boilerplate/loop signal). Per-row, no shuffle. */
   def repetitionRatio(text: Column, n: Int = 3): Column = {

@@ -1482,9 +1482,50 @@ object CurationQueries {
       |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_toks
       |FROM r GROUP BY 1""".stripMargin
 
+  /** q180: fractional-epoch corpus expansion — materializing a mixing
+    * plan ([[Curation.epochExpand]]): the token-equalizing plan
+    * ([[Curation.epochPlan]], capped at 4 epochs) replicates every doc
+    * `repeat_bp div 10000` times plus a deterministic-hash fractional
+    * copy, so each source's output token budget approaches the largest
+    * source's. q113/q156 derive mixture WEIGHTS; this is the step that
+    * writes the mixture: a broadcast plan join + a narrow
+    * explode(sequence) — zero shuffles before the report agg. The oracle
+    * replays the exact integer arithmetic (div/mod, Knuth draw), so every
+    * copy count matches per doc. */
+  private def q180(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val plan = Curation.epochPlan(all, capBp = 40000L)
+    Curation.epochExpand(all, plan)
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_in"),
+        count(lit(1)).as("n_rows_out"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long"))
+          .cast("long").as("toks_out"))
+  }
+
+  private val q180Sql =
+    """WITH t AS (SELECT source, doc_id, len(string_split(text,' ')) AS toks
+      |           FROM documents),
+      |st AS (SELECT source, CAST(sum(toks) AS BIGINT) AS n_toks
+      |       FROM t GROUP BY 1),
+      |mx AS (SELECT max(n_toks) AS max_toks FROM st),
+      |plan AS (SELECT source,
+      |           least(40000, (max_toks * 10000) // n_toks) AS repeat_bp
+      |         FROM st, mx),
+      |e AS (SELECT t.source, t.doc_id, t.toks,
+      |        (p.repeat_bp // 10000)
+      |          + CASE WHEN ((t.doc_id % 10000) * 5761) % 10000
+      |                      < p.repeat_bp % 10000 THEN 1 ELSE 0 END AS n
+      |      FROM t JOIN plan p ON t.source = p.source)
+      |SELECT source, count(DISTINCT doc_id) AS n_docs_in,
+      |  CAST(sum(n) AS BIGINT) AS n_rows_out,
+      |  CAST(sum(n * toks) AS BIGINT) AS toks_out
+      |FROM e WHERE n > 0 GROUP BY source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q90_contamination", q90, Some(q90Sql), bench = true),
     QueryDef("q179_balanced_shards", q179, Some(q179Sql)),
+    QueryDef("q180_epoch_expand", q180, Some(q180Sql)),
     QueryDef("q91_stratified_sample", q91, Some(q91Sql)),
     QueryDef("q92_pii_scrub", q92, Some(q92Sql)),
     QueryDef("q93_repetition", q93, Some(q93Sql)),

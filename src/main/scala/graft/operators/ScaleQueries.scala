@@ -171,11 +171,17 @@ object ScaleQueries {
     * shape) via the SQL surface: (rf, ls), (rf), (). */
   private def q57(s: SparkSession, d: String): DataFrame = {
     li(s, d).createOrReplaceTempView("lineitem_gs")
+    // revenue summed in INTEGER CENTS (prices are hundredth-exact), then
+    // one exact-integer-to-double division: round(sum(double), 2) split a
+    // last-cent boundary at the x10 grand total (6 M additions, sum
+    // ~3.2e11 where double ULP is 6e-5 — the per-engine/per-order
+    // accumulation drift exceeds the rounding step). The q50 medicine.
     s.sql(
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |  coalesce(l_linestatus, 'ALL') AS ls,
         |  count(1) AS n,
-        |  round(sum(l_extendedprice), 2) AS rev
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS rev
         |FROM lineitem_gs
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |""".stripMargin)
@@ -185,7 +191,7 @@ object ScaleQueries {
     """SELECT coalesce(l_returnflag, 'ALL') AS rf,
       |  coalesce(l_linestatus, 'ALL') AS ls,
       |  count(*) AS n,
-      |  round(sum(l_extendedprice), 2) AS rev
+      |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS rev
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
 

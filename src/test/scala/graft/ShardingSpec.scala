@@ -64,4 +64,35 @@ class ShardingSpec extends AnyFunSuite {
   test("assignment is deterministic across invocations") {
     assert(assignment(rangeParts = 16) == assignment(rangeParts = 16))
   }
+
+  test("epochExpand: copy counts follow the plan exactly; sub-epoch plans downsample") {
+    import spark.implicits._
+    val d = (0L until 1000L).map(i => (i, "src", "w " * 5)).toDF(
+      "doc_id", "source", "text")
+    // 2.5 epochs: every doc 2 copies + a deterministic-hash half chance
+    val plan25 = Seq(("src", 25000L)).toDF("source", "repeat_bp")
+    val out = Curation.epochExpand(d, plan25)
+    val perDoc = out.groupBy(col("doc_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc.size == 1000)
+    assert(perDoc.values.forall(n => n == 2 || n == 3))
+    val total = perDoc.values.sum
+    // the draw is a fixed permutation of doc_id mod 10000: over 1000
+    // consecutive ids the sub-5000 mass is near-exactly half
+    assert(math.abs(total - 2500L) <= 50, s"total copies $total")
+    // epoch ids are 0..n-1 per doc
+    val epochs = out.filter(col("doc_id") === perDoc.keys.head)
+      .select(col("epoch")).collect().map(_.getLong(0)).sorted
+    assert(epochs.sameElements(0L until epochs.length.toLong))
+    // sub-epoch plan (0.3 epochs) = deterministic downsampling: docs with
+    // draw >= 3000 emit ZERO rows and are absent
+    val out03 = Curation.epochExpand(d, Seq(("src", 3000L))
+      .toDF("source", "repeat_bp"))
+    val n03 = out03.count()
+    assert(n03 > 200 && n03 < 400, s"0.3-epoch rows: $n03")
+    assert(out03.groupBy(col("doc_id")).count()
+      .filter(col("count") =!= 1).count() == 0)
+    // and the whole thing is reproducible
+    assert(out.count() == Curation.epochExpand(d, plan25).count())
+  }
 }
