@@ -32,6 +32,15 @@ object Bench {
     def exec(q: QueryDef): Unit =
       q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // set selection: "bench" (default — the driver's per-round headline
+    // subset, kept stable for cross-round comparability) or "wide" (the
+    // yardstick's full same-algorithm set, SparkEntry.wideBenchQueries)
+    val baseSet = sys.env.getOrElse("SPARK_GRAFT_BENCH_SET", "bench") match {
+      case "bench" => SparkEntry.benchQueries
+      case "wide" => SparkEntry.wideBenchQueries
+      case other => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_BENCH_SET must be bench|wide, got '$other'")
+    }
     // dev-only subset filter (comma-separated names, mirrors Verify's name
     // arg): lets a regression be isolated from its bench neighbors — unset
     // for the driver's full run
@@ -40,14 +49,13 @@ object Bench {
     // validate each requested name — a typo'd entry silently dropping one
     // query would read downstream as "nothing regressed"
     only.foreach { names =>
-      val known = SparkEntry.benchQueries.map(_.name).toSet
+      val known = baseSet.map(_.name).toSet
       val unknown = names -- known
       require(unknown.isEmpty,
-        s"SPARK_GRAFT_BENCH_ONLY names not in the bench set: $unknown")
+        s"SPARK_GRAFT_BENCH_ONLY names not in the selected set: $unknown")
       require(names.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but empty")
     }
-    val qs = SparkEntry.benchQueries
-      .filter(q => only.forall(_.contains(q.name)))
+    val qs = baseSet.filter(q => only.forall(_.contains(q.name)))
     // shuffle-volume capture: job group → stages → summed task write metrics
     val stageToQuery = scala.collection.concurrent.TrieMap.empty[Int, String]
     val shuffleAgg =

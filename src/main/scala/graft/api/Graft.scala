@@ -192,7 +192,9 @@ object Graft {
 
     /** Deterministic serpentine bin packing into near-equal-token output
       * shards (the dataloader-file assignment) —
-      * [[Curation.balancedShards]]. */
+      * [[Curation.balancedShards]]. Pins the rank cache for the session;
+      * a long-lived session calling per batch should use
+      * [[Curation.balancedShardsManaged]] and `close()` the handle. */
     def shards(docs: DataFrame, nShards: Int): DataFrame =
       Curation.balancedShards(docs, nShards)
 
@@ -221,6 +223,98 @@ object Graft {
       * [[Curation.scrubDuplicatedSpans]]. */
     def scrubSpans(docs: DataFrame, n: Int = 5): DataFrame =
       Curation.scrubDuplicatedSpans(docs, n)
+  }
+
+  /** Full-text search (L13, q127–q132): postings construction, boolean /
+    * phrase queries, BM25 ranking, and the persisted term-bucketed
+    * postings index. Build the persisted index with [[index.buildFts]];
+    * probe-side loads prune to the query terms' buckets. */
+  object fts {
+    /** Positional postings (term, doc, positions) from a doc table —
+      * [[Fts.positionalPostings]]. */
+    def postings(docs: DataFrame, docIdCol: String = "doc_id",
+        textCol: String = "text"): DataFrame =
+      Fts.positionalPostings(docs, docIdCol, textCol)
+
+    /** Per-doc token lengths (BM25's denominator side) —
+      * [[Fts.docLengths]]. */
+    def docLengths(docs: DataFrame, docIdCol: String = "doc_id",
+        textCol: String = "text"): DataFrame =
+      Fts.docLengths(docs, docIdCol, textCol)
+
+    /** Conjunctive (AND) term query — [[Fts.conjunctiveQuery]]. */
+    def and(postings: DataFrame, terms: Seq[String]): DataFrame =
+      Fts.conjunctiveQuery(postings, terms)
+
+    /** Exact phrase query via positional adjacency —
+      * [[Fts.phraseQuery]]. */
+    def phrase(postings: DataFrame, words: Seq[String]): DataFrame =
+      Fts.phraseQuery(postings, words)
+
+    /** BM25 ranking for a term query — [[Fts.bm25Scores]] (also surfaced
+      * as [[retrieve.bm25]]; this is the FTS-local spelling). */
+    def bm25(postings: DataFrame, docLens: DataFrame,
+        terms: Seq[String]): DataFrame =
+      Fts.bm25Scores(postings, docLens, terms)
+
+    /** Fold a fresh doc batch into the persisted postings index
+      * (bucket-routed partition overwrite) —
+      * [[Fts.upsertPostingsIndex]]. */
+    def upsertIndex(newDocs: DataFrame, path: String,
+        docIdCol: String = "doc_id", textCol: String = "text"): Unit =
+      Fts.upsertPostingsIndex(newDocs, path, docIdCol, textCol)
+
+    /** Load a persisted index pruned to `terms`' buckets —
+      * [[Fts.loadPostings]]. */
+    def load(spark: SparkSession, path: String,
+        terms: Seq[String]): DataFrame =
+      Fts.loadPostings(spark, path, terms)
+  }
+
+  /** Structured Streaming (ST1–ST7): the events stream transforms, the
+    * stateful sessionizer, stream joins, and the checkpointed
+    * index-maintenance drain every persisted family reuses. */
+  object stream {
+    /** Streaming read of an events parquet directory (nanos→micros
+      * normalized like the batch reader) —
+      * [[graft.streaming.EventsStream.readEventsDir]]. */
+    def events(spark: SparkSession, dir: String): DataFrame =
+      graft.streaming.EventsStream.readEventsDir(spark, dir)
+
+    /** Watermarked exactly-once-per-key dedup —
+      * [[graft.streaming.EventsStream.dedup]]. */
+    def dedup(events: DataFrame, watermark: String = "1 day"): DataFrame =
+      graft.streaming.EventsStream.dedup(events, watermark)
+
+    /** Watermarked hourly tumbling-window counts —
+      * [[graft.streaming.EventsStream.hourlyCounts]]. */
+    def hourly(events: DataFrame, watermark: String = "1 day"): DataFrame =
+      graft.streaming.EventsStream.hourlyCounts(events, watermark)
+
+    /** Stateful session fold (flatMapGroupsWithState) —
+      * [[graft.streaming.SessionStream.sessions]]. */
+    def sessions(spark: SparkSession, events: DataFrame): org.apache.spark
+        .sql.Dataset[graft.streaming.SessionStream.SessionOut] =
+      graft.streaming.SessionStream.sessions(spark, events)
+
+    /** Stream-stream view→purchase attribution join —
+      * [[graft.streaming.StreamJoins.viewPurchaseAttribution]]. */
+    def attribution(views: DataFrame, purchases: DataFrame): DataFrame =
+      graft.streaming.StreamJoins.viewPurchaseAttribution(views, purchases)
+
+    /** Drain batch slices through a checkpointed micro-batch stream into
+      * a per-family index fold (the maintenance loop behind
+      * q145/q154/q160/q171) — [[graft.streaming.IngestHarness.drain]]. */
+    def ingest(spark: SparkSession, base: java.nio.file.Path,
+        slices: Seq[DataFrame],
+        fold: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row] => Unit)
+        : Unit =
+      graft.streaming.IngestHarness.drain(spark, base, slices, fold)
+
+    /** Run a bounded stream to parquet with idempotent per-batch writes —
+      * [[graft.streaming.EventsStream.runToParquet]]. */
+    def toParquet(streaming: DataFrame, path: String): Unit =
+      graft.streaming.EventsStream.runToParquet(streaming, path)
   }
 
   /** Text scalar helpers (F-functions, §2.8): codegen-friendly Column

@@ -113,9 +113,20 @@ object Curation {
     * third copy — in aggregate exactly 2.5 epochs, with the SAME docs
     * picked every run (the repo's no-rand() rule: Knuth-multiplicative
     * draw in exact integer arithmetic, reproducible across engines and
-    * partitionings). `repeats` columns: (sourceCol, repeat_bp: long,
+    * partitionings). The draw MIXES the full key first — a high-bits fold
+    * (`key div 2^31 + key`) through the 31-bit Knuth permutation
+    * ([[shufflePosition]]'s constants) before the mod-10000 cut — so
+    * structured id spaces (stride-generated ids, ids sharing a residue
+    * mod 10000) don't all land on the same side of the fractional draw
+    * the way a bare `key mod 10000` would (round-8 advice finding).
+    * `repeats` columns: (sourceCol, repeat_bp: long,
     * basis points, 10000 = one epoch). Output: the input rows replicated
-    * with an `epoch` column (0-based copy index).
+    * with an `epoch` column (0-based copy index). Docs whose source is
+    * ABSENT from `repeats` contribute ZERO copies by definition — the
+    * plan is the complete recipe, a missing source means "not in the
+    * mix" (made explicit here via left join + coalesce(repeat_bp, 0)
+    * rather than an inner join's silent drop); [[epochPlan]]-derived
+    * plans always cover every source.
     *
     * Scale shape: the plan is a per-source dim (broadcast join); the
     * expansion is a narrow generate (`explode(sequence(...))`) — ZERO
@@ -124,14 +135,22 @@ object Curation {
     * never cluster in a training shard. */
   def epochExpand(docs: DataFrame, repeats: DataFrame,
       sourceCol: String = "source", keyCol: String = "doc_id"): DataFrame = {
-    // 5761 = 2654435761 mod 10000 (modular form, overflow-safe; see the
-    // note on hashSampled)
-    val draw = ((col(keyCol) % 10000L) * lit(5761L)) % 10000L
+    // full-key mix: fold the high bits down (div keeps it exact-integer
+    // and engine-portable — DuckDB `//`, Spark `div`), then the 31-bit
+    // Knuth permutation (same constants as shufflePosition), THEN the
+    // mod-10000 cut. A bare `key mod 10000` draw made every stride-10000
+    // id family land on the same side of the fraction.
+    val fold = expr(s"$keyCol div ${1L << 31}") + col(keyCol)
+    val draw = (((fold % 2147483647L) * lit(506952114L)) % 2147483647L) %
+      10000L
     // div, not /: Spark's / on longs is DOUBLE division, and a
-    // cast-truncated double can land one off an exact integer quotient
-    val copies = expr("repeat_bp div 10000") +
-      when(draw < col("repeat_bp") % 10000L, 1L).otherwise(0L)
-    docs.join(broadcast(repeats), sourceCol)
+    // cast-truncated double can land one off an exact integer quotient.
+    // coalesce: plan-absent sources are an explicit ZERO, not an
+    // inner-join drop (see scaladoc).
+    val bp = coalesce(col("repeat_bp"), lit(0L))
+    val copies = expr("coalesce(repeat_bp, 0) div 10000") +
+      when(draw < bp % 10000L, 1L).otherwise(0L)
+    docs.join(broadcast(repeats), Seq(sourceCol), "left")
       .withColumn("__n", copies)
       .filter(col("__n") > 0)
       .withColumn("epoch",
@@ -339,7 +358,25 @@ object Curation {
     * where the range sampler places partition boundaries. Returns
     * (doc_id, n_toks, shard). */
   def balancedShards(docs: DataFrame, nShards: Int, rangeParts: Int = 0,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    balancedShardsCore(docs, nShards, rangeParts, textCol)._1
+
+  /** [[balancedShards]] with cache ownership: the bare call pins the
+    * ranged/cached rank frame for the session's life (the same
+    * per-call CacheManager accumulation the dedup [[ProbeHandle]]
+    * variants exist for — round-8 advice finding). The handle's
+    * `result` is the assignment; `close()` releases the rank cache.
+    * Materialize first, close after (the cache is what makes the
+    * offset job and the assignment read ONE `monotonically_increasing_
+    * id` evaluation — an unpersisted recompute could renumber). */
+  def balancedShardsManaged(docs: DataFrame, nShards: Int,
+      rangeParts: Int = 0, textCol: String = "text"): ProbeHandle = {
+    val (out, ranged) = balancedShardsCore(docs, nShards, rangeParts, textCol)
+    new ProbeHandle(out, Seq(ranged))
+  }
+
+  private def balancedShardsCore(docs: DataFrame, nShards: Int,
+      rangeParts: Int, textCol: String): (DataFrame, DataFrame) = {
     require(nShards > 0, "need at least one shard")
     val parts = if (rangeParts > 0) rangeParts
       else docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
@@ -362,11 +399,11 @@ object Curation {
     val rk = element_at(typedLit(offsets),
         shiftright(col("__mid"), 33).cast("int")) +
       (col("__mid") % (1L << 33))
-    ranged.withColumn("__rk", rk.cast("long"))
+    (ranged.withColumn("__rk", rk.cast("long"))
       .withColumn("shard",
         when(expr(s"(__rk div $nShards) % 2 = 0"), col("__rk") % nShards)
           .otherwise(lit(nShards - 1) - col("__rk") % nShards).cast("long"))
-      .drop("__mid", "__rk")
+      .drop("__mid", "__rk"), ranged)
   }
 
   /** Cross-document paragraph-level dedup (the C4 recipe at block

@@ -1514,7 +1514,9 @@ object CurationQueries {
       |         FROM st, mx),
       |e AS (SELECT t.source, t.doc_id, t.toks,
       |        (p.repeat_bp // 10000)
-      |          + CASE WHEN ((t.doc_id % 10000) * 5761) % 10000
+      |          + CASE WHEN ((((t.doc_id // 2147483648 + t.doc_id)
+      |                         % 2147483647) * 506952114) % 2147483647)
+      |                     % 10000
       |                      < p.repeat_bp % 10000 THEN 1 ELSE 0 END AS n
       |      FROM t JOIN plan p ON t.source = p.source)
       |SELECT source, count(DISTINCT doc_id) AS n_docs_in,

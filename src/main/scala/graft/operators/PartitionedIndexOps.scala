@@ -106,7 +106,16 @@ object PartitionedIndexOps {
     * re-covers every partition it touched (the same-batch retry contract
     * the crash windows already rely on), converging to the serial
     * application. A crashed claimer never wedges the index: the next
-    * writer just claims the next version. */
+    * writer just claims the next version.
+    *
+    * MIGRATION (mixed-version writer fleets): the `version:token` pin is
+    * one-way compatible — this code reads legacy bare-counter pins, but a
+    * PRE-token binary's readVersion would `toLong` the whole "v:uuid"
+    * string and throw NumberFormatException (a crash, not a clean abort).
+    * Upgrade ALL writers before the first tokened claim is published: old
+    * readers keep working until a new writer claims, so roll the fleet
+    * first, then resume writes. (Single-writer deployments — every test
+    * and the reference's jobs — never see this.) */
   def readVersion(fs: org.apache.hadoop.fs.FileSystem,
       vPath: org.apache.hadoop.fs.Path): Long =
     readPin(fs, vPath)

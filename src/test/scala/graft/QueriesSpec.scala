@@ -17,6 +17,34 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("yardstick coverage is exhaustive: bench ∪ wideExtra ∪ excluded " +
+      "partitions the query inventory") {
+    // the no-silent-caps rule for the ≤2×-of-DuckDB contract: every
+    // declared query is either timed by the wide yardstick (bench or
+    // wideExtra) or carries a documented reason it is not a fair
+    // same-algorithm timing pair — a new query that lands in none of the
+    // three fails here instead of silently dodging the contract
+    val all = SparkEntry.defs.map(_.name).toSet
+    val bench = SparkEntry.benchQueries.map(_.name).toSet
+    val wide = SparkEntry.wideExtra
+    val excl = SparkEntry.yardstickExcluded.keySet
+    assert((wide & bench).isEmpty,
+      s"wideExtra duplicates bench members: ${wide & bench}")
+    assert((excl & (bench ++ wide)).isEmpty,
+      s"excluded overlaps the timed set: ${excl & (bench ++ wide)}")
+    val unknown = (wide ++ excl) -- all
+    assert(unknown.isEmpty, s"names not in defs (typo?): $unknown")
+    val unclassified = all -- bench -- wide -- excl
+    assert(unclassified.isEmpty,
+      s"queries with no yardstick verdict: $unclassified")
+    assert(SparkEntry.yardstickExcluded.values.forall(_.nonEmpty))
+    // the wide set is what the round-9 brief requires: ≥60 compared
+    // queries (timed members minus the 4 brute-oracle bench legacies
+    // tools/yardstick.py EXCLUDEs python-side)
+    assert(SparkEntry.wideBenchQueries.size >= 64,
+      s"wide set shrank to ${SparkEntry.wideBenchQueries.size}")
+  }
+
   test("every declared query executes at sf0.001") {
     SparkEntry.defs.foreach { q =>
       val n = q.run(spark, TestSpark.sf0001).count()

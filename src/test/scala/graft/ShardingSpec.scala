@@ -77,8 +77,9 @@ class ShardingSpec extends AnyFunSuite {
     assert(perDoc.size == 1000)
     assert(perDoc.values.forall(n => n == 2 || n == 3))
     val total = perDoc.values.sum
-    // the draw is a fixed permutation of doc_id mod 10000: over 1000
-    // consecutive ids the sub-5000 mass is near-exactly half
+    // the draw is the Knuth 31-bit permutation of the folded key cut to
+    // mod 10000: over 1000 consecutive ids the sub-5000 mass is
+    // near-exactly half
     assert(math.abs(total - 2500L) <= 50, s"total copies $total")
     // epoch ids are 0..n-1 per doc
     val epochs = out.filter(col("doc_id") === perDoc.keys.head)
@@ -94,5 +95,32 @@ class ShardingSpec extends AnyFunSuite {
       .filter(col("count") =!= 1).count() == 0)
     // and the whole thing is reproducible
     assert(out.count() == Curation.epochExpand(d, plan25).count())
+  }
+
+  test("epochExpand: structured id spaces still see the fractional draw") {
+    import spark.implicits._
+    // ids all sharing residue 0 mod 10000 — the round-8 advice finding:
+    // a bare `doc_id mod 10000` draw gives every one of these the SAME
+    // draw value (0), so a 2.5-epoch plan would emit 3 copies for ALL of
+    // them. The folded-Knuth draw must split them near-half.
+    val d = (0L until 1000L).map(i => (i * 10000L, "src", "w"))
+      .toDF("doc_id", "source", "text")
+    val plan25 = Seq(("src", 25000L)).toDF("source", "repeat_bp")
+    val extra = Curation.epochExpand(d, plan25).count() - 2000L
+    assert(extra > 400 && extra < 600,
+      s"stride-10000 ids got $extra/1000 fractional copies — draw is " +
+        "still correlated with the id structure")
+  }
+
+  test("epochExpand: a source absent from the plan contributes zero copies") {
+    import spark.implicits._
+    val d = Seq((1L, "a", "w"), (2L, "b", "w")).toDF(
+      "doc_id", "source", "text")
+    val planA = Seq(("a", 10000L)).toDF("source", "repeat_bp")
+    val out = Curation.epochExpand(d, planA).collect()
+    // doc 1 passes through once; doc 2's source is not in the mix — the
+    // left join + coalesce(bp, 0) makes that an explicit 0-copy verdict
+    assert(out.map(_.getAs[String]("source")).toSet == Set("a"))
+    assert(out.length == 1)
   }
 }
