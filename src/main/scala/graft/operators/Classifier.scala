@@ -31,8 +31,20 @@ import org.apache.spark.sql.functions._
 object Classifier {
 
   /** Hashed bag-of-words count features as a dense integer array:
-    * element b+1 = #words with portableWordHash % nF == b. */
-  def hashedCounts(text: Column, nF: Int): Column = {
+    * element b+1 = #words with portableWordHash % nF == b. Served by the
+    * native [[graft.functions.HashedWordCounts]] expression — the
+    * composed HOF form (split + per-word char-fold + nF filter/size
+    * passes) ran interpreted per lambda and cost ~45 s per corpus pass at
+    * the ×10 yardstick replica; the native one-loop form is
+    * bit-identical (ClassifierSpec pins it against the composed form)
+    * and keeps the scan in WholeStageCodegen. */
+  def hashedCounts(text: Column, nF: Int): Column =
+    graft.functions.HashedWordCounts(text, nF)
+
+  /** The pre-round-9 composed formulation, kept as the spec's
+    * equivalence oracle for the native expression (and as executable
+    * documentation of the exact semantics the native form must match). */
+  private[graft] def hashedCountsComposed(text: Column, nF: Int): Column = {
     val hs = transform(
       filter(TextFunctions.words(text), w => w =!= ""),
       w => Dedup.portableWordHash(w) % nF)

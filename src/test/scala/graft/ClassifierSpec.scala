@@ -24,6 +24,32 @@ class ClassifierSpec extends AnyFunSuite {
     assert(got(3L) == counts(Seq("x")))
   }
 
+  test("native hashed_word_counts is bit-identical to the composed HOF form") {
+    // adversarial boundary shapes first: consecutive/leading/trailing
+    // spaces (empty words), empty string, single word, null text
+    val edge = Seq((1L, "a  b"), (2L, " lead"), (3L, "trail "),
+      (4L, ""), (5L, "x"), (7L, "the same word the same word"))
+      .toDF("id", "text")
+    val corpus = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id").as("id"), col("text"))
+    for (df <- Seq(edge, corpus); nF <- Seq(8, 32)) {
+      val diff = df.select(col("id"), col("text"),
+          Classifier.hashedCounts(col("text"), nF).as("a"),
+          Classifier.hashedCountsComposed(col("text"), nF).as("b"))
+        .filter(not(col("a") <=> col("b")))
+        .collect()
+      assert(diff.isEmpty,
+        s"native vs composed diverged (nF=$nF): ${diff.take(3).mkString("; ")}")
+    }
+    // null text: the native form nulls OUT (array-typed null), where the
+    // composed form produced an array of nF null elements — same null
+    // score downstream, but the cleaner shape is pinned here explicitly
+    val nulls = Seq((6L, Option.empty[String])).toDF("id", "text")
+      .select(Classifier.hashedCounts(col("text"), 8).as("a"))
+      .collect()
+    assert(nulls.head.isNullAt(0), "null text must yield a null feature array")
+  }
+
   test("perceptron separates a label carried by one word") {
     // label = +1 iff the text contains the marker word; 200 docs of
     // filler words plus the marker on the positive half

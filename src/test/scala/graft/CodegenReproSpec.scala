@@ -45,4 +45,12 @@ class CodegenReproSpec extends AnyFunSuite {
       graft.operators.Similarity.hyperplanes(dim, 16, seed = 7L + t)).toArray
     mustCompile("lsh_buckets", graft.functions.LshBuckets(emb, planeSets))
   }
+
+  test("HashedWordCounts compiles as a bare UnsafeProjection at classifier geometry") {
+    val text = BoundReference(2,
+      org.apache.spark.sql.types.StringType, nullable = true)
+    for (nF <- Seq(16, 32, 1024))
+      mustCompile("hashed_word_counts",
+        graft.functions.HashedWordCounts(text, nF))
+  }
 }
