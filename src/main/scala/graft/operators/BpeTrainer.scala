@@ -100,6 +100,15 @@ object BpeTrainer {
     * budgeting stage runs with (q133) — token counts at 100 TB are a
     * narrow map over the corpus. */
   def tokenCountCol(text: org.apache.spark.sql.Column,
+      merges: Seq[MergeRule]): org.apache.spark.sql.Column =
+    graft.functions.BpeTokenCount(text, merges.map(m => (m.left, m.right)))
+
+  /** The pre-round-9 composed formulation of [[tokenCountCol]], kept as
+    * the spec's equivalence oracle for the native expression: the
+    * per-word wrap-replace-split chain ran on Catalyst's interpreted
+    * HOF path (~5 s per ×10 corpus pass — q133/q168 at 8.3×/5.7× the
+    * DuckDB yardstick before the native form). */
+  private[graft] def tokenCountColComposed(text: org.apache.spark.sql.Column,
       merges: Seq[MergeRule]): org.apache.spark.sql.Column = {
     def wordTokens(w: org.apache.spark.sql.Column) = {
       val seg = merges.foldLeft(wrapChars(w)) { (s, m) =>

@@ -80,6 +80,62 @@ case class BandedIntervalJoinRule() extends Rule[LogicalPlan] {
   private def bandOf(e: Expression, band: Long): Expression =
     Floor(Divide(Cast(UnixMicros(e), DoubleType), Literal(band.toDouble)))
 
+  /** Resolve `a` to (base expression, literal microsecond offset) by
+    * walking the plan's Project aliases: `lo := p_ts - INTERVAL 30 MINUTE`
+    * linearizes to (ts, −1800000000). Only zero-month/zero-day literal
+    * intervals fold (month/day arithmetic is calendar- and zone-dependent
+    * — a "day" is not a fixed microsecond count across DST, so such
+    * intervals never infer a span and fall back to the session width). */
+  private def linearize(plan: LogicalPlan, e: Expression)
+      : Option[(Expression, Long)] = e match {
+    case a: AttributeReference =>
+      // the defining alias can sit in any Project of the subtree (exprIds
+      // are unique, so at most one definition exists)
+      val defn = plan.collect {
+        case p: Project => p.projectList.collectFirst {
+          case al: Alias if al.exprId == a.exprId => al.child
+        }
+      }.flatten.headOption
+      defn match {
+        case Some(d) => linearize(plan, d)
+        case None => Some((a, 0L))
+      }
+    case al: Alias => linearize(plan, al.child)
+    case TimestampAddInterval(base, Literal(v, dt), _) => (v, dt) match {
+      // ANSI day-time interval: value IS the microsecond count
+      case (us: java.lang.Long, _: org.apache.spark.sql.types.DayTimeIntervalType) =>
+        linearize(plan, base).map { case (b, off) => (b, off + us) }
+      // legacy calendar interval: fold only the exact-microsecond part
+      case (ci: org.apache.spark.unsafe.types.CalendarInterval, _)
+          if ci.months == 0 && ci.days == 0 =>
+        linearize(plan, base).map { case (b, off) =>
+          (b, off + ci.microseconds)
+        }
+      case _ => None
+    }
+    case other => Some((other, 0L))
+  }
+
+  /** The interval's literal span in microseconds, when `lo` and `hi` both
+    * derive from one base timestamp ± literal offsets (the dominant shape:
+    * `lo = ts − INTERVAL c, hi = ts`). The BAND WIDTH choice this feeds:
+    * band ≈ span replicates each interval row to ≤ 2 bands AND bounds the
+    * per-band candidate set to ~2 spans of interval rows — a fixed session
+    * width (the pre-round-9 behavior) made a 30-minute interval probe
+    * DAY-wide bands, testing every same-day pair: 10.7 s vs 2.4 s at the
+    * ×10 yardstick, and quadratic in corpus density at scale. A/B at ×10
+    * (graft.BandTune): span/1 2.40 s, /2 2.37 s, /4 2.45 s, /8 2.83 s —
+    * flat around span, so the ≤2-replication choice wins. */
+  private def inferSpan(ivSide: LogicalPlan, lo: AttributeReference,
+      hi: AttributeReference): Option[Long] =
+    for {
+      (bl, offL) <- linearize(ivSide, lo)
+      (bh, offH) <- linearize(ivSide, hi)
+      if bl.semanticEquals(bh)
+      span = offH - offL
+      if span > 0
+    } yield span
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val band = bandUs
     if (band <= 0) return plan
@@ -89,9 +145,12 @@ case class BandedIntervalJoinRule() extends Rule[LogicalPlan] {
           case Some((ts, lo, hi, tsOnLeft)) =>
             val tsSide = if (tsOnLeft) l else r
             val ivSide = if (tsOnLeft) r else l
-            val tsBand = Alias(bandOf(ts, band), "__band_ts")()
+            // interval-span-matched band when statically inferable;
+            // session width otherwise
+            val effBand = inferSpan(ivSide, lo, hi).getOrElse(band)
+            val tsBand = Alias(bandOf(ts, effBand), "__band_ts")()
             val tsProj = Project(tsSide.output :+ tsBand, tsSide)
-            val seq = Sequence(bandOf(lo, band), bandOf(hi, band), None,
+            val seq = Sequence(bandOf(lo, effBand), bandOf(hi, effBand), None,
               Some(conf.sessionLocalTimeZone))
             val ivBand = AttributeReference("__band_iv", LongType, nullable = false)()
             val ivGen = Generate(Explode(seq), unrequiredChildIndex = Nil,

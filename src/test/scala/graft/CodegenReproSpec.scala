@@ -53,4 +53,13 @@ class CodegenReproSpec extends AnyFunSuite {
       mustCompile("hashed_word_counts",
         graft.functions.HashedWordCounts(text, nF))
   }
+
+  test("BpeTokenCount and WordCharPairs compile as bare UnsafeProjections") {
+    val text = BoundReference(2,
+      org.apache.spark.sql.types.StringType, nullable = true)
+    val merges = Array(Array("a", "b"), Array("ab", "c"), Array("d", "e"))
+    mustCompile("bpe_token_count",
+      graft.functions.BpeTokenCount(text, merges))
+    mustCompile("word_char_pairs", graft.functions.WordCharPairs(text))
+  }
 }

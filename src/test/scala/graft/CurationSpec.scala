@@ -10,6 +10,37 @@ class CurationSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private def q(name: String) = SparkEntry.queries(name)(spark, TestSpark.sf001)
 
+  test("native word_char_pairs matches the composed explode+transform form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val edge = Seq((1L, Some("aab  ab")), (2L, Some(" x")), (3L, Some("y ")),
+      (4L, Some("")), (5L, Some("a b c")), (6L, Option.empty[String]),
+      (7L, Some("abc")))
+      .toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    def composed(df: org.apache.spark.sql.DataFrame) = {
+      val cs = split(col("w"), "")
+      val pairs = when(size(cs) >= 2,
+        transform(sequence(lit(1), size(cs) - 1),
+          i => concat(element_at(cs, i), element_at(cs, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      df.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.words(col("text"))).as("w"))
+        .select(col("doc_id"), explode(pairs).as("pair"))
+    }
+    def native(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        explode(graft.functions.WordCharPairs(col("text"))).as("pair"))
+    for (df <- Seq(edge, corpus)) {
+      val a = native(df).groupBy("doc_id", "pair").count()
+        .collect().map(_.toSeq).toSet
+      val b = composed(df).groupBy("doc_id", "pair").count()
+        .collect().map(_.toSeq).toSet
+      assert(a == b, "native vs composed pair multisets diverged")
+    }
+  }
+
   test("contamination: eval docs never appear; ratios within (0,1]") {
     val rows = q("q90_contamination").collect()
     assert(rows.nonEmpty)

@@ -314,6 +314,26 @@ class FtsSpec extends AnyFunSuite {
     assert(corpusTotal == perDocTotal)
   }
 
+  test("bpe: native token count is bit-identical to the composed HOF form") {
+    val corpus = Tables.documents(spark, TestSpark.sf0001)
+    val m = BpeTrainer.trainMerges(corpus, "text", 3)
+    // boundary shapes: consecutive/leading/trailing spaces (empty words),
+    // empty string, single-char word, merge-heavy repeats, null text
+    val edge = Seq((1L, Some("aab  ab")), (2L, Some(" aab")),
+      (3L, Some("ab ")), (4L, Some("")), (5L, Some("a")),
+      (6L, Some("aab aab aab b ab")), (7L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    for (df <- Seq(edge, corpus)) {
+      val diff = df.select(
+          BpeTrainer.tokenCountCol(col("text"), m).as("a"),
+          BpeTrainer.tokenCountColComposed(col("text"), m).as("b"))
+        .filter(not(col("a") <=> col("b")))
+        .collect()
+      assert(diff.isEmpty,
+        s"native vs composed token counts diverged: ${diff.take(3).mkString("; ")}")
+    }
+  }
+
   test("bpe: a corpus with no adjacent pairs trains zero merges, encodes unchanged") {
     val docs = Seq((1L, "a b c a")).toDF("doc_id", "text")
     val m = BpeTrainer.trainMerges(docs, "text", 3)

@@ -77,6 +77,35 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("optimizer rule infers the band from the interval's literal span") {
+    val (p, v) = sides
+    // lo = p_ts − 30 min, hi = p_ts: the rule must band at the 30-minute
+    // span (1.8e9 µs), NOT the 86400 s session width — day-wide bands made
+    // every same-day pair a residual candidate (10.7 s vs 2.4 s at the ×10
+    // yardstick, quadratic in corpus density at scale)
+    val naive = v.join(p,
+        col("v_ts") >= col("lo") && col("v_ts") <= col("p_ts"))
+      .select(col("view_id"), col("purchase_id"))
+    val opt = naive.queryExecution.optimizedPlan.toString
+    assert(opt.contains("__band"), s"rule did not fire:\n$opt")
+    assert(opt.contains("1.8E9"),
+      s"expected the inferred 30-minute band (1.8E9 µs) in:\n$opt")
+    assert(!opt.contains("8.64E10"),
+      s"session-width band used despite an inferable span:\n$opt")
+    // an interval whose bounds are NOT one base ± literal (two independent
+    // columns) falls back to the session width
+    val p2 = p.withColumn("hi2", col("p_ts") + expr("INTERVAL 10 MINUTE"))
+      .select(col("purchase_id"), col("lo"), col("hi2"),
+        // break the shared base: lo2 comes from a different column
+        (col("lo") - expr("INTERVAL 5 MINUTE")).as("lo2"))
+    val mixed = v.join(p2,
+        col("v_ts") >= col("lo2") && col("v_ts") <= col("hi2"))
+    val opt2 = mixed.queryExecution.optimizedPlan.toString
+    // lo2 and hi2 both linearize to p_ts ± literal — span = 45 min
+    assert(opt2.contains("__band") && opt2.contains("2.7E9"),
+      s"chained literal offsets should still infer (45 min = 2.7E9):\n$opt2")
+  }
+
   test("optimizer rule leaves equi-conjunct and open-interval joins alone") {
     val (p, v) = sides
     // equi conjunct present (the q23 shape): no rewrite

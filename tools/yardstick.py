@@ -88,6 +88,12 @@ ABS_CAP = 8.0     # s: spark above this fails even against a fast oracle
 PINNED = {"q117_exclusive_blame": 3811204, "q105_paragraph_dedup": 609630,
           "q162_perplexity_tiers": 100994}
 PIN_TOL = 1.10
+# SPARK_GRAFT_YARDSTICK_PINS=off disables the x10 record pins for SLOPE
+# runs at other scales (x100): the pins are x10-plan constants, so checking
+# them against x100 record counts would fail every pinned query on data
+# growth rather than plan regression. The artifact records the off state
+# loudly; the per-round x10 gate never sets it.
+PINS_ON = os.environ.get("SPARK_GRAFT_YARDSTICK_PINS", "on") != "off"
 
 
 def main():
@@ -137,7 +143,7 @@ def main():
     leg_ratio = leg_s / leg_d if leg_d else float("inf")
 
     def per_query_verdict(q, r):
-        if q in PINNED:
+        if q in PINNED and PINS_ON:
             # the pin is checked UNCONDITIONALLY, and fails CLOSED on a
             # missing metric: the tripwire is what voids the exemption on
             # plan regression, so absent shuffle data (older bench
@@ -180,7 +186,8 @@ def main():
               "spark_total": round(s_tot, 3), "duck_total": round(d_tot, 3),
               "legacy_n": len(leg), "legacy_ratio": round(leg_ratio, 3),
               "contract": CONTRACT, "r6_reference": R6_RATIO,
-              "floor_duck": FLOOR_DUCK, "abs_cap": ABS_CAP, "pins": PINNED,
+              "floor_duck": FLOOR_DUCK, "abs_cap": ABS_CAP,
+              "pins": PINNED if PINS_ON else "disabled (slope run)",
               "queries": {q: {"spark": spark[q], "duck": duck[q],
                               "ratio": round(spark[q] / duck[q], 3)
                               if duck[q] else None,
