@@ -291,6 +291,18 @@ object Curation {
   def chunk(docs: DataFrame, size: Int = 64, stride: Int = 48,
       textCol: String = "text"): DataFrame = {
     require(stride > 0 && size >= stride, "need 0 < stride <= size")
+    docs.select(docs.columns.map(col).toSeq :+
+      posexplode(graft.functions.OverlappingChunks(col(textCol), size,
+        stride)).as(Seq("chunk_id", "chunk_text")): _*)
+  }
+
+  /** The pre-round-9 composed formulation of [[chunk]], kept as the
+    * spec's equivalence oracle for the native expression: per-chunk
+    * slice+concat lambdas ran on Catalyst's interpreted HOF path
+    * (q97 at 6.98× the ×100 DuckDB yardstick, worsening with scale). */
+  private[graft] def chunkComposed(docs: DataFrame, size: Int, stride: Int,
+      textCol: String = "text"): DataFrame = {
+    require(stride > 0 && size >= stride, "need 0 < stride <= size")
     val ws = TextFunctions.words(col(textCol))
     val chunks = transform(
       sequence(lit(0), ((org.apache.spark.sql.functions.size(ws) - 1) / lit(stride)).cast("int")),
@@ -414,37 +426,43 @@ object Curation {
     * per doc: (idCol, n_blocks, n_removed, scrubbed_fp = md5 of the
     * reassembled text).
     *
-    * Scale shape: one narrow generate (blocks), ONE shuffle — the
-    * first-occurrence window keyed on xxhash64(block) (8 B sort keys;
-    * byte-identical result modulo 2^-64 collisions, the
-    * crossDocDupCounts recipe), then a map-side-combinable agg back to
-    * doc_id. The reassembly is an ordered collect_list per doc — bounded
-    * by doc length, never corpus-sized. Two A/Bs at ×10 settled this
-    * formulation: a winner-aggregation + join-back halves shuffle volume
-    * but re-derives the expensive block explode on both branches
-    * (3.2 → 5.9 s); the text-keyed vs hash-keyed window measure equal
-    * within box noise at this SF (3.2 vs 3.5 s — block-building and
-    * reassembly CPU dominate, not sort keys), so the hash key is kept
-    * for its narrower sort/partition keys at real scale. */
+    * Scale shape (round-9 rewrite — the pre-r9 form shuffled BLOCK TEXT
+    * twice, through the window AND the reassembly collect_list, and
+    * measured 7.95× DuckDB at ×100, WORSENING with scale): the
+    * first-occurrence decision runs entirely on (id, pos, bh) KEY rows —
+    * blocks come from the native [[graft.functions.OverlappingChunks]]
+    * (size = stride = blockWords; each block is a SUBSTRING of the
+    * single-space text, so no words array is ever built), bh =
+    * xxhash64(block) (byte-identical modulo 2^-64 collisions, the
+    * crossDocDupCounts recipe), the winner per bh is a window MIN of the
+    * (id, pos) struct — ONE exchange of ~20 B rows, no text — and the
+    * per-doc survivor positions reduce through a map-side-combinable agg
+    * (collect_list of ints, doc-bounded). Text then moves exactly ONCE:
+    * the survivor-position table joins back to the corpus on the id, and
+    * [[graft.functions.SelectedWordBlocks]] re-splices the survivor
+    * substrings in one native pass — no collect_list of block texts,
+    * no interpreted per-block lambdas. ×100: 30.3 s → (see PERF.md r9)
+    * with the text exchange halved and the window sort 9× narrower. */
   def dedupParagraphs(docs: DataFrame, blockWords: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val ws = TextFunctions.words(col(textCol))
-    val blocks = transform(
-      sequence(lit(0), ((size(ws) - 1) / lit(blockWords)).cast("int")),
-      k => concat_ws(" ", slice(ws, k * blockWords + 1, lit(blockWords))))
-    val w = Window.partitionBy(col("bh")).orderBy(col(idCol), col("pos"))
-    docs
-      .select(col(idCol), posexplode(blocks).as(Seq("pos", "block")))
-      .withColumn("bh", xxhash64(col("block")))
-      .withColumn("rn", row_number().over(w))
+    val keys = docs
+      .select(col(idCol), posexplode(graft.functions.OverlappingChunks(
+        col(textCol), blockWords, blockWords)).as(Seq("pos", "block")))
+      .select(col(idCol), col("pos"), xxhash64(col("block")).as("bh"))
+    val me = struct(col(idCol), col("pos"))
+    val kept = min(me).over(Window.partitionBy(col("bh"))) === me
+    val survivors = keys
+      .withColumn("__kept", kept)
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_blocks"),
-        sum(when(col("rn") > 1, 1).otherwise(0)).cast("long").as("n_removed"),
-        md5(concat_ws(" ", transform(
-          array_sort(collect_list(when(col("rn") === 1,
-            struct(col("pos"), col("block"))))),
-          s => s.getField("block")))).as("scrubbed_fp"))
+        sum(when(col("__kept"), 0).otherwise(1)).cast("long").as("n_removed"),
+        sort_array(collect_list(when(col("__kept"), col("pos")))).as("__kp"))
+    docs.select(col(idCol), col(textCol))
+      .join(survivors, Seq(idCol))
+      .select(col(idCol), col("n_blocks"), col("n_removed"),
+        md5(graft.functions.SelectedWordBlocks(col(textCol), col("__kp"),
+          blockWords)).as("scrubbed_fp"))
   }
 
   /** Leakage-safe train/val/test split: the split is a deterministic

@@ -61,5 +61,12 @@ class CodegenReproSpec extends AnyFunSuite {
     mustCompile("bpe_token_count",
       graft.functions.BpeTokenCount(text, merges))
     mustCompile("word_char_pairs", graft.functions.WordCharPairs(text))
+    mustCompile("overlapping_chunks",
+      graft.functions.OverlappingChunks(text, 64, 48))
+    val positions = BoundReference(3,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType), nullable = true)
+    mustCompile("selected_word_blocks",
+      graft.functions.SelectedWordBlocks(text, positions, 8))
   }
 }

@@ -41,6 +41,27 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("native overlapping_chunks matches the composed slice+concat form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Curation
+    val edge = Seq((1L, Some("a b c d e")), (2L, Some("a  b")),
+      (3L, Some(" lead")), (4L, Some("trail ")), (5L, Some("")),
+      (6L, Some("one")), (7L, Option.empty[String]),
+      (8L, Some((1 to 150).map(i => s"w$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    for (df <- Seq(edge, corpus); (sz, st) <- Seq((64, 48), (3, 2), (2, 2))) {
+      def canon(c: org.apache.spark.sql.DataFrame) =
+        c.select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+          .collect().map(_.toSeq).toSet
+      val a = canon(Curation.chunk(df, sz, st))
+      val b = canon(Curation.chunkComposed(df, sz, st))
+      assert(a == b, s"native vs composed chunks diverged (size=$sz stride=$st)")
+    }
+  }
+
   test("contamination: eval docs never appear; ratios within (0,1]") {
     val rows = q("q90_contamination").collect()
     assert(rows.nonEmpty)
