@@ -535,15 +535,29 @@ object Curation {
     // measured 60% SLOWER (9.7 s vs 6.0 s, ×10 bench) because within-doc
     // bigram multiplicity is ≈1 on natural-shaped text — the extra
     // combinable shuffle cut nothing and re-derived its input three
-    // times. c2/c1 are corpus-derived count dims; AQE broadcasts them
-    // while they fit and flips to shuffle joins beyond that. Count/join
-    // keys are xxhash64 of the bigram / left word (8 B/row instead of
-    // the strings — the crossDocDupCounts shuffle recipe; byte-identical
-    // results modulo 2^-64 collisions).
-    val bg = docs.select(col(idCol),
-        explode(WordNgrams(col(textCol), 2)).as("g"))
+    // times. Count/join keys are xxhash64 of the bigram / left word
+    // (8 B/row instead of the strings — the crossDocDupCounts shuffle
+    // recipe; byte-identical results modulo 2^-64 collisions).
+    //
+    // Round-9 A/B history (PERF.md r9) — three rewrites measured WORSE at
+    // ×100 and were reverted: (a) c1-from-c2-dim + pre-joined model table
+    // (24.5 s vs 20.1 — the dim exchanges and arrays_zip struct churn
+    // cost more than the saved corpus pass), (b) zipped (gh, w1h) pair
+    // structs through one explode (29.8 s — per-element struct
+    // allocation), (c) posexplode + element_at into the doc's 1-gram hash
+    // array (92 s — the generate copies the WHOLE per-doc array into
+    // every gram row, O(n²) bytes). The single change that survived:
+    // w1h's first word comes from substring_index (one slice view), not
+    // split (a per-gram array of string allocations). The r8 join shape
+    // stands: AQE broadcasts the count dims while they fit and flips to
+    // shuffle joins beyond that (the designed crossover).
+    val bg = docs
+      .select(col(idCol), explode(WordNgrams(col(textCol), 2)).as("g"))
       .select(col(idCol), xxhash64(col("g")).as("gh"),
-        xxhash64(split(col("g"), " ").getItem(0)).as("w1h"))
+        xxhash64(substring_index(col("g"), " ", 1)).as("w1h"))
+    // (a fourth A/B — both dims from one grouping-sets pass — also
+    // measured worse: 33.3 s at ×100, the Expand's 2× row duplication
+    // through the aggregate costs more than the saved explode)
     val c2 = bg.groupBy(col("gh")).agg(count(lit(1)).as("c2"))
     val c1 = bg.groupBy(col("w1h")).agg(count(lit(1)).as("c1"))
     val vocab = docs

@@ -68,5 +68,7 @@ class CodegenReproSpec extends AnyFunSuite {
         org.apache.spark.sql.types.IntegerType), nullable = true)
     mustCompile("selected_word_blocks",
       graft.functions.SelectedWordBlocks(text, positions, 8))
+    mustCompile("word_ngram_hashes",
+      graft.functions.WordNgramHashes(text, 2))
   }
 }

@@ -10,6 +10,25 @@ class CurationSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private def q(name: String) = SparkEntry.queries(name)(spark, TestSpark.sf001)
 
+  test("native word_ngram_hashes equals xxhash64 over the gram strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val edge = Seq((1L, Some("a b c")), (2L, Some("a  b")), (3L, Some(" x")),
+      (4L, Some("y ")), (5L, Some("")), (6L, Some("one")),
+      (7L, Option.empty[String])).toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    for (df <- Seq(edge, corpus); n <- Seq(1, 2, 3)) {
+      val diff = df.select(
+          graft.functions.WordNgramHashes(col("text"), n).as("a"),
+          transform(graft.functions.WordNgrams(col("text"), n),
+            g => xxhash64(g)).as("b"))
+        .filter(not(col("a") <=> col("b")))
+        .count()
+      assert(diff == 0L, s"native vs composed gram hashes diverged (n=$n)")
+    }
+  }
+
   test("native word_char_pairs matches the composed explode+transform form") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
