@@ -301,20 +301,36 @@ object TextQueries {
     """SELECT doc_id AS da, doc_id + 100000 AS db, CAST(0 AS INTEGER) AS hamming
       |FROM documents WHERE doc_id < 50""".stripMargin
 
-  /** q65: TF-IDF (the IR-classic two-level aggregation): term frequency per
-    * (doc, word), document frequency per word, corpus size broadcast in as a
-    * one-row cross join — no driver-side collect in the lineage. Two
-    * shuffles ((doc,word) then word), both map-side combinable. */
+  /** q65: TF-IDF (the IR-classic two-level aggregation): term frequency
+    * per (doc, word), document frequency per word, corpus size broadcast
+    * in as a one-row cross join — no driver-side collect in the lineage.
+    *
+    * Round-9 shape (×10 yardstick find — the string form read 3.2×
+    * DuckDB): only the REQUESTED docs (doc_id < 10, pushed to the scan)
+    * ever touch word strings; the corpus-wide document-frequency side
+    * runs entirely in HASH space — native in-place gram hashing
+    * ([[graft.functions.WordNgramHashes]] n=1) deduped PER DOC inside
+    * the row (`array_distinct` on the long array), so document frequency
+    * is a plain combinable count and no corpus shuffle ever carries a
+    * string or a two-phase distinct (the crossDocDupCounts recipe;
+    * byte-identical modulo 2^-64 collisions, oracle-pinned — the
+    * (wh, doc_id) countDistinct form measured 11.2 s at ×100 vs this
+    * form's number in PERF.md r9). The tiny tf side then joins df on
+    * the word hash — broadcast by size. */
   private def q65(s: SparkSession, d: String): DataFrame = {
     val tf = docs(s, d)
+      .filter(col("doc_id") < 10)
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("word"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .withColumn("wh", xxhash64(col("word")))
+    val dfreq = docs(s, d)
+      .select(explode(array_distinct(
+        graft.functions.WordNgramHashes(col("text"), 1))).as("wh"))
+      .groupBy(col("wh"))
+      .agg(count(lit(1)).as("df"))
     val n = docs(s, d).agg(countDistinct(col("doc_id")).as("n_docs"))
-    tf.join(dfreq, "word").crossJoin(broadcast(n))
-      .filter(col("doc_id") < 10)
+    tf.join(dfreq, "wh").crossJoin(broadcast(n))
       .select(col("doc_id"), col("word"), col("tf"),
         round(col("tf").cast("double") *
           log(col("n_docs").cast("double") / col("df").cast("double")), 4)

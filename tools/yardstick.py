@@ -102,10 +102,13 @@ ABS_CAP = 8.0     # s: spark above this fails even against a fast oracle
 #     its 2.68x x100 ratio is documented in PERF.md, not exempted).
 #   q97 -- pure tripwire at 0: the native-substring chunker plan is fully
 #     narrow; ANY shuffle records mean it regressed.
+#   q65 -- pure tripwire (the x10 wide run caught its string-keyed
+#     corpus shuffle at 3.2x; the per-doc array_distinct hash form passes
+#     at 1.2x with 24x fewer shuffle records -- the pin guards that plan).
 PINNED = {"q117_exclusive_blame": 3811204, "q105_paragraph_dedup": 577470,
           "q162_perplexity_tiers": 100994, "q133_tokenize_pack": 50370,
           "q83_range_join": 200840, "q100_auto_range_join": 200840,
-          "q97_doc_chunks": 0}
+          "q97_doc_chunks": 0, "q65_tfidf": 50273}
 # x100-slope-backed members: a >2x x10 ratio is exempted as declining-with-
 # scale, with the measured x100 ratio recorded (regenerate via
 # SPARK_GRAFT_YARDSTICK_PINS=off tools/yardstick.py <x100_dir> ... ).
