@@ -255,15 +255,33 @@ object AdvancedQueries {
       |FROM lab GROUP BY comp""".stripMargin
 
   /** q46: full-text-search inverted postings (SURVEY §2.9 L13): term →
-    * document-frequency + sorted posting list. explode → groupBy(term) is
-    * the classic distributed index build (one shuffle on term). */
-  private def q46(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .groupBy(col("word"))
-      .agg(count(lit(1)).as("freq"),
-        concat_ws(",", sort_array(collect_set(col("doc_id")))).as("postings"))
+    * document-frequency + sorted posting list, for terms with ≥ 900
+    * occurrences.
+    *
+    * Round-9 shape (×100 yardstick find: 13.4 s / 5.4× DuckDB): the
+    * single-pass groupBy(word) with collect_set(doc_id) built doc-id SETS
+    * for EVERY term's partial aggregate and only then dropped the cold
+    * tail. Now pass 1 computes term frequencies alone (combinable longs,
+    * vocab-sized shuffle) and filters to the qualifying hot terms — a
+    * driver-bounded set, broadcast back — so pass 2 collects posting
+    * lists ONLY for terms that will be emitted, from per-doc-deduped
+    * word arrays (no set-merge partials). At 100 TB this is the
+    * difference between materializing the full index to report its head
+    * and touching the head's postings only. */
+  private def q46(s: SparkSession, d: String): DataFrame = {
+    val d0 = Tables.documents(s, d)
+    val hot = d0
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= 900)
+    d0.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("word"))
+      .join(broadcast(hot), "word")
+      .groupBy(col("word"), col("freq"))
+      .agg(concat_ws(",", sort_array(collect_list(col("doc_id"))))
+        .as("postings"))
+      .select(col("word"), col("freq"), col("postings"))
+  }
 
   private val q46Sql =
     """SELECT word, count(*) AS freq,

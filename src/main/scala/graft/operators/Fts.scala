@@ -63,7 +63,16 @@ object Fts {
     val spark = postings.sparkSession
     import spark.implicits._
     val slots = phrase.zipWithIndex.toDF("word", "slot")
-    postings.join(broadcast(slots), "word")
+    // the explicit isin pre-filter is REDUNDANT with the inner slots join
+    // but load-bearing: a join cannot push its implied word restriction
+    // through the postings AGGREGATION to the scan, a filter can — with
+    // only the join, a phrase query over freshly-built postings aggregated
+    // the WHOLE corpus first (×100 yardstick: 79 s vs 1.2 s DuckDB; the
+    // conjunctive and BM25 paths always filtered, this path is now
+    // aligned). Over a persisted index the same predicate is what prunes
+    // term buckets at the file index.
+    postings.filter(col("word").isin(phrase.distinct: _*))
+      .join(broadcast(slots), "word")
       .select(col("doc_id"),
         transform(col("positions"), p => p - col("slot")).as("shifted"))
       .groupBy(col("doc_id"))

@@ -105,10 +105,22 @@ ABS_CAP = 8.0     # s: spark above this fails even against a fast oracle
 #   q65 -- pure tripwire (the x10 wide run caught its string-keyed
 #     corpus shuffle at 3.2x; the per-doc array_distinct hash form passes
 #     at 1.2x with 24x fewer shuffle records -- the pin guards that plan).
+#   q25/q46/q128 -- exempt-PINNED floor-twilight members (DuckDB 0.5-0.6 s
+#     at x10, just past the 0.5 s floor line; each was REWRITTEN this
+#     round to its minimal combinable plan and the pin guards it):
+#     q25 min_by aggregate instead of a full-row window (x100 4.2->2.2 s),
+#     q46 two-pass hot-term postings build, no cold-tail set partials
+#     (x100 13.4->10.5 s; the x100 residual is output-proportional -- the
+#     qualifying head at a fixed 900-occurrence threshold IS most of the
+#     vocab there, 46 MB of posting strings), q128 the isin pre-filter
+#     that pushes the phrase's term restriction through the postings
+#     aggregation to the scan (x100 79->5.3 s).
 PINNED = {"q117_exclusive_blame": 3811204, "q105_paragraph_dedup": 577470,
           "q162_perplexity_tiers": 100994, "q133_tokenize_pack": 50370,
           "q83_range_join": 200840, "q100_auto_range_join": 200840,
-          "q97_doc_chunks": 0, "q65_tfidf": 50273}
+          "q97_doc_chunks": 0, "q65_tfidf": 50273,
+          "q25_events_dedup_first": 75010, "q46_fts_postings": 62,
+          "q128_fts_phrase": 190929}
 # x100-slope-backed members: a >2x x10 ratio is exempted as declining-with-
 # scale, with the measured x100 ratio recorded (regenerate via
 # SPARK_GRAFT_YARDSTICK_PINS=off tools/yardstick.py <x100_dir> ... ).
