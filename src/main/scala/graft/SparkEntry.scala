@@ -71,6 +71,13 @@ object SparkEntry {
     "q120_funnel", "q121_cohort_retention", "q122_peak_concurrency",
     "q123_exact_sample", "q124_skew_report", "q125_table_profile",
     "q126_bpe_merges", "q127_fts_and", "q128_fts_phrase",
+    // q181 probes a per-JVM-memoized persisted index (built once in the
+    // bench warm-up pass): the yardstick row measures the SERVING shape —
+    // term-bucket-pruned probe vs DuckDB recomputing the phrase from the
+    // corpus — which is the deployed amortization the round-9 verdict
+    // asked to demonstrate (its inline-build sibling q128 stays in the
+    // set as the build-cost formulation)
+    "q181_fts_phrase_indexed",
     "q129_bm25_rank", "q130_bpe_encode", "q133_tokenize_pack",
     "q139_decontam_corpus", "q140_quality_floor", "q141_index_orphans",
     "q152_trained_filter", "q156_temperature_mix", "q157_classifier_prune",

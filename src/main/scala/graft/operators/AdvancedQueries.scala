@@ -274,9 +274,16 @@ object AdvancedQueries {
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= 900)
+    // no broadcast hint on `hot` (round-9 ADVICE): the ≥900-occurrence
+    // set is vocabulary-shaped, not bounded — on this corpus it is ~the
+    // whole (31-word) vocab, and at the 100 TB design point a large-vocab
+    // corpus could push a forced broadcast past driver/executor limits.
+    // AQE sees the aggregate's measured size at runtime and broadcasts
+    // exactly while it fits (the yardstick's shuffle-record pin is the
+    // tripwire if the join shape ever changes at ×10).
     d0.select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("word"))
-      .join(broadcast(hot), "word")
+      .join(hot, "word")
       .groupBy(col("word"), col("freq"))
       .agg(concat_ws(",", sort_array(collect_list(col("doc_id"))))
         .as("postings"))

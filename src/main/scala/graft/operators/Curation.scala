@@ -551,10 +551,18 @@ object Curation {
     // split (a per-gram array of string allocations). The r8 join shape
     // stands: AQE broadcasts the count dims while they fit and flips to
     // shuffle joins beyond that (the designed crossover).
+    //
+    // Round-10: both hashes per gram now come from ONE native kernel
+    // ([[graft.functions.BigramHashPairs]] — bit-identical keys to the
+    // retired xxhash64(g) / xxhash64(substring_index(g," ",1)) pair,
+    // pinned by CurationSpec): the composed form still allocated a gram
+    // string and a first-word string per gram and hashed both through the
+    // string expression path — the per-row churn behind the 2.68× ×100
+    // residual after every PLAN rewrite had been measured and reverted.
     val bg = docs
-      .select(col(idCol), explode(WordNgrams(col(textCol), 2)).as("g"))
-      .select(col(idCol), xxhash64(col("g")).as("gh"),
-        xxhash64(substring_index(col("g"), " ", 1)).as("w1h"))
+      .select(col(idCol),
+        explode(graft.functions.BigramHashPairs(col(textCol))).as("p"))
+      .select(col(idCol), col("p.gh").as("gh"), col("p.w1h").as("w1h"))
     // (a fourth A/B — both dims from one grouping-sets pass — also
     // measured worse: 33.3 s at ×100, the Expand's 2× row duplication
     // through the aggregate costs more than the saved explode)

@@ -251,6 +251,11 @@ object Fts {
         // dedup signature index; rationale on PartitionedIndexOps
         PartitionedIndexOps.overwriteAffected(merged, path, "wb",
           affected.toSet, fs)
+        // crash seam (production no-op): the window between the index
+        // write above and the side-table write below is the one the
+        // retry-heals contract covers — FtsCrashRecoverySpec SIGKILLs a
+        // real driver JVM parked here and asserts heal-to-scratch
+        graft.streaming.CrashPoints.reached("fts.upsert.between-writes")
         // the side table second: if a failure lands between the two writes,
         // re-running the SAME batch (foreachBatch retry semantics) still
         // heals — old meta lists the doc's previous buckets, the retry's

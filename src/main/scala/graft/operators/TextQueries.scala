@@ -559,6 +559,48 @@ object TextQueries {
       |FROM tok WHERE word IN ('table','join','scan')
       |GROUP BY word, doc_id""".stripMargin
 
+  /** Per-JVM memoized persisted postings index over a corpus dir — the
+    * SERVING-side fixture q181 probes. The round-9 verdict's q128 finding:
+    * the inline-build phrase query re-derives the whole corpus's postings
+    * per query (build cost ∝ corpus — that work belongs with the
+    * build-cost queries, q46), while the deployed shape the reference
+    * itself runs (Chroma's `embedding_fulltext_search*` tables in
+    * `scripts/vector_db/chroma.sqlite3`) maintains the FTS index ONCE and
+    * serves every query from it. Memoizing per (corpus dir) makes the
+    * amortization explicit: first caller builds under a JVM-exit-scoped
+    * scratch dir, every later query probes — exactly how the streaming
+    * ingest loop (q160) + probe pair deploys at 100 TB. */
+  private object ServedPostings {
+    val nBuckets = 64
+    private val built = scala.collection.mutable.Map.empty[String, String]
+    def indexFor(s: SparkSession, d: String): String = synchronized {
+      built.getOrElseUpdate(d, {
+        val idx = graft.TempDirs.scratchAtExit("fts_served")
+          .resolve("postings").toString
+        Fts.writePostingsIndex(
+          Fts.positionalPostings(docs(s, d), "doc_id", "text"),
+          idx, nBuckets = nBuckets)
+        idx
+      })
+    }
+  }
+
+  /** q181: phrase query SERVED from the persisted term-bucketed postings
+    * index ([[Fts.loadPostings]] → [[Fts.phraseQuery]]) — q128's answer,
+    * q132's deployed-index shape. The scan reads ONLY the phrase terms'
+    * hash-bucket partitions (partition pruning at the file index, before
+    * any data is read) and the phrase's slot-shift intersection runs over
+    * those postings alone, so query cost ∝ the three terms' posting
+    * lists, never the corpus. The oracle recomputes the phrase from the
+    * raw corpus — proving the index-served answer complete. */
+  private def q181(s: SparkSession, d: String): DataFrame = {
+    val phrase = Seq("big", "order", "scan")
+    Fts.phraseQuery(
+      Fts.loadPostings(s, ServedPostings.indexFor(s, d), phrase,
+        nBuckets = ServedPostings.nBuckets),
+      phrase)
+  }
+
   /** q160: streaming FTS INGEST — the postings index maintained from a
     * Structured Streaming foreachBatch drain (the q145/q154 loop shape
     * applied to the inverted index, completing streaming maintenance
@@ -609,6 +651,7 @@ object TextQueries {
     QueryDef("q74_bpe_tokens", q74, Some(q74Sql)),
     QueryDef("q127_fts_and", q127, Some(q127Sql)),
     QueryDef("q128_fts_phrase", q128, Some(q128Sql)),
+    QueryDef("q181_fts_phrase_indexed", q181, Some(q128Sql)),
     QueryDef("q129_bm25_rank", q129, Some(q129Sql)),
     QueryDef("q131_heavy_hitters", q131, Some(q131Sql)),
     QueryDef("q132_fts_upsert", q132, Some(q132Sql)),

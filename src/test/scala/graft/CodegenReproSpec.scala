@@ -70,5 +70,6 @@ class CodegenReproSpec extends AnyFunSuite {
       graft.functions.SelectedWordBlocks(text, positions, 8))
     mustCompile("word_ngram_hashes",
       graft.functions.WordNgramHashes(text, 2))
+    mustCompile("bigram_hash_pairs", graft.functions.BigramHashPairs(text))
   }
 }

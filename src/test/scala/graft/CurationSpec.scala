@@ -29,6 +29,29 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("native bigram_hash_pairs equals the composed gh/w1h string form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val edge = Seq((1L, Some("a b c")), (2L, Some("a  b")), (3L, Some(" x")),
+      (4L, Some("y ")), (5L, Some("")), (6L, Some("one")),
+      (7L, Option.empty[String])).toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    for (df <- Seq(edge, corpus)) {
+      // composed = the retired q162 formulation: gram strings exploded,
+      // both hashes evaluated on strings — the native kernel must agree
+      // bit-for-bit pair-by-pair (order included)
+      val diff = df.select(
+          graft.functions.BigramHashPairs(col("text")).as("a"),
+          transform(graft.functions.WordNgrams(col("text"), 2),
+            g => struct(xxhash64(g).as("gh"),
+              xxhash64(substring_index(g, " ", 1)).as("w1h"))).as("b"))
+        .filter(not(col("a") <=> col("b")))
+        .count()
+      assert(diff == 0L, "native vs composed bigram hash pairs diverged")
+    }
+  }
+
   test("native word_char_pairs matches the composed explode+transform form") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -49,6 +49,7 @@ Per-query exemption rules (the round-7 verdict's mechanical-pinning ask):
     line, and the pin is its tripwire.
 
 Usage: python3 tools/yardstick.py [x10_dir] [oracle_sql.json] [out.json]
+                                  [--pins=off]
   x10_dir default /tmp/graft_sf1; oracle json default
   /tmp/verify_out/oracle_sql.json (dumped by any graft.Verify run);
   out default target/yardstick_x10.json (bench JSON goes next to it as
@@ -105,9 +106,10 @@ ABS_CAP = 8.0     # s: spark above this fails even against a fast oracle
 #   q65 -- pure tripwire (the x10 wide run caught its string-keyed
 #     corpus shuffle at 3.2x; the per-doc array_distinct hash form passes
 #     at 1.2x with 24x fewer shuffle records -- the pin guards that plan).
-#   q25/q46/q128 -- exempt-PINNED floor-twilight members (DuckDB 0.5-0.6 s
-#     at x10, just past the 0.5 s floor line; each was REWRITTEN this
-#     round to its minimal combinable plan and the pin guards it):
+#   q25/q46/q128 -- tripwire-only floor-twilight members (DuckDB under
+#     0.5 s at x10 on the r9 box, so they fall through to exempt-floor;
+#     each was REWRITTEN in round 9 to its minimal combinable plan and
+#     the pin guards it):
 #     q25 min_by aggregate instead of a full-row window (x100 4.2->2.2 s),
 #     q46 two-pass hot-term postings build, no cold-tail set partials
 #     (x100 13.4->10.5 s; the x100 residual is output-proportional -- the
@@ -121,25 +123,49 @@ PINNED = {"q117_exclusive_blame": 3811204, "q105_paragraph_dedup": 577470,
           "q97_doc_chunks": 0, "q65_tfidf": 50273,
           "q25_events_dedup_first": 75010, "q46_fts_postings": 62,
           "q128_fts_phrase": 190929}
+# Round-9 ADVICE split: a record pin is a TRIPWIRE for every member of
+# PINNED, but only the PIN_EXEMPT subset also carries a wall-time
+# exemption (each with its written adjudication above: q117/q83/q100 by
+# measured declining x100 slope, q133 by the training-loop scheduling
+# floor measured at both scales). Every other pinned query is
+# tripwire-ONLY: after the record check it falls through to the normal
+# pass / exempt-floor / abs-cap / fail verdict, so a wall-time regression
+# that keeps the plan shape still fails the gate. (Before the split, all
+# 11 pins granted the blanket exemption -- a pinned query could regress
+# 10x in wall behind an unchanged plan.)
+PIN_EXEMPT = {"q117_exclusive_blame", "q83_range_join",
+              "q100_auto_range_join", "q133_tokenize_pack"}
 # x100-slope-backed members: a >2x x10 ratio is exempted as declining-with-
 # scale, with the measured x100 ratio recorded (regenerate via
-# SPARK_GRAFT_YARDSTICK_PINS=off tools/yardstick.py <x100_dir> ... ).
+# tools/yardstick.py <x100_dir> <oracle> <out> --pins=off).
 SLOPE = {"q117_exclusive_blame": 2.10, "q83_range_join": 1.58,
          "q100_auto_range_join": 1.08}
 PIN_TOL = 1.10
-# SPARK_GRAFT_YARDSTICK_PINS=off disables the x10 record pins for SLOPE
-# runs at other scales (x100): the pins are x10-plan constants, so checking
-# them against x100 record counts would fail every pinned query on data
-# growth rather than plan regression. The artifact records the off state
-# loudly; the per-round x10 gate never sets it.
-PINS_ON = os.environ.get("SPARK_GRAFT_YARDSTICK_PINS", "on") != "off"
 
 
 def main():
-    x10 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
-    oracle = (sys.argv[2] if len(sys.argv) > 2
+    # --pins=off is an EXPLICIT flag for slope runs at non-x10 scales (the
+    # pins are x10-plan record constants; checking them against x100
+    # counts would fail pinned queries on data growth, not plan
+    # regression). It was an ambient env var until round 10 -- an env var
+    # leaking into the per-round x10 gate run would silently disarm every
+    # tripwire, so the env spelling is now refused outright.
+    if os.environ.get("SPARK_GRAFT_YARDSTICK_PINS"):
+        print("ERROR: SPARK_GRAFT_YARDSTICK_PINS is no longer honored "
+              "(it could disarm the x10 gate ambiently). Use the explicit "
+              "--pins=off CLI flag for slope runs.", file=sys.stderr)
+        sys.exit(2)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    unknown = [f for f in flags if f not in ("--pins=off", "--pins=on")]
+    if unknown:
+        print(f"ERROR: unknown flags {unknown}", file=sys.stderr)
+        sys.exit(2)
+    pins_on = "--pins=off" not in flags
+    x10 = args[0] if len(args) > 0 else "/tmp/graft_sf1"
+    oracle = (args[1] if len(args) > 1
               else "/tmp/verify_out/oracle_sql.json")
-    out_path = (sys.argv[3] if len(sys.argv) > 3
+    out_path = (args[2] if len(args) > 2
                 else os.path.join(REPO, "target", "yardstick_x10.json"))
     if not os.path.exists(os.path.join(x10, "lineitem.parquet")):
         subprocess.check_call(
@@ -182,7 +208,7 @@ def main():
     leg_ratio = leg_s / leg_d if leg_d else float("inf")
 
     def per_query_verdict(q, r):
-        if q in PINNED and PINS_ON:
+        if q in PINNED and pins_on:
             # the pin is checked UNCONDITIONALLY, and fails CLOSED on a
             # missing metric: the tripwire is what voids the exemption on
             # plan regression, so absent shuffle data (older bench
@@ -195,11 +221,12 @@ def main():
             if recs > PINNED[q] * PIN_TOL:
                 return (f"fail(tripwire: {recs} shuffle records > pin "
                         f"{PINNED[q]} x {PIN_TOL})")
-            if r <= CONTRACT:
-                return "pass"
-            if q in SLOPE:
-                return f"exempt-slope(x100={SLOPE[q]})"
-            return "exempt-pinned"
+            # only the adjudicated subset carries a wall exemption; a
+            # tripwire-only member falls through to the normal verdict
+            if q in PIN_EXEMPT and r > CONTRACT:
+                if q in SLOPE:
+                    return f"exempt-slope(x100={SLOPE[q]})"
+                return "exempt-pinned"
         if r <= CONTRACT:
             return "pass"
         if duck[q] < FLOOR_DUCK and spark[q] < ABS_CAP:
@@ -230,7 +257,8 @@ def main():
               "legacy_n": len(leg), "legacy_ratio": round(leg_ratio, 3),
               "contract": CONTRACT, "r6_reference": R6_RATIO,
               "floor_duck": FLOOR_DUCK, "abs_cap": ABS_CAP,
-              "pins": PINNED if PINS_ON else "disabled (slope run)",
+              "pins": PINNED if pins_on else "disabled (slope run)",
+              "pin_exempt": sorted(PIN_EXEMPT),
               "queries": {q: {"spark": spark[q], "duck": duck[q],
                               "ratio": round(spark[q] / duck[q], 3)
                               if duck[q] else None,
