@@ -520,7 +520,11 @@ object Curation {
     * form keeps every intermediate a 64-bit integer, so the ranking the
     * head/middle/tail tiers consume replays exactly in ANSI SQL with no
     * ln()/float-summation-order divergence). V = distinct non-empty words.
-    * Returns one row per doc with ≥1 bigram: (idCol, n_bg, score).
+    * Returns one row per doc with ≥1 bigram: (idCol, carryCols*, n_bg,
+    * score) — `carryCols` are per-doc columns threaded through the
+    * scoring aggregation (extra group keys, functionally dependent on
+    * idCol), so a caller needing them downstream doesn't re-scan the
+    * corpus to join them back.
     *
     * Scale shape: c2/c1 are corpus-derived count dims joined back on
     * high-cardinality word keys (plain shuffle equi-joins, no skew beyond
@@ -529,7 +533,8 @@ object Curation {
     * scoring corpora can differ: score a fresh crawl against last month's
     * counts by passing the model tables explicitly. */
   def transitionScores(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", carryCols: Seq[String] = Nil,
+      literalMax: Long = modelLiteralMax): DataFrame = {
     // Per-occurrence formulation, kept after an A/B at ×10: a
     // (doc, bigram, multiplicity) pre-aggregate before the model joins
     // measured 60% SLOWER (9.7 s vs 6.0 s, ×10 bench) because within-doc
@@ -552,33 +557,103 @@ object Curation {
     // stands: AQE broadcasts the count dims while they fit and flips to
     // shuffle joins beyond that (the designed crossover).
     //
-    // Round-10: both hashes per gram now come from ONE native kernel
-    // ([[graft.functions.BigramHashPairs]] — bit-identical keys to the
-    // retired xxhash64(g) / xxhash64(substring_index(g," ",1)) pair,
-    // pinned by CurationSpec): the composed form still allocated a gram
-    // string and a first-word string per gram and hashed both through the
-    // string expression path — the per-row churn behind the 2.68× ×100
-    // residual after every PLAN rewrite had been measured and reverted.
-    val bg = docs
-      .select(col(idCol),
-        explode(graft.functions.BigramHashPairs(col(textCol))).as("p"))
-      .select(col(idCol), col("p.gh").as("gh"), col("p.w1h").as("w1h"))
-    // (a fourth A/B — both dims from one grouping-sets pass — also
-    // measured worse: 33.3 s at ×100, the Expand's 2× row duplication
-    // through the aggregate costs more than the saved explode)
-    val c2 = bg.groupBy(col("gh")).agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy(col("w1h")).agg(count(lit(1)).as("c1"))
-    val vocab = docs
-      .select(explode(TextFunctions.words(col(textCol))).as("w"))
-      .filter(col("w") =!= "")
-      .agg(countDistinct(col("w")).as("v")).head.getLong(0) // 1-row scalar
-    bg.join(c2, Seq("gh")).join(c1, Seq("w1h"))
-      .withColumn("s", expr(s"((c1 + ${vocab}L) * 1048576L) div (c2 + 1L)"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bg"), sum(col("s")).as("__tot"))
-      .withColumn("score", expr("__tot div n_bg"))
-      .drop("__tot")
+    // Round-10 (fifth/sixth A/Bs, ×100 full replica, idle-box medians):
+    // (e) swapping the gram strings for a native (gh, w1h)-struct explode
+    // IN the three-pass plan measured 27.9 s vs the composed 3-pass's
+    // ~9-12 — Generate copying per-occurrence struct rows costs more than
+    // the zero-copy gram slices they replaced, so structs must never ride
+    // a per-occurrence path. (f) SURVIVOR — train-once / score-stream:
+    // the struct pass runs ONCE, straight into the model aggregation
+    // groupBy(gh, w1h) (gh determines w1h, so this IS the c2 table with
+    // the first-word key attached); c1 derives DIM-SIDE as sum(c2) over
+    // grams sharing w1h (every w1-as-first-slot occurrence lies in
+    // exactly one gram — no second corpus pass); the per-gram score is
+    // precomputed on the dim; and the DIM IS MATERIALIZED
+    // (localCheckpoint, the pinWrite pattern) before scoring. The pin is
+    // load-bearing, not a cache nicety: used inline as a broadcast side,
+    // the model subtree loses exchange reuse inside the broadcast query
+    // stage and re-runs its corpus pass (probe-isolated: scoring join vs
+    // inline model 17.9 s, vs the same model materialized 1.9 s).
+    // Scoring then takes one of two plans by model size (below). Final
+    // ×100 wall: 27.9 (struct-in-plan) / 12.2 (r9 composed) → 7.4 s
+    // (1.8× DuckDB, inside the contract), ×10 shuffle records halved.
+    // At 100 TB this is also the deployable shape: the transition model
+    // is a train-once artifact, scoring streams.
+    val m = docs
+      .select(explode(graft.functions.BigramHashPairs(col(textCol))).as("p"))
+      .groupBy(col("p.gh").as("gh"), col("p.w1h").as("w1h"))
+      .agg(count(lit(1)).as("c2"))
+    val c1d = m.groupBy(col("w1h")).agg(sum(col("c2")).as("c1"))
+    // dim pinned BEFORE scores: V derives from it (below), so the score
+    // projection runs over the tiny pinned rows, not a re-planned subtree
+    val dim = m.join(c1d, Seq("w1h"))
+      .localCheckpoint(true) // model-sized (|distinct grams| × 32 B rows)
+    // V = |distinct non-empty words| WITHOUT a third corpus explode:
+    // every word of a document is a bigram-first slot or the document's
+    // LAST word, so the distinct-word set is exactly {dim.w1h} ∪
+    // {xxhash64(last word)} (minus the empty-token hash words() drops) —
+    // the corpus side is a NARROW scan (one substring_index per doc, no
+    // explode; the dedicated words-explode countDistinct it replaces
+    // measured 1.7-2.5 s of the ×100 wall for one scalar). Hash-distinct
+    // == word-distinct modulo the house 2^-64 collision rule.
+    val vocab = dim.select(col("w1h").as("wh"))
+      .union(docs.select(
+        xxhash64(substring_index(col(textCol), " ", -1)).as("wh")))
+      .filter(col("wh") =!= lit(Curation.EmptyWordHash))
+      .agg(countDistinct(col("wh")).as("v")).head.getLong(0) // 1-row scalar
+    val model = dim
+      .select(col("gh"),
+        expr(s"((c1 + ${vocab}L) * 1048576L) div (c2 + 1L)").as("s"))
+    val keys = (idCol +: carryCols).map(col)
+    // Scoring: two plans by MODEL size (the broadcast-threshold principle
+    // applied to a trained dim, with an explicit driver bound).
+    //  - Small model (≤ modelLiteralMax rows, ≈4 MB of long pairs at the
+    //    default): collect it sorted and score each doc in ONE native
+    //    pass over the text ([[graft.functions.BigramMapScore]] — the
+    //    classifier literal-table pattern): no explode, no join, no
+    //    aggregation exchange. ×100: 8.3 → ~6 s, and the ×1000 plan
+    //    drops its 291 M-record shuffle entirely.
+    //  - Large model: the general plan — primitive gram-hash explode
+    //    hash-joined to the pinned dim (AQE broadcasts while it fits,
+    //    shuffle-joins beyond), one combinable per-doc aggregation. The
+    //    results are identical: the kernel's skip-on-miss matches the
+    //    inner join, and both sum the same longs.
+    if (dim.count() <= literalMax) {
+      val rows = model.collect().sortBy(_.getLong(0)) // bounded by the guard
+      val ks = rows.map(_.getLong(0))
+      val vs = rows.map(_.getLong(1))
+      docs
+        .select((keys :+ graft.functions.BigramMapScore(col(textCol), ks, vs)
+          .as("__r")): _*)
+        .select((keys ++ Seq(col("__r.n_bg").as("n_bg"),
+          col("__r.tot").as("__tot"))): _*)
+        .filter(col("n_bg") >= 1L)
+        .withColumn("score", expr("__tot div n_bg"))
+        .drop("__tot")
+    } else {
+      docs
+        .select((keys :+
+          explode(graft.functions.WordNgramHashes(col(textCol), 2)).as("gh")): _*)
+        .join(model, Seq("gh"))
+        .groupBy(keys: _*)
+        .agg(count(lit(1)).as("n_bg"), sum(col("s")).as("__tot"))
+        .withColumn("score", expr("__tot div n_bg"))
+        .drop("__tot")
+    }
   }
+
+  /** Model-size bound for [[transitionScores]]' literal fast path: above
+    * this many distinct grams the model stays distributed (the join
+    * plan). 2^18 long pairs ≈ 4 MB — comfortably collectable, same order
+    * as a broadcast threshold. */
+  val modelLiteralMax: Long = 1L << 18
+
+  /** xxhash64 (seed 42) of the empty string — the hash-space image of the
+    * empty tokens words() filters out. */
+  val EmptyWordHash: Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      Array.emptyByteArray, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+      0, 42L)
 
   /** Cumulative curation funnel flags: length gate, repetition gate, and
     * exact-dedup survivorship (min key per content hash). Adds boolean

@@ -111,11 +111,20 @@ object CurationQueries {
       phonePattern, "<PHONE>")
 
   private def q92(s: SparkSession, d: String): DataFrame = {
+    // ONE native pass ([[graft.functions.PiiScan]]) replaces the 4-pass
+    // java.util.regex formulation (2× regexp_extract_all + the
+    // regexp_replace chain) — the ×100 yardstick read the regex form at
+    // 14.7× DuckDB on a shuffle-free plan (regex-ENGINE gap: per-row
+    // backtracking vs RE2); CurationSpec pins the kernel match-for-match
+    // against the regexp composition, and this oracle hashes the full
+    // scrubbed text, so any redaction divergence flips the md5
     val raw = withSyntheticPii(col("text"), col("doc_id"))
-    docs(s, d).select(col("doc_id"),
-      size(regexp_extract_all(raw, lit(emailPattern), lit(0))).as("n_emails"),
-      size(regexp_extract_all(raw, lit(phonePattern), lit(0))).as("n_phones"),
-      md5(piiScrub(raw)).as("scrubbed_fp"))
+    docs(s, d)
+      .select(col("doc_id"), graft.functions.PiiScan(raw).as("p"))
+      .select(col("doc_id"),
+        col("p.n_emails").cast("int").as("n_emails"),
+        col("p.n_phones").cast("int").as("n_phones"),
+        md5(col("p.scrubbed")).as("scrubbed_fp"))
   }
 
   private val q92Sql =
@@ -1205,10 +1214,14 @@ object CurationQueries {
     * integer score, so any divergence in model, score, or tiering flips
     * the hash. */
   private def q162(s: SparkSession, d: String): DataFrame = {
-    val sc = Curation.transitionScores(docs(s, d))
+    // lang rides the scoring aggregation as a carry column (functionally
+    // dependent on doc_id) — the former scores⋈docs re-join cost a third
+    // corpus scan plus a 2×500 k-row exchange at ×100 for a column the
+    // scoring pass already had in hand
+    val sc = Curation.transitionScores(docs(s, d), carryCols = Seq("lang"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("score"), col("doc_id"))
-    sc.join(docs(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+    sc
       .withColumn("rk", row_number().over(w).cast("long"))
       .withColumn("ns",
         count(lit(1)).over(Window.partitionBy(col("lang"))).cast("long"))

@@ -71,5 +71,10 @@ class CodegenReproSpec extends AnyFunSuite {
     mustCompile("word_ngram_hashes",
       graft.functions.WordNgramHashes(text, 2))
     mustCompile("bigram_hash_pairs", graft.functions.BigramHashPairs(text))
+    val keys = Array.tabulate(961)(i => i.toLong * 7919 - 400000)
+    val vals = Array.tabulate(961)(i => (i.toLong * 31 + 5) << 18)
+    mustCompile("bigram_map_score",
+      graft.functions.BigramMapScore(text, keys, vals))
+    mustCompile("pii_scan", graft.functions.PiiScan(text))
   }
 }

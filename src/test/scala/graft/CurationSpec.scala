@@ -52,6 +52,57 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("native pii_scan equals the java-regex composition on counts and text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // edge strings probe the matcher corners: run-not-ending-at-@, double
+    // @, digits inside the local part, phone overrun (5th digit), phone
+    // at string edges, adjacent matches, empty/null
+    val edge = Seq(
+      Some("plain text no pii"), Some("a@b.c"), Some("ab@@cd"),
+      Some("x a9.z@mail.example.com y"), Some("a@b"), Some("@a.b"),
+      Some("555-12345 and 12345-6789"), Some("123-4567"), Some("99-9999"),
+      Some("a@bc5@de"), Some("one@two.three four@five.six"),
+      Some("555-1234555-1234"), Some(""), None,
+      // phone counted on RAW but its digits are eaten by the email match
+      // in the replace chain — the case that breaks single-pass fusions
+      Some("123-4567a@b.cd"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"),
+        CurationQueries.withSyntheticPii(col("text"), col("doc_id"))
+          .as("text"))
+    for (df <- Seq(edge, corpus)) {
+      val raw = col("text")
+      val diff = df.select(
+          graft.functions.PiiScan(raw).as("a"),
+          when(raw.isNull, lit(null)).otherwise(struct(
+            size(regexp_extract_all(raw,
+              lit(CurationQueries.emailPattern), lit(0))).as("n_emails"),
+            size(regexp_extract_all(raw,
+              lit(CurationQueries.phonePattern), lit(0))).as("n_phones"),
+            CurationQueries.piiScrub(raw).as("scrubbed"))).as("b"))
+        .filter(not(col("a") <=> col("b")))
+        .count()
+      assert(diff == 0L, "native pii_scan diverged from the regex form")
+    }
+  }
+
+  test("transitionScores: literal fast path == join path, bit for bit") {
+    import org.apache.spark.sql.functions._
+    val corpus = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"), col("lang"))
+    def rows(literalMax: Long) =
+      Curation.transitionScores(corpus, carryCols = Seq("lang"),
+          literalMax = literalMax)
+        .collect().map(_.toSeq).toSet
+    val lit0 = rows(literalMax = 0L)   // forces the distributed join plan
+    val litBig = rows(literalMax = Curation.modelLiteralMax)
+    assert(lit0.nonEmpty && lit0 == litBig,
+      s"literal vs join scoring paths diverged (${lit0.size} vs ${litBig.size})")
+  }
+
   test("native word_char_pairs matches the composed explode+transform form") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

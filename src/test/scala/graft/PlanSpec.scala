@@ -220,7 +220,9 @@ class PlanSpec extends AnyFunSuite {
       "operators/CurationQueries.scala" ->
         (1, "q109 CMS: one serialized sketch per language"),
       "operators/Curation.scala" ->
-        (1, "balancedShards rank offsets: one count row per range partition (<= rangeParts)"),
+        (2, "balancedShards rank offsets: one count row per range partition (<= rangeParts); transitionScores literal path: model rows, guarded <= modelLiteralMax (2^18)"),
+      "llm/WeightsFileLlm.scala" ->
+        (2, "LM trainer: vocab rows (<= maxVocab <= 4096) + transition rows (<= maxVocab^2, post-aggregation)"),
       "Rehearsal.scala" ->
         (2, "dev-only rehearsal main: two top-10 probe results, materialized for the timing harness"),
       "llm/RagPipeline.scala" ->
