@@ -76,5 +76,7 @@ class CodegenReproSpec extends AnyFunSuite {
     mustCompile("bigram_map_score",
       graft.functions.BigramMapScore(text, keys, vals))
     mustCompile("pii_scan", graft.functions.PiiScan(text))
+    mustCompile("scrub_covered_words",
+      graft.functions.ScrubCoveredWords(text, positions, 5))
   }
 }

@@ -155,6 +155,34 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("native span scrub matches the composed HOF form bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Curation
+    // the planted span makes grams cross-doc duplicated; empty/spacey docs
+    // exercise the split(text,' ') empty-word semantics the kernel mirrors
+    val planted = "p q r s t"
+    val edge = Seq(
+      (1L, s"a b $planted c d"), (2L, s"$planted"), (3L, s"x $planted y"),
+      (4L, ""), (5L, "solo doc under gram width"), (6L, s"e  f $planted "),
+      (7L, s" lead $planted"), (8L, planted + " " + planted),
+      (9L, (1 to 40).map(_ => planted).mkString(" ")))
+      .toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    for (df <- Seq(edge, corpus); (n, md) <- Seq((5, 2), (3, 2), (2, 3))) {
+      def canon(c: org.apache.spark.sql.DataFrame) =
+        c.collect().map(_.toSeq).toSet
+      val a = canon(Curation.scrubDuplicatedSpans(df, n, md))
+      val b = canon(Curation.scrubDuplicatedSpansComposed(df, n, md))
+      assert(a == b, s"native vs composed span scrub diverged (n=$n minDocs=$md)")
+      // the planted corpus must actually excise, or the equality is vacuous
+      if (df eq edge)
+        assert(a.exists(r => r(2).asInstanceOf[Long] < r(1).asInstanceOf[Long]),
+          s"vacuous scrub case (n=$n minDocs=$md)")
+    }
+  }
+
   test("contamination: eval docs never appear; ratios within (0,1]") {
     val rows = q("q90_contamination").collect()
     assert(rows.nonEmpty)
