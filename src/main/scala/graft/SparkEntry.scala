@@ -71,13 +71,6 @@ object SparkEntry {
     "q120_funnel", "q121_cohort_retention", "q122_peak_concurrency",
     "q123_exact_sample", "q124_skew_report", "q125_table_profile",
     "q126_bpe_merges", "q127_fts_and", "q128_fts_phrase",
-    // q181 probes a per-JVM-memoized persisted index (built once in the
-    // bench warm-up pass): the yardstick row measures the SERVING shape —
-    // term-bucket-pruned probe vs DuckDB recomputing the phrase from the
-    // corpus — which is the deployed amortization the round-9 verdict
-    // asked to demonstrate (its inline-build sibling q128 stays in the
-    // set as the build-cost formulation)
-    "q181_fts_phrase_indexed",
     "q129_bm25_rank", "q130_bpe_encode", "q133_tokenize_pack",
     "q139_decontam_corpus", "q140_quality_floor", "q141_index_orphans",
     "q152_trained_filter", "q156_temperature_mix", "q157_classifier_prune",
@@ -117,6 +110,14 @@ object SparkEntry {
       "q101_sketch_merge" -> sketch, "q109_cms_contract" -> sketch,
       "q131_heavy_hitters" -> sketch, "q155_overlap_sketch" -> sketch,
       "q42_embed_documents" -> stub, "q43_rag_retrieve" -> stub,
+      // q181 was a wide-set member in round 10, where its ~0.9× serving
+      // wall flattered the aggregate: it probes a per-JVM-memoized
+      // persisted index (built once in the bench warm-up) while the
+      // DuckDB oracle recomputes the phrase from the raw corpus — the
+      // exact asymmetry this `index` class excludes (round-10 ADVICE).
+      // It stays in the correctness set, and its serving wall is
+      // measured SEPARATELY as the ×1000 probe demo (bench/r11/).
+      "q181_fts_phrase_indexed" -> index,
       "q62_ivf_knn" -> index, "q132_fts_upsert" -> index,
       "q146_ivf_index_upsert" -> index, "q147_ivf_recrawl_upsert" -> index,
       "q148_hybrid_rrf" -> index, "q149_compacted_rrf" -> index,

@@ -28,6 +28,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * `keys` MUST be sorted ascending (checked at construction). Grams
   * absent from the table are skipped — identical to the inner join's
   * semantics. Null text nulls out; fewer than two words yields (0, 0). */
+// Array params make case-class equals/hashCode REFERENCE identity, so two
+// semantically equal instances never canonicalize together and each would
+// re-ship its model arrays in the plan. Intentional here: the expression
+// appears exactly once per q162 plan (the caller builds one instance from
+// one collected model), self-equality holds, and content-based equality
+// would hash ~4 MB of longs on every canonicalization pass. If a plan ever
+// carries two instances, wrap the arrays in a content-equal holder first.
 case class BigramMapScore(child: Expression, keys: Array[Long],
     vals: Array[Long]) extends UnaryExpression {
   require(keys.length == vals.length, "keys/vals length mismatch")

@@ -572,9 +572,25 @@ object TextQueries {
     * ingest loop (q160) + probe pair deploys at 100 TB. */
   private object ServedPostings {
     val nBuckets = 64
-    private val built = scala.collection.mutable.Map.empty[String, String]
+    private val built = scala.collection.mutable.Map.empty[(String, String), String]
+    // The memo keys on (dir, corpus fingerprint), not the dir string alone:
+    // a corpus dir regenerated IN PLACE mid-JVM (a replica rebuild between
+    // two q181 executions) must trigger a rebuild, or q181 serves stale
+    // postings while the oracle recomputes from the new files (round-10
+    // ADVICE). The fingerprint is the parquet files' (name, size, mtime) —
+    // cheap directory metadata, no data read.
+    private def fingerprint(d: String): String = {
+      val f = new java.io.File(d, "documents.parquet")
+      val files =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        else Seq(f)
+      files.map(p => s"${p.getName}:${p.length}:${p.lastModified}")
+        .mkString(";")
+    }
     def indexFor(s: SparkSession, d: String): String = synchronized {
-      built.getOrElseUpdate(d, {
+      built.getOrElseUpdate((d, fingerprint(d)), {
         val idx = graft.TempDirs.scratchAtExit("fts_served")
           .resolve("postings").toString
         Fts.writePostingsIndex(
