@@ -136,28 +136,82 @@ PINNED = {"q117_exclusive_blame": 3811204, "q105_paragraph_dedup": 577470,
 # that keeps the plan shape still fails the gate. (Before the split, all
 # 11 pins granted the blanket exemption -- a pinned query could regress
 # 10x in wall behind an unchanged plan.)
+#
+# Round-11 (verdict #4): the set is SELF-AUDITING. Membership here no
+# longer grants anything by itself -- every member's wall exemption must
+# be justified by the CURRENT round's bench/r{N}/pin_justifications.json
+# (see load_pin_justifications): the file's round must be the latest
+# round, the member must be listed, its evidence artifact must exist, and
+# its recorded big-scale ratio must be inside the contract. A member
+# whose justification is stale (>1 round old), missing, or contradicted
+# by its own evidence falls through to the normal verdict and FAILS at
+# >2x -- no pin exemption survives on prose alone.
 PIN_EXEMPT = {"q117_exclusive_blame", "q83_range_join",
               "q100_auto_range_join", "q133_tokenize_pack",
               # round-10 floor-straddlers: DuckDB's wall oscillates around
               # the 0.5 s floor line run-to-run (q128 duck measured 0.416,
               # 0.445, 0.490, 0.506 across four same-tree runs), flipping
-              # the verdict on unchanged plans. Both carry written x100
-              # adjudications (bench/r10/yardstick_x100_adjudicated.json):
-              # q128 is the inline postings-BUILD formulation whose
-              # serving path q181 passes (0.90x at x100); q168 is the BPE
-              # training-loop-floor family whose x1000 representative
-              # q133 measures 0.87x. Records tripwire both.
+              # the verdict on unchanged plans. Records tripwire both.
               "q128_fts_phrase", "q168_tokenizer_audit"}
-# x100-slope-backed members: a >2x x10 ratio is exempted as declining-with-
-# scale, with the measured x100 ratio recorded (regenerate via
-# tools/yardstick.py <x100_dir> <oracle> <out> --pins=off).
-# Round-10 refresh: q117 1.81x at x100 (passes there outright) and 0.78x
-# at x1000 -- Spark BEATS DuckDB at 600M lineitem rows
-# (bench/r10/bench_x1000.json); the slope story is closed three decades
-# out. q83/q100 x100 ratios re-measured this round: 1.25x/0.92x.
-SLOPE = {"q117_exclusive_blame": 1.81, "q83_range_join": 1.25,
-         "q100_auto_range_join": 0.92}
 PIN_TOL = 1.10
+
+
+def latest_round():
+    """Current round = 1 + the newest committed per-round artifact number
+    (the driver writes BENCH_r{N}.json / CORRECTNESS_r{N}.json when round
+    N CLOSES, so while round N+1 is being built the max on disk is N)."""
+    import re
+    best = 0
+    for f in os.listdir(REPO):
+        m = re.match(r"(?:BENCH|CORRECTNESS)_r(\d+)\.json$", f)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1
+
+
+def load_pin_justifications():
+    """Validate this round's pin-justification artifact and return
+    {query: justification} for the members whose exemption HOLDS, plus a
+    list of human-readable voids for the ones whose exemption does not.
+
+    bench/r{N}/pin_justifications.json schema:
+      {"round": N, "members": {q: {"evidence": <repo-relpath>,
+                                   "scale": "x100"|"x1000",
+                                   "ratio_at_scale": float,
+                                   "note": str}}}
+    An exemption holds iff round == latest_round(), the member is listed,
+    the evidence file exists, and ratio_at_scale <= CONTRACT (the measured
+    big-scale ratio must itself be inside the contract -- a "declining but
+    still 3x" slope is a rewrite ticket, not an exemption)."""
+    rnd = latest_round()
+    path = os.path.join(REPO, "bench", f"r{rnd}", "pin_justifications.json")
+    voids = []
+    if not os.path.exists(path):
+        return {}, [f"{q}: no pin_justifications.json for round {rnd} "
+                    f"({path} missing) -- all pin exemptions void"
+                    for q in sorted(PIN_EXEMPT)]
+    j = json.load(open(path))
+    if j.get("round") != rnd:
+        return {}, [f"{q}: pin_justifications.json round={j.get('round')} "
+                    f"!= current round {rnd} -- stale, all exemptions void"
+                    for q in sorted(PIN_EXEMPT)]
+    held = {}
+    for q in sorted(PIN_EXEMPT):
+        m = j.get("members", {}).get(q)
+        if m is None:
+            voids.append(f"{q}: not in round-{rnd} pin_justifications")
+            continue
+        ev = os.path.join(REPO, m.get("evidence", ""))
+        if not os.path.exists(ev):
+            voids.append(f"{q}: evidence artifact {m.get('evidence')} missing")
+            continue
+        r = m.get("ratio_at_scale")
+        if not isinstance(r, (int, float)) or r > CONTRACT:
+            voids.append(f"{q}: ratio_at_scale={r} not inside the "
+                         f"<= {CONTRACT}x contract")
+            continue
+        held[q] = m
+    return held, voids
 
 
 def main():
@@ -224,6 +278,11 @@ def main():
     leg_s, leg_d = sum(spark[q] for q in leg), sum(duck[q] for q in leg)
     leg_ratio = leg_s / leg_d if leg_d else float("inf")
 
+    held, voids = load_pin_justifications() if pins_on else ({}, [])
+    if pins_on and voids:
+        for v in voids:
+            print(f"PIN-EXEMPTION VOID: {v}", file=sys.stderr)
+
     def per_query_verdict(q, r):
         if q in PINNED and pins_on:
             # the pin is checked UNCONDITIONALLY, and fails CLOSED on a
@@ -238,12 +297,14 @@ def main():
             if recs > PINNED[q] * PIN_TOL:
                 return (f"fail(tripwire: {recs} shuffle records > pin "
                         f"{PINNED[q]} x {PIN_TOL})")
-            # only the adjudicated subset carries a wall exemption; a
-            # tripwire-only member falls through to the normal verdict
-            if q in PIN_EXEMPT and r > CONTRACT:
-                if q in SLOPE:
-                    return f"exempt-slope(x100={SLOPE[q]})"
-                return "exempt-pinned"
+            # only a member with a FRESH, evidence-backed justification
+            # carries a wall exemption (load_pin_justifications); a
+            # tripwire-only or stale member falls through to the normal
+            # verdict
+            if q in held and r > CONTRACT:
+                m = held[q]
+                return (f"exempt-justified({m['scale']}="
+                        f"{m['ratio_at_scale']})")
         if r <= CONTRACT:
             return "pass"
         if duck[q] < FLOOR_DUCK and spark[q] < ABS_CAP:
@@ -275,7 +336,9 @@ def main():
               "contract": CONTRACT, "r6_reference": R6_RATIO,
               "floor_duck": FLOOR_DUCK, "abs_cap": ABS_CAP,
               "pins": PINNED if pins_on else "disabled (slope run)",
-              "pin_exempt": sorted(PIN_EXEMPT),
+              "pin_exempt_declared": sorted(PIN_EXEMPT),
+              "pin_exempt_held": sorted(held),
+              "pin_exempt_voided": voids,
               "queries": {q: {"spark": spark[q], "duck": duck[q],
                               "ratio": round(spark[q] / duck[q], 3)
                               if duck[q] else None,
