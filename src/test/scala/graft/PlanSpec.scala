@@ -225,6 +225,8 @@ class PlanSpec extends AnyFunSuite {
         (2, "LM trainer: vocab rows (<= maxVocab <= 4096) + transition rows (<= maxVocab^2, post-aggregation)"),
       "Rehearsal.scala" ->
         (2, "dev-only rehearsal main: two top-10 probe results, materialized for the timing harness"),
+      "ProbeScale.scala" ->
+        (2, "dev-only serving-scale main: phrase-hit rows (posting-intersection-sized, the served result) + top-10 ADC probe rows, materialized for the timing harness"),
       "llm/RagPipeline.scala" ->
         (1, "RAG context assembly: top-k rows, k<=3 by construction"))
     val root = java.nio.file.Paths.get("src/main/scala/graft")
