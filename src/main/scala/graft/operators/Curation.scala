@@ -17,33 +17,79 @@ object Curation {
     * fraction of each training doc's n-gram shingles that appear anywhere
     * in `eval`. Returns (doc_id, n_sh, n_contam).
     *
-    * The distinct eval-shingle set is BROADCAST-HINTED, not left to AQE —
-    * eval benchmarks are bounded by construction (fixed suites; their
-    * DISTINCT shingles don't grow with corpus replication), but the static
-    * planner estimates the side from the eval SCAN size, so at the ×1000
-    * rehearsal it planned a sort-merge join and the train side's 226 M
-    * shingle rows / 5 GB had already materialized as a shuffle stage by
-    * the time AQE's runtime statistics flipped the join to broadcast —
-    * the flip saved the join but not the exchange (measured: q90 ×1000
-    * 239 M → 4.6 M shuffle records with the hint). The contract is the
-    * q164-vs-q162 distinction: hint sides bounded by CONSTRUCTION
-    * (benchmarks); leave corpus-derived dims to AQE (forcing those would
-    * OOM at real scale). A caller probing a CORPUS-SIZED `eval` must pass
-    * `broadcastEval = false` (the hint is unconditional otherwise, and a
-    * multi-GB eval side turns it into a driver OOM / 8 GB broadcast-limit
-    * failure where the un-hinted plan completes via sort-merge) — or
+    * Shape by EVAL size, the [[transitionScores]] model principle. Eval
+    * benchmarks are bounded by construction (fixed suites; their DISTINCT
+    * shingles don't grow with corpus replication), so the default path
+    * collects the distinct eval-shingle HASH set under `evalLiteralMax`
+    * and scores every training doc in ONE native text pass
+    * ([[graft.functions.ContamCounts]]: in-place gram hashing, per-doc
+    * dedup, binary search — no explode, no join, no agg exchange). The
+    * ×1000 rehearsal forced this: the previous string-keyed broadcast
+    * probe hashed ~430 M gram-string views per corpus pass and measured
+    * RISING against DuckDB (2.67× at ×100 → 3.41× at ×1000, bench/r11/) —
+    * the q162/q65 per-gram-object-churn lesson on the contamination axis.
+    *
+    * Above the guard (or with `evalLiteralMax = 0`) the plan is the
+    * hash-space broadcast join: per-doc-distinct `WordNgramHashes`
+    * exploded as 8-byte keys against the BROADCAST-HINTED eval hash set —
+    * hinted, not left to AQE, because the static planner estimates the
+    * side from the eval SCAN size (at the ×1000 rehearsal it planned a
+    * sort-merge join and the train side's 226 M shingle rows had already
+    * materialized as a shuffle stage before AQE's runtime stats flipped
+    * it; the flip saved the join but not the exchange — 239 M → 4.6 M
+    * shuffle records with the hint). The contract is the q164-vs-q162
+    * distinction: hint sides bounded by CONSTRUCTION (benchmarks); leave
+    * corpus-derived dims to AQE. A caller probing a CORPUS-SIZED `eval`
+    * must pass `broadcastEval = false` AND `evalLiteralMax = 0` — or
     * better, use the dedup/index paths, which are built for that shape.
-    * At 100 TB also join on xxhash64(shingle) to shrink the broadcast
-    * payload (byte-identical modulo 2^-64 collisions). */
+    * Hash-space equality is byte-identical to string equality modulo
+    * 2^-64 collisions (the crossDocDupCounts recipe, oracle-pinned). */
   def contaminationCounts(train: DataFrame, eval: DataFrame, n: Int = 5,
-      broadcastEval: Boolean = true): DataFrame = {
+      broadcastEval: Boolean = true,
+      evalLiteralMax: Long = modelLiteralMax): DataFrame = {
+    require(evalLiteralMax < Int.MaxValue,
+      s"evalLiteralMax=$evalLiteralMax out of range (hash set is collected)")
+    val evalHs = eval.select(explode(array_distinct(
+        graft.functions.WordNgramHashes(col("text"), n))).as("hs"))
+      .distinct()
+    // bounded collect: complete set only when it fits the guard (one
+    // limit(max+1) job decides — eval suites are benchmark-sized by
+    // construction; oversize falls through to the join plan)
+    val litRows =
+      if (evalLiteralMax > 0)
+        evalHs.limit(evalLiteralMax.toInt + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (evalLiteralMax > 0 && litRows.length <= evalLiteralMax) {
+      val sorted = litRows.map(_.getLong(0)).sorted
+      train.select(col("doc_id"),
+          graft.functions.ContamCounts(col("text"), sorted, n).as("r"))
+        .filter(col("r.n_sh") > 0) // join plan's explode drops shingle-less docs
+        .select(col("doc_id"), col("r.n_sh").as("n_sh"),
+          col("r.n_contam").as("n_contam"))
+    } else {
+      val evalSide0 = evalHs.withColumn("hit", lit(1))
+      val evalSide = if (broadcastEval) broadcast(evalSide0) else evalSide0
+      train.select(col("doc_id"), explode(array_distinct(
+          graft.functions.WordNgramHashes(col("text"), n))).as("hs"))
+        .join(evalSide, Seq("hs"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_contam"))
+    }
+  }
+
+  /** The pre-round-11 string-keyed formulation, kept as the spec's
+    * equivalence oracle for both hash-space paths (literal and join):
+    * distinct gram STRINGS exploded against a string-keyed broadcast —
+    * measured rising vs DuckDB at ×1000 (bench/r11/), retired from the
+    * declared path. */
+  private[graft] def contaminationCountsComposed(train: DataFrame,
+      eval: DataFrame, n: Int = 5): DataFrame = {
     val evalSh = Dedup.shingleSets(eval, n)
       .select(explode(col("sg")).as("s")).distinct()
       .withColumn("hit", lit(1))
-    val evalSide = if (broadcastEval) broadcast(evalSh) else evalSh
     Dedup.shingleSets(train, n)
       .select(col("doc_id"), explode(col("sg")).as("s"))
-      .join(evalSide, Seq("s"), "left")
+      .join(broadcast(evalSh), Seq("s"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_contam"))
   }

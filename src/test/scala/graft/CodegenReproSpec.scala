@@ -78,5 +78,8 @@ class CodegenReproSpec extends AnyFunSuite {
     mustCompile("pii_scan", graft.functions.PiiScan(text))
     mustCompile("scrub_covered_words",
       graft.functions.ScrubCoveredWords(text, positions, 5))
+    val evalHs = Array.tabulate(4096)(i => i.toLong * 104729 - 100000000)
+    mustCompile("contam_counts",
+      graft.functions.ContamCounts(text, evalHs, 5))
   }
 }

@@ -183,6 +183,36 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination literal, hash-join, and composed string paths agree") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Curation
+    val planted = "alpha beta gamma delta epsilon"
+    val edge = Seq(
+      (1L, s"x y $planted z"), (2L, "short doc"), (3L, ""),
+      (4L, s"$planted $planted"), (5L, "a b c d e f g"),
+      (10L, s"$planted tail words here"), (20L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    for (all <- Seq(edge, corpus)) {
+      val train = all.filter(col("doc_id") % 10 =!= 0)
+      val ev = all.filter(col("doc_id") % 10 === 0)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      val litPath = canon(Curation.contaminationCounts(train, ev, n = 5))
+      val joinPath = canon(Curation.contaminationCounts(train, ev, n = 5,
+        broadcastEval = true, evalLiteralMax = 0))
+      val composed = canon(Curation.contaminationCountsComposed(train, ev, 5))
+      assert(litPath == joinPath, "literal vs hash-join paths diverged")
+      assert(joinPath == composed, "hash-space vs string paths diverged")
+      assert(litPath.nonEmpty)
+      // contaminated docs actually detected, or the equality is vacuous
+      assert(litPath.exists(r => r(2).asInstanceOf[Long] > 0),
+        "no contamination found — vacuous")
+    }
+  }
+
   test("contamination: eval docs never appear; ratios within (0,1]") {
     val rows = q("q90_contamination").collect()
     assert(rows.nonEmpty)

@@ -220,7 +220,7 @@ class PlanSpec extends AnyFunSuite {
       "operators/CurationQueries.scala" ->
         (1, "q109 CMS: one serialized sketch per language"),
       "operators/Curation.scala" ->
-        (2, "balancedShards rank offsets: one count row per range partition (<= rangeParts); transitionScores literal path: model rows, guarded <= modelLiteralMax (2^18)"),
+        (3, "balancedShards rank offsets: one count row per range partition (<= rangeParts); transitionScores literal path: model rows, guarded <= modelLiteralMax (2^18); contaminationCounts literal path: eval hash set, guarded <= evalLiteralMax via limit(max+1)"),
       "llm/WeightsFileLlm.scala" ->
         (2, "LM trainer: vocab rows (<= maxVocab <= 4096) + transition rows (<= maxVocab^2, post-aggregation)"),
       "Rehearsal.scala" ->
@@ -259,11 +259,25 @@ class PlanSpec extends AnyFunSuite {
     // shuffle records with the explicit hint). Pin the static plan: the
     // contamination join must be a broadcast join in the SPARK PLAN before
     // any AQE re-optimization, at every scale.
-    val p = SparkEntry.queries("q90_contamination")(spark, TestSpark.sf0001)
+    // the JOIN plan is now the above-guard path (the default q90 plan is
+    // the literal ContamCounts scan, asserted joinless below); force it
+    // with evalLiteralMax = 0 and pin the static broadcast
+    import org.apache.spark.sql.functions.col
+    val all = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+    val p = graft.operators.Curation.contaminationCounts(
+        train = all.filter(col("doc_id") % 10 =!= 0),
+        eval = all.filter(col("doc_id") % 10 === 0), n = 5,
+        broadcastEval = true, evalLiteralMax = 0)
       .queryExecution.sparkPlan.toString
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       s"contamination join not statically broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus-side SMJ planned:\n$p")
+    // default path: literal-table scan — no join of any kind in the plan
+    val q90 = SparkEntry.queries("q90_contamination")(spark, TestSpark.sf0001)
+      .queryExecution.sparkPlan.toString
+    assert(q90.contains("contam_counts"), s"q90 not on the literal path:\n$q90")
+    assert(!q90.contains("Join"), s"q90 literal path plans a join:\n$q90")
   }
 
   test("production-geometry vector pipelines compile with codegen fallback off") {
