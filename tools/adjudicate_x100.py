@@ -41,16 +41,49 @@ CONTRACT = 2.0
 # x1000 walls: (spark_s, duck_s, provenance). Only queries listed here
 # can claim the measured-third-decade leg of the constant-factor test.
 # r10 rows are carried where the query's plan is unchanged this round
-# (pin/shuffle-record guarded); r11 rows are this round's runs.
+# (pin/shuffle-record guarded); r11 rows are this round's runs
+# (bench/r11/bench_x1000*.json + tools/bench_duckdb.py twins on the same
+# replicas: graft_sf100 = lineitem/events/documents x1000, graft_x1000 =
+# documents/embeddings x1000).
 X1000 = {
-    # round-10 measurements (plans unchanged in r11):
-    "q117_exclusive_blame": (59.481, 76.545, "bench/r10/bench_x1000.json"),
+    # round-11 measurements:
+    "q117_exclusive_blame": (65.628, 111.272, "bench/r11/bench_x1000.json"),
+    "q133_tokenize_pack": (10.061, 9.622, "bench/r11/bench_x1000.json"),
+    "q134_cross_doc_grams": (32.729, 31.330, "bench/r11/bench_x1000.json"),
+    "q153_span_scrub": (70.815, 158.414, "bench/r11/bench_x1000.json"),
+    "q65_tfidf": (3.065, 4.401, "bench/r11/bench_x1000.json"),
+    "q60_array_funcs": (3.561, 5.605, "bench/r11/bench_x1000.json"),
+    "q63_salted_join": (95.136, 2.727, "bench/r11/bench_x1000.json"),
+    "q104_bloom_join": (73.263, 3.578, "bench/r11/bench_x1000.json"),
+    "q90_contamination": (9.940, 12.028,
+                          "bench/r11/bench_x1000_rewrite.json"),
+    "q139_decontam_corpus": (11.829, 12.871,
+                             "bench/r11/bench_x1000_rewrite.json"),
+    "q164_curation_pipeline": (12.055, 10.529,
+                               "bench/r11/bench_x1000_rewrite.json"),
+    "q119_hybrid_rank": (7.837, 0.982, "bench/r11/bench_x1000_q119.json"),
+    # round-10 measurements (plans unchanged in r11, pins held):
     "q25_events_dedup_first": (7.364, 4.773, "bench/r10/bench_x1000.json"),
-    "q133_tokenize_pack": (8.709, 10.064, "bench/r10/bench_x1000.json"),
     "q162_perplexity_tiers": (14.622, 16.140, "bench/r10/bench_x1000.json"),
     "q03_top_orders": (14.319, 1.254, "bench/r10/bench_x1000_joins.json"),
     "q05_nation_revenue": (42.352, 5.415, "bench/r10/bench_x1000_joins.json"),
-    # round-11 measurements land here (bench/r11/bench_x1000*.json):
+}
+
+# queries REWRITTEN this round after the x100 run was taken: the x100 row
+# in yardstick_x100.json is the old plan; the recorded evidence is the
+# new plan's isolated re-measure at x100 and its x1000 twin.
+FIXED = {
+    "q90_contamination": (
+        "hash-space literal-eval rewrite (ContamCounts): 13.6 -> 8.6 s "
+        "at x100 (1.69x, 3-run) and 0.83x at x1000 -- was 2.67x rising "
+        "to 3.41x on the string-keyed broadcast probe"),
+    "q139_decontam_corpus": (
+        "composes q90's screen: 14.4 -> 10.6 s at x100 (1.95x, 3-run) "
+        "and 0.92x at x1000 -- was 2.66x rising to 4.31x"),
+    "q164_curation_pipeline": (
+        "pipeline containing the q90 screen: 9.7 s at x100 (2.25x "
+        "isolated 3-run; the in-sequence old-plan row read 2.69x) and "
+        "1.15x at x1000, declining"),
 }
 
 # named single-member classes (each a measured decomposition, not prose)
@@ -91,6 +124,9 @@ def main():
                           "source": src}
         if r["verdict"] != "fail":
             v["final"] = r["verdict"]
+        elif q in FIXED:
+            v["final"] = "fixed-this-round"
+            v["adjudication"] = FIXED[q]
         elif q in OUTPUT_BOUND:
             v["final"] = "exempt-output-bound"
             v["adjudication"] = OUTPUT_BOUND[q]

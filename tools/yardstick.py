@@ -124,6 +124,10 @@ PINNED = {"q117_exclusive_blame": 3811204, "q105_paragraph_dedup": 577470,
           "q162_perplexity_tiers": 51026, "q133_tokenize_pack": 50370,
           "q83_range_join": 200840, "q100_auto_range_join": 200840,
           "q97_doc_chunks": 0, "q65_tfidf": 50273,
+          # q153 r11 native-merged-scan plan (0.48x at x10): records are
+          # the gram-hash exchanges; the covered-start agg combines
+          # map-side, so a records jump means the excision plan regressed
+          "q153_span_scrub": 4758192,
           "q25_events_dedup_first": 75010, "q46_fts_postings": 62,
           "q128_fts_phrase": 190929, "q168_tokenizer_audit": 359}
 # Round-9 ADVICE split: a record pin is a TRIPWIRE for every member of
@@ -148,11 +152,14 @@ PINNED = {"q117_exclusive_blame": 3811204, "q105_paragraph_dedup": 577470,
 # >2x -- no pin exemption survives on prose alone.
 PIN_EXEMPT = {"q117_exclusive_blame", "q83_range_join",
               "q100_auto_range_join", "q133_tokenize_pack",
-              # round-10 floor-straddlers: DuckDB's wall oscillates around
-              # the 0.5 s floor line run-to-run (q128 duck measured 0.416,
-              # 0.445, 0.490, 0.506 across four same-tree runs), flipping
-              # the verdict on unchanged plans. Records tripwire both.
-              "q128_fts_phrase", "q168_tokenizer_audit"}
+              # floor-straddlers: DuckDB's wall oscillates around the
+              # 0.5 s floor line run-to-run (q128 duck measured 0.416,
+              # 0.445, 0.490, 0.506 across four same-tree r10 runs; q105
+              # duck read 0.507 in-sequence vs 0.599/0.664 isolated in
+              # r11 while PASSING 1.6x isolated), flipping verdicts on
+              # unchanged plans. Records tripwire all three.
+              "q128_fts_phrase", "q168_tokenizer_audit",
+              "q105_paragraph_dedup"}
 PIN_TOL = 1.10
 
 
