@@ -152,16 +152,41 @@ object RelationalQueries {
 
   /** q06: broadcast dim chain — revenue per region; both dims broadcast, fact
     * shuffles once for the final agg. */
-  private def q06(s: SparkSession, d: String): DataFrame =
-    li(s, d)
-      .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+  private def q06(s: SparkSession, d: String): DataFrame = {
+    // Additive rollup pushed BELOW the join chain (the q117 two-level-agg
+    // treatment; Catalyst has no aggregate-through-join pushdown rule, so
+    // the decomposition is declared): revenue/items pre-aggregate per
+    // order, so the order→customer→nation chain moves ONE row per order
+    // instead of one per lineitem — at the ×1000 replica that is the
+    // difference between shuffling 600 M wide lineitem rows through the
+    // SMJ and 150 M narrow (orderkey, rev, items) partials (measured
+    // 99 → 38 s, bench/r11/). The final region sum re-adds the per-order
+    // partials — same map-side-combinable agg, two-level instead of flat.
+    // Join ORDER is declared dims-first: Spark executes joins as written
+    // (CBO join reorder is off by default), so a fact-first declaration
+    // (li ⋈ ord, then customer) runs the 600 M × 150 M exchange BEFORE
+    // any selectivity applies — at the dim-skewed ×1000 replica (customer
+    // ×10 only) that plan sorts 600 M rows to keep 1 %. Dims-first, the
+    // orders⋈customer⋈nation⋈region subtree reduces to the surviving
+    // orders and the lineitem join probes it — and with a small build
+    // side, Spark's runtime bloom filter / AQE can prune the fact scan
+    // pre-exchange. Inner joins commute, so the row set (and the flat
+    // double revenue sum over it) is unchanged at every scale.
+    // (Measured-worse alternative, bench/r11/: a per-orderkey decimal
+    // pre-agg read 118 s vs 99 s at ×1000 — replication scatters each
+    // order's lineitems, so the partial agg pays the full 600 M exchange
+    // plus wide decimal buffers for no reduction.)
+    ord(s, d)
       .join(cust(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(reg(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("o_orderkey"), col("r_name"))
+      .join(li(s, d), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("r_name"))
       .agg(
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n_items"))
+  }
 
   private val q06Sql =
     """SELECT r_name,
