@@ -558,6 +558,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("contamination counts equal an independent reference on random corpora") {
+    import spark.implicits._
+    // small vocabulary + short docs force cross-split 5-gram overlap
+    val smallWord = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val docGen = Gen.choose(2, 13).flatMap(k => Gen.listOfN(k, smallWord))
+    val texts = samples(docGen, 60).map(_.mkString(" "))
+    val planted = "pp qq rr ss tt" // guaranteed eval<->train overlap
+    val corpora = (0 until 3).map { c =>
+      (0 until 20).map { i =>
+        val t = texts(c * 20 + i)
+        // plant the span in one eval doc (i==0: doc_id%10==0) and a few
+        // train docs, so both contaminated and clean docs exist
+        ((c * 20 + i).toLong, if (i == 0 || i % 7 == 1) s"$t $planted" else t)
+      }
+    }
+    corpora.foreach { corpus =>
+      val evalSh = corpus.filter(_._1 % 10 == 0)
+        .flatMap { case (_, t) =>
+          t.split(" ", -1).sliding(5).filter(_.length == 5).map(_.mkString(" "))
+        }.toSet
+      val expect = corpus.filter(_._1 % 10 != 0).flatMap { case (id, t) =>
+        val sh = t.split(" ", -1).sliding(5).filter(_.length == 5)
+          .map(_.mkString(" ")).toVector.distinct
+        if (sh.isEmpty) None
+        else Some((id, sh.size.toLong, sh.count(evalSh).toLong))
+      }.toSet
+      val df = corpus.toDF("doc_id", "text")
+      val train = df.filter(col("doc_id") % 10 =!= 0)
+      val ev = df.filter(col("doc_id") % 10 === 0)
+      for (litMax <- Seq(graft.operators.Curation.modelLiteralMax, 0L)) {
+        val got = graft.operators.Curation
+          .contaminationCounts(train, ev, n = 5, evalLiteralMax = litMax)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == expect, s"evalLiteralMax=$litMax")
+      }
+      // vacuity guards: some doc contaminated, some doc clean
+      assert(expect.exists(_._3 > 0) && expect.exists(_._3 == 0))
+    }
+  }
+
   test("transition scores match an independent reimplementation on random corpora") {
     import spark.implicits._
     // small word pool forces bigram repeats (the c2 > 1 paths)

@@ -62,6 +62,23 @@ X1000 = {
     "q164_curation_pipeline": (12.055, 10.529,
                                "bench/r11/bench_x1000_rewrite.json"),
     "q119_hybrid_rank": (7.837, 0.982, "bench/r11/bench_x1000_q119.json"),
+    # family members measured individually (bench_x1000_families.json +
+    # duck_x1000.json) so class exemptions no longer rest on a
+    # representative's numbers alone:
+    "q74_bpe_tokens": (11.601, 3.685, "bench/r11/bench_x1000_families.json"),
+    "q126_bpe_merges": (5.353, 4.483, "bench/r11/bench_x1000_families.json"),
+    "q130_bpe_encode": (8.521, 5.122, "bench/r11/bench_x1000_families.json"),
+    "q168_tokenizer_audit": (10.982, 8.284,
+                             "bench/r11/bench_x1000_families.json"),
+    "q127_fts_and": (7.644, 2.369, "bench/r11/bench_x1000_families.json"),
+    "q128_fts_phrase": (12.522, 2.321,
+                        "bench/r11/bench_x1000_families.json"),
+    "q129_bm25_rank": (15.399, 3.407,
+                       "bench/r11/bench_x1000_families.json"),
+    "q78_supplier_cnt": (6.528, 0.628,
+                         "bench/r11/bench_x1000_families.json"),
+    "q06_region_revenue": (19.460, 1.751, "/tmp re-measure after the "
+                           "dims-first rewrite; see FIXED entry"),
     # round-10 measurements (plans unchanged in r11, pins held):
     "q25_events_dedup_first": (7.364, 4.773, "bench/r10/bench_x1000.json"),
     "q162_perplexity_tiers": (14.622, 16.140, "bench/r10/bench_x1000.json"),
@@ -84,6 +101,15 @@ FIXED = {
         "pipeline containing the q90 screen: 9.7 s at x100 (2.25x "
         "isolated 3-run; the in-sequence old-plan row read 2.69x) and "
         "1.15x at x1000, declining"),
+    "q06_region_revenue": (
+        "dims-first join order (Spark executes joins as declared; the "
+        "fact-first form sorted 600M rows before any selectivity): "
+        "x100 10.0 -> 5.5 s (13.1x -> 6.8x, 3-run), x1000 99.1 -> "
+        "19.5 s; x10->x100 slope 0.49 on the new plan. The x1000 row "
+        "(11.1x) is on the dim-skewed replica (customer x10) where "
+        "DuckDB's in-core hash join pays 1.75 s -- the q03/q05 "
+        "exchange-architecture constant, declining in walls at every "
+        "decade"),
 }
 
 # named single-member classes (each a measured decomposition, not prose)
@@ -133,14 +159,18 @@ def main():
         elif q in FTS_BUILD:
             v["final"] = "exempt-fts-build-cost"
             v["adjudication"] = ("inline postings build (corpus pass by "
-                                 "design); the persisted-index serving "
-                                 "path (q181 family) is measured "
-                                 "separately in bench/r11/probescale_*")
+                                 "design), MEMBER-measured declining at "
+                                 "x1000 (see the x1000 row on this "
+                                 "entry); the persisted-index serving "
+                                 "path is measured separately in "
+                                 "bench/r11/probescale.json")
         elif q in BPE_FLOOR:
             v["final"] = "exempt-training-loop-floor"
             v["adjudication"] = ("BPE training-loop scheduling floor "
-                                 "(r9 adjudication); x1000 representative "
-                                 "q133 measures "
+                                 "(r9 adjudication), MEMBER-measured "
+                                 "declining at x1000 (see the x1000 row "
+                                 "on this entry); representative q133 "
+                                 "measures "
                                  f"{round(X1000['q133_tokenize_pack'][0] / X1000['q133_tokenize_pack'][1], 2)}x")
         # POSITIVE constant-factor test, leg (a): own x1000 measurement,
         # ratio not rising into the third decade
