@@ -128,6 +128,10 @@ PINNED = {"q117_exclusive_blame": 3811204, "q105_paragraph_dedup": 577470,
           # the gram-hash exchanges; the covered-start agg combines
           # map-side, so a records jump means the excision plan regressed
           "q153_span_scrub": 4758192,
+          # q49 floor-straddler (r11): passes x100 OUTRIGHT at 0.89x with
+          # slope 0.56, but its x10 verdict flips on box drift (1.46 vs
+          # 2.17 across two same-tree runs, records identical both times)
+          "q49_above_part_avg": 9731260,
           "q25_events_dedup_first": 75010, "q46_fts_postings": 62,
           "q128_fts_phrase": 190929, "q168_tokenizer_audit": 359}
 # Round-9 ADVICE split: a record pin is a TRIPWIRE for every member of
@@ -159,7 +163,7 @@ PIN_EXEMPT = {"q117_exclusive_blame", "q83_range_join",
               # r11 while PASSING 1.6x isolated), flipping verdicts on
               # unchanged plans. Records tripwire all three.
               "q128_fts_phrase", "q168_tokenizer_audit",
-              "q105_paragraph_dedup"}
+              "q105_paragraph_dedup", "q49_above_part_avg"}
 PIN_TOL = 1.10
 
 
