@@ -1,7 +1,9 @@
 package graft.operators
 
+import graft.functions.BloomContainsLong
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Broadcast-Bloom semi-join pushdown: prune the fact table BEFORE the
   * shuffle join using a Bloom filter built from the (already filtered) dim
@@ -25,26 +27,60 @@ import org.apache.spark.sql.functions._
   * plain-join SQL, which gates exactly that. False negatives are impossible
   * by the Bloom contract.
   *
+  * Sizing is the whole game (the round-11 lesson): a filter sized below the
+  * dim's true key count saturates — its false-positive rate drifts toward 1
+  * and it prunes NOTHING while still charging the build pass and a per-row
+  * probe. r11 measured exactly that: a 65k-item filter against a 30M-key
+  * dim left q104 shuffling the full 630M records at ×1000. The filter is
+  * therefore sized from `dim.count()` by default (one cheap combinable agg
+  * over the dim — negligible next to the fact shuffle it buys back), and
+  * when the required bits exceed `maxFilterBytes` the operator degrades to
+  * the plain join rather than ship a saturated filter.
+  *
   * Reference behavior generalized: the reference joins its fact CSVs to
   * small filtered dims in full (hw5/load_csv.py joins game logs to teams);
   * at 100 TB the pre-join prune is what keeps that pattern runnable.
   */
-object BloomJoin {
+object BloomJoin extends Logging {
+
+  /** Default cap on the serialized filter: 256 MB holds ~220M keys at 1%
+    * fpp — past that the filter itself stops being broadcast-friendly and
+    * the dim is no longer "selective" relative to a fact worth pruning. */
+  val DefaultMaxFilterBytes: Long = 256L << 20
+
+  /** Build the prune filter from the dim keys, or None when the dim's key
+    * count would need more than `maxFilterBytes` of bits at `fpp` (a filter
+    * forced under-bits saturates and prunes nothing — skip it instead).
+    * `expectedItems <= 0` (the default path) sizes from `dim.count()`;
+    * a positive value trusts the caller's estimate (floored at 1024 so a
+    * micro-dim never gets a degenerate filter). */
+  def buildFilter(dim: DataFrame, key: String, expectedItems: Long,
+      fpp: Double, maxFilterBytes: Long): Option[BloomFilter] = {
+    val n = math.max(if (expectedItems > 0) expectedItems else dim.count(), 1024L)
+    val bits = BloomFilter.optimalNumOfBits(n, fpp)
+    if (bits > maxFilterBytes * 8) {
+      logWarning(s"BloomJoin: ${n} expected keys need ${bits / 8 >> 20} MB " +
+        s"> ${maxFilterBytes >> 20} MB budget; skipping prefilter (plain join)")
+      None
+    } else Some(dim.stat.bloomFilter(key, n, fpp))
+  }
 
   /** Inner equi-join `fact ⋈ dim` on the shared column `key` (LongType),
     * pre-filtering fact rows through a Bloom filter of dim's keys.
     * Result is bit-identical to `fact.join(dim, Seq(key))`.
     *
-    * `expectedItems` sizes the filter; overshooting only costs bits. The
-    * membership probe is a broadcast-closure UDF — one hash per row against
-    * an in-memory bitset; the codegen break is confined to the single
-    * boolean filter and is repaid by the shuffle it prevents.
+    * `expectedItems <= 0` (default) sizes the filter from `dim.count()`.
+    * The membership probe is the codegen'd [[BloomContainsLong]]
+    * expression — one hash per row inside the scan's whole-stage-codegen
+    * span; the filter bytes ride the serialized plan.
     */
   def prefilteredJoin(fact: DataFrame, dim: DataFrame, key: String,
-      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
-    val bloom = dim.stat.bloomFilter(key, expectedItems, fpp)
-    val bc = fact.sparkSession.sparkContext.broadcast(bloom)
-    val might = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-    fact.filter(might(col(key))).join(dim, Seq(key))
-  }
+      expectedItems: Long = -1L, fpp: Double = 0.01,
+      maxFilterBytes: Long = DefaultMaxFilterBytes): DataFrame =
+    buildFilter(dim, key, expectedItems, fpp, maxFilterBytes) match {
+      case Some(bloom) =>
+        fact.filter(BloomContainsLong(fact(key), bloom)).join(dim, Seq(key))
+      case None =>
+        fact.join(dim, Seq(key))
+    }
 }

@@ -21,13 +21,16 @@ object LakehouseQueries {
     * impossible, so the operator must be bit-identical to the naive plan —
     * the same equivalence-under-oracle pattern as the salted/hot-key joins
     * (q63/q64). At 100 TB the filter (≈12 MB for 10M keys at 1% fpp)
-    * replaces a full fact-table shuffle with a scan-side prune. */
+    * replaces a full fact-table shuffle with a scan-side prune. The filter
+    * is sized from the dim's own count (BloomJoin's default) — r11's
+    * hardcoded 65k-item filter saturated against the 300k–30M urgent keys
+    * at yardstick scales and pruned nothing (630M-record shuffle at
+    * ×1000); auto-sizing is what makes the operator do its job. */
   private def q104(s: SparkSession, d: String): DataFrame = {
     val dim = ord(s, d)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey").as("l_orderkey"))
-    BloomJoin.prefilteredJoin(li(s, d), dim, "l_orderkey",
-        expectedItems = 1L << 16)
+    BloomJoin.prefilteredJoin(li(s, d), dim, "l_orderkey")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_items"),
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)

@@ -292,20 +292,37 @@ object ScaleQueries {
 
   /** q63: salted shuffle join (skew mitigation) — result must be identical
     * to the plain equi-join, so the oracle is the unsalted SQL. Aggregated
-    * output keeps the check small while covering the join body. */
+    * output keeps the check small while covering the join body.
+    *
+    * Fixture (re-cut in r12 to exercise salting's actual regime): the left
+    * key routes every first-line row to orderkey 1 — ≈25% of lineitem lands
+    * on ONE key, the textbook hot reducer — and the right side is ORDERS
+    * (not a broadcast-sized dim; r11's supplier fixture was broadcast by
+    * AQE, so the salt spread reducers that didn't exist). At sf≤0.01 orders
+    * is still under the broadcast threshold and saltedInnerJoin's guard
+    * no-ops to the plain join (result-identical by construction — that
+    * guard is itself spec-covered); at yardstick scales orders shuffles and
+    * the salt spreads the hot key across saltFactor reducers. The sum is
+    * integer-valued (quantity), so the oracle compare is exact regardless
+    * of the salt's row reordering. */
   private def q63(s: SparkSession, d: String): DataFrame = {
-    val supp = Tables.supplier(s, d)
-      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
-    SkewJoin.saltedInnerJoin(li(s, d), supp, Seq("l_suppkey"), saltFactor = 8)
-      .groupBy(col("s_name"))
+    val hotFact = li(s, d).select(
+      when(col("l_linenumber") === 1, lit(1L))
+        .otherwise(col("l_orderkey")).as("o_orderkey"),
+      col("l_quantity"))
+    val o = ord(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+    SkewJoin.saltedInnerJoin(hotFact, o, Seq("o_orderkey"), saltFactor = 8)
+      .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
         sum(col("l_quantity")).cast("long").as("qty"))
   }
 
   private val q63Sql =
-    """SELECT s_name, count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS qty
-      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-      |GROUP BY s_name""".stripMargin
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(l_quantity) AS BIGINT) AS qty
+      |FROM lineitem JOIN orders
+      |  ON (CASE WHEN l_linenumber = 1 THEN 1 ELSE l_orderkey END) = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
 
   /** q64: hot-key-split join (broadcast path for hot keys, shuffle path for
     * the cold tail) — same oracle-identity property as q63. Hot keys here

@@ -21,16 +21,42 @@ object SkewJoin {
     * ways. The left salt is uniform rand — WHICH salt a row gets never
     * affects the result (the right side carries every salt value), it only
     * spreads a hot key across saltFactor reducers, so rand's
-    * retry-instability is harmless here. */
+    * retry-instability is harmless here.
+    *
+    * Broadcast guard (the round-11 lesson): salting exists to spread
+    * REDUCER skew, and a broadcast-hash join has no reducers — salting a
+    * broadcast-sized right side replicates the build `saltFactor`× and
+    * pays a rand per fact row for zero benefit (r11 measured 34.9× DuckDB
+    * at ×1000 for exactly that). When the right side's optimized-plan size
+    * estimate is at or under `spark.sql.autoBroadcastJoinThreshold`, this
+    * degrades to the plain join and lets the planner broadcast it. */
   def saltedInnerJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       saltFactor: Int, seed: Long = 42L): DataFrame = {
     require(saltFactor > 0)
     require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
       "saltedInnerJoin reserves the __salt column name")
+    if (rightIsBroadcastable(right)) return left.join(right, keys)
     val l = left.withColumn("__salt", (rand(seed) * saltFactor).cast("int"))
     val r = right.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     l.join(r, keys :+ "__salt").drop("__salt")
+  }
+
+  /** True when the planner would broadcast `right` anyway (plan size
+    * estimate ≤ autoBroadcastJoinThreshold > 0). Conservative on purpose:
+    * parquet size estimates overshoot in-memory size, so this only no-ops
+    * the clearly-broadcastable case. */
+  private[graft] def rightIsBroadcastable(right: DataFrame): Boolean = {
+    val raw = right.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val threshold =
+      try raw.toLong
+      catch {
+        case _: NumberFormatException =>
+          org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+      }
+    threshold > 0 &&
+      right.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold
   }
 
   /** Skewed-key isolation: route rows whose key is in `hotKeys` through a

@@ -25,16 +25,68 @@ class LakehouseSpec extends AnyFunSuite {
     val dim = Tables.orders(spark, TestSpark.sf0001)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey").as("l_orderkey"))
-    val bloom = dim.stat.bloomFilter("l_orderkey", 1L << 16, 0.01)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val might = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    val bloom = BloomJoin.buildFilter(dim, "l_orderkey", expectedItems = -1,
+      fpp = 0.01, maxFilterBytes = BloomJoin.DefaultMaxFilterBytes).get
     val total = li.count()
-    val passed = li.filter(might(col("l_orderkey"))).count()
+    val passed = li.filter(
+      graft.functions.BloomContainsLong(col("l_orderkey"), bloom)).count()
     val exact = li.join(dim, Seq("l_orderkey")).count()
     // no false negatives: everything that joins passes the filter;
     // real pruning: far fewer than all rows pass (urgent ≈ 1/5 of orders)
     assert(passed >= exact)
     assert(passed < total / 2, s"bloom passed $passed of $total — no pruning?")
+  }
+
+  test("bloom join: filter is sized from the dim count (saturation regression)") {
+    // r11 defect: a filter hardcoded below the dim's key count saturates
+    // (fpp → 1) and prunes nothing. Auto-sizing must allocate at least the
+    // optimal bits for the dim's true cardinality.
+    val dim = Tables.orders(spark, TestSpark.sf0001)
+      .select(col("o_orderkey").as("l_orderkey"))
+    val n = dim.count()
+    val bloom = BloomJoin.buildFilter(dim, "l_orderkey", expectedItems = -1,
+      fpp = 0.01, maxFilterBytes = BloomJoin.DefaultMaxFilterBytes).get
+    val optimal = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, 0.01)
+    assert(bloom.bitSize() >= optimal,
+      s"filter ${bloom.bitSize()} bits < optimal $optimal for $n keys")
+    // and it actually holds the fpp contract on this dim: a disjoint probe
+    // set should almost never hit
+    val misses = (1L to 1000L).map(k => -k).count(bloom.mightContainLong)
+    assert(misses <= 50, s"$misses/1000 false positives — saturated filter")
+  }
+
+  test("bloom join: over-budget filter degrades to the plain join") {
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    val dim = Tables.orders(spark, TestSpark.sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"))
+    assert(BloomJoin.buildFilter(dim, "l_orderkey", -1, 0.01,
+      maxFilterBytes = 16).isEmpty)
+    val joined = BloomJoin.prefilteredJoin(li, dim, "l_orderkey",
+      maxFilterBytes = 16).collect().map(_.toSeq).toSet
+    val plain = li.join(dim, Seq("l_orderkey")).collect().map(_.toSeq).toSet
+    assert(joined == plain && joined.nonEmpty)
+  }
+
+  test("bloom probe: native expression, codegen'd, null-safe") {
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(1024, 0.01)
+    (1L to 100L).foreach(bloom.putLong)
+    // range (not a local Seq) so ConvertToLocalRelation can't fold the
+    // filter away on the driver — we want the executed plan
+    val df = spark.range(1, 2001).select(
+      when(col("id") % 1000 === 0, lit(null)).otherwise(col("id")).as("k"))
+    val probed = df.filter(graft.functions.BloomContainsLong(col("k"), bloom))
+    val kept = probed.collect().map(_.getLong(0)).toSet
+    assert((1L to 100L).toSet.subsetOf(kept), "false negatives are impossible")
+    val fps = kept.count(_ > 100L)
+    assert(fps < 60, s"$fps false positives in 1900 probes at fpp=0.01")
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_contains_long"), plan)
+    // the * prefix marks the Filter as inside a WholeStageCodegen span
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Filter bloom_contains_long") && l.contains("*(")), plan)
+    assert(!plan.toLowerCase.contains("scalaudf"),
+      s"probe fell out of codegen:\n$plan")
   }
 
   test("scd2: versions contiguous, intervals chain, exactly one current per key") {

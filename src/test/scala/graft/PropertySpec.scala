@@ -46,12 +46,17 @@ class PropertySpec extends AnyFunSuite {
     val right = (0L to 20L).map(k => (k, s"r$k")).toDF("k", "rv")
     val plain = left.join(right, Seq("k")).collect()
       .map(_.toSeq).sortBy(_.mkString("|")).toSeq
-    Seq(1, 3, 8, 16).foreach { f =>
+    // broadcast off so the guard doesn't no-op the tiny right side — the
+    // property must exercise the actual salted plan
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try Seq(1, 3, 8, 16).foreach { f =>
       val salted = graft.operators.SkewJoin
         .saltedInnerJoin(left, right, Seq("k"), f).collect()
         .map(_.toSeq).sortBy(_.mkString("|")).toSeq
       assert(salted == plain, s"saltFactor=$f")
-    }
+    } finally spark.conf.set(key, prev)
   }
 
   test("as-of join invariant: matched view never succeeds its purchase") {

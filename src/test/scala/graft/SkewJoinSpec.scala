@@ -24,6 +24,29 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(sortedRows(salted) == sortedRows(plain))
   }
 
+  test("salted join no-ops to the plain join when the right side is broadcast-sized") {
+    // salting guards reducer skew; a broadcast join has no reducers, so a
+    // broadcast-sized right side must take the plain (broadcastable) plan —
+    // no __salt column, no rand, no 7× build replication (r11 q63 lesson)
+    assert(SkewJoin.rightIsBroadcastable(supp))
+    val salted = SkewJoin.saltedInnerJoin(li, supp, Seq("l_suppkey"), saltFactor = 7)
+    val plan = salted.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("__salt") && !plan.contains("rand("), plan)
+  }
+
+  test("salting engages (and stays lossless) when broadcast is off the table") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      assert(!SkewJoin.rightIsBroadcastable(supp))
+      val salted = SkewJoin.saltedInnerJoin(li, supp, Seq("l_suppkey"), saltFactor = 7)
+      val plan = salted.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__salt"), plan)
+      assert(sortedRows(salted) == sortedRows(li.join(supp, Seq("l_suppkey"))))
+    } finally spark.conf.set(key, prev)
+  }
+
   test("hot-key split join equals plain join") {
     val hot = SkewJoin.skewedKeys(li, "l_suppkey", 0.01)
       .collect().map(_.getLong(0)).toSeq
