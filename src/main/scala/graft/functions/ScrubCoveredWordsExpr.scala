@@ -34,8 +34,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * delimit empty words, and the empty text is one empty word. Survivors
   * join as `concat_ws(' ', ...)` does, so a doc with no covered word
   * round-trips byte-identical (fast path returns the input buffer).
-  * Starts outside `[1, n_words]` never cover anything (the same no-op the
-  * composed form's `array_contains` gave them). Null text or null starts
+  * Starts above `n_words` (or at/below `-n`) never cover anything — the
+  * same no-op the composed form's `array_contains` gave them; a start
+  * `s <= 0` with `s + n - 1 >= 1` DOES cover the leading words of its
+  * clipped interval, identically in both forms. `starts` MUST be sorted
+  * ascending (the merged scan consumes it monotonically — the only
+  * production caller sorts via `sort_array`); unsorted input is undefined
+  * and silently under-covers, it does not throw. Null text or null starts
   * null out — callers coalesce the no-duplicates case to an empty array. */
 case class ScrubCoveredWords(left: Expression, right: Expression, n: Int)
     extends BinaryExpression {

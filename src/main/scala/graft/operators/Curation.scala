@@ -29,6 +29,15 @@ object Curation {
     * RISING against DuckDB (2.67× at ×100 → 3.41× at ×1000, bench/r11/) —
     * the q162/q65 per-gram-object-churn lesson on the contamination axis.
     *
+    * EAGER under the guard (deliberate, the literal-model pattern shared
+    * with [[transitionScores]]): the `limit(max+1).collect()` of the eval
+    * hash set runs a Spark job AT CONSTRUCTION TIME — building this
+    * DataFrame is not free, and the eval snapshot is frozen then, so an
+    * eval table mutated between construction and execution scores against
+    * the collected set. Callers that only want the plan (explain,
+    * registry warm-up) should pass `evalLiteralMax = 0` for the fully
+    * lazy join formulation.
+    *
     * Above the guard (or with `evalLiteralMax = 0`) the plan is the
     * hash-space broadcast join: per-doc-distinct `WordNgramHashes`
     * exploded as 8-byte keys against the BROADCAST-HINTED eval hash set —

@@ -153,15 +153,6 @@ object RelationalQueries {
   /** q06: broadcast dim chain — revenue per region; both dims broadcast, fact
     * shuffles once for the final agg. */
   private def q06(s: SparkSession, d: String): DataFrame = {
-    // Additive rollup pushed BELOW the join chain (the q117 two-level-agg
-    // treatment; Catalyst has no aggregate-through-join pushdown rule, so
-    // the decomposition is declared): revenue/items pre-aggregate per
-    // order, so the order→customer→nation chain moves ONE row per order
-    // instead of one per lineitem — at the ×1000 replica that is the
-    // difference between shuffling 600 M wide lineitem rows through the
-    // SMJ and 150 M narrow (orderkey, rev, items) partials (measured
-    // 99 → 38 s, bench/r11/). The final region sum re-adds the per-order
-    // partials — same map-side-combinable agg, two-level instead of flat.
     // Join ORDER is declared dims-first: Spark executes joins as written
     // (CBO join reorder is off by default), so a fact-first declaration
     // (li ⋈ ord, then customer) runs the 600 M × 150 M exchange BEFORE
