@@ -27,5 +27,8 @@ object GraftSession {
       // interval-only theta joins auto-rewrite to banded equi joins
       // (plans.BandedIntervalJoinRule); 0 disables
       .config("spark.graft.rangeJoin.bandSeconds", "86400")
+      // fact-first inner-join chains rotate much-smaller relations below
+      // the big exchange (plans.DimsFirstJoinReorder); false disables
+      .config("spark.graft.joinReorder.dimsFirst", "true")
       .config("spark.ui.enabled", "false")
 }

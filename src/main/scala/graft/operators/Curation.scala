@@ -30,7 +30,7 @@ object Curation {
     * the q162/q65 per-gram-object-churn lesson on the contamination axis.
     *
     * EAGER under the guard (deliberate, the literal-model pattern shared
-    * with [[transitionScores]]): the `limit(max+1).collect()` of the eval
+    * with [[transitionScores]]): the limit(max+1) collect of the eval
     * hash set runs a Spark job AT CONSTRUCTION TIME — building this
     * DataFrame is not free, and the eval snapshot is frozen then, so an
     * eval table mutated between construction and execution scores against

@@ -179,6 +179,26 @@ object RelationalQueries {
         count(lit(1)).as("n_items"))
   }
 
+  /** q182: q06 declared FACT-FIRST and unhinted — the naive formulation a
+    * user actually writes (`lineitem.join(orders).join(customer)...`),
+    * regression-gating [[graft.plans.DimsFirstJoinReorder]]: without the
+    * rule this declaration runs the lineitem⋈orders exchange before any
+    * dim reduces (the r11-measured 5× cliff, 99 s vs 19.5 s at ×1000);
+    * with it the optimizer rotates the much-smaller relations below the
+    * fact join and the plan converges to q06's hand-ordered shape.
+    * Same oracle as q06 (identical row set by inner-join commutativity);
+    * PlanSpec asserts the rotated plan. */
+  private def q182(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+      .join(nat(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(reg(s, d), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
   private val q06Sql =
     """SELECT r_name,
       |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
@@ -665,6 +685,7 @@ object RelationalQueries {
     QueryDef("q04_exists_priority", q04, Some(q04Sql), bench = true),
     QueryDef("q05_nation_revenue", q05, Some(q05Sql), bench = true),
     QueryDef("q06_region_revenue", q06, Some(q06Sql)),
+    QueryDef("q182_region_revenue_factfirst", q182, Some(q06Sql)),
     QueryDef("q07_topn_per_nation", q07, Some(q07Sql)),
     QueryDef("q116_unpivot", q116, Some(q116Sql)),
     QueryDef("q117_exclusive_blame", q117, Some(q117Sql), bench = true),

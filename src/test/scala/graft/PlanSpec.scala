@@ -49,10 +49,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("lakehouse/curation batch keeps its scale shapes") {
-    // q104: the Bloom prefilter (a UDF filter) sits on the fact side
-    // before the join — the scan-side prune is the point of the operator
+    // q104: the Bloom prefilter (the codegen'd native probe) sits on the
+    // fact scan before the join — the scan-side prune is the point of the
+    // operator
     val p104 = plan("q104_bloom_join")
-    assert(p104.contains("UDF"), s"bloom prefilter missing:\n$p104")
+    assert(p104.contains("bloom_contains_long"), s"bloom prefilter missing:\n$p104")
+    assert(!p104.contains("UDF"), s"bloom probe regressed to a UDF:\n$p104")
     assert(!p104.contains("CartesianProduct"), p104)
     // q105: the block-dedup window is keyed on xxhash64(block), never a
     // single-partition sort
@@ -385,5 +387,36 @@ class PlanSpec extends AnyFunSuite {
         s"an exchange carries quadratic hot-bucket volume: $writtenHot " +
           s"(band rows $hotBandRows, candidates $n)")
     } finally hotSig.unpersist()
+  }
+
+  test("fact-first join chain is reordered dims-first by the engine (q182)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // the q06 ×1000 cliff as an ENGINE property: the naive fact-first
+    // declaration must plan lineitem's join LAST, against the fully
+    // reduced orders⋈customer⋈nation⋈region subtree
+    def lineitemJoinSides(planName: Boolean): (Int, Int) = {
+      val key = "spark.graft.joinReorder.dimsFirst"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, planName.toString)
+      try {
+        val p = SparkEntry.queries("q182_region_revenue_factfirst")(
+          spark, TestSpark.sf0001).queryExecution.optimizedPlan
+        val j = p.collect { case j: Join => j }.find { j =>
+          def isLineitemOnly(s: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+            s.collectLeaves().size == 1 &&
+              s.output.exists(_.name == "l_extendedprice")
+          isLineitemOnly(j.left) || isLineitemOnly(j.right)
+        }.getOrElse(fail(s"no join with a pure-lineitem side:\n$p"))
+        val (liSide, other) =
+          if (j.left.output.exists(_.name == "l_extendedprice")) (j.left, j.right)
+          else (j.right, j.left)
+        (liSide.collectLeaves().size, other.collectLeaves().size)
+      } finally spark.conf.set(key, prev)
+    }
+    // rule ON: lineitem joins the 4-relation dim subtree
+    assert(lineitemJoinSides(true) == (1, 4))
+    // rule OFF: the naive declaration joins lineitem⋈orders first —
+    // proving the reorder is the rule's doing, not Catalyst's default
+    assert(lineitemJoinSides(false)._2 == 1)
   }
 }
