@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
   * Prints one JSON line for side-by-side ×10 / ×100 / ×1000 runs
   * (recorded in bench/r11/).
   *
-  * Usage: runMain graft.ProbeScale <sfDir>
+  * Usage: runMain graft.ProbeScale <sfDir> [w1 w2 w3]
+  * (default phrase matches the driver corpus; pass "w40 w80 w120" for the
+  * Zipfian-vocabulary corpora from tools/make_zipf.py)
   */
 object ProbeScale {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
+    val phraseArg = if (args.length > 1) args.drop(1).toSeq else Seq.empty
     val spark = GraftSession.configure(
       SparkSession.builder().master("local[32]"), "32", "graft-probescale")
       .getOrCreate()
@@ -32,7 +35,7 @@ object ProbeScale {
     // term-bucket-pruned index (build once, probe repeatedly) ---
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val nDocs = docs.count()
-    val phrase = Seq("big", "order", "scan")
+    val phrase = if (phraseArg.nonEmpty) phraseArg else Seq("big", "order", "scan")
     val nBuckets = 64
     val ftsPath = base.resolve("postings").toString
     val (_, ftsBuild) = time(operators.Fts.writePostingsIndex(

@@ -46,7 +46,8 @@ object SparkEntry {
   /** Same-algorithm oracle-backed queries added to the wide yardstick set
     * beyond the bench subset. */
   val wideExtra: Set[String] = Set(
-    "q06_region_revenue", "q07_topn_per_nation", "q09_order_delta",
+    "q06_region_revenue", "q182_region_revenue_factfirst",
+    "q07_topn_per_nation", "q09_order_delta",
     "q10_semi_join", "q11_anti_join", "q12_distinct", "q13_union",
     "q14_intersect", "q15_except", "q16_having", "q17_conditional_agg",
     "q18_rollup", "q19_above_avg", "q20_string_funcs", "q21_regex",

@@ -295,34 +295,36 @@ object ScaleQueries {
     * output keeps the check small while covering the join body.
     *
     * Fixture (re-cut in r12 to exercise salting's actual regime): the left
-    * key routes every first-line row to orderkey 1 — ≈25% of lineitem lands
-    * on ONE key, the textbook hot reducer — and the right side is ORDERS
-    * (not a broadcast-sized dim; r11's supplier fixture was broadcast by
-    * AQE, so the salt spread reducers that didn't exist). At sf≤0.01 orders
-    * is still under the broadcast threshold and saltedInnerJoin's guard
-    * no-ops to the plain join (result-identical by construction — that
-    * guard is itself spec-covered); at yardstick scales orders shuffles and
-    * the salt spreads the hot key across saltFactor reducers. The sum is
-    * integer-valued (quantity), so the oracle compare is exact regardless
-    * of the salt's row reordering. */
+    * key routes every first-line row to suppkey 1 — ≈25% of lineitem lands
+    * on ONE key, the textbook hot reducer — against the supplier table,
+    * which at yardstick scales is exactly salting's "small but not
+    * broadcast-small" right side (×1000: 1M rows ≫ the 10 MB broadcast
+    * threshold, but the 8× replication is only 8M rows — replicating a
+    * FACT-sized right side to spread one hot key is hotKeySplitJoin's
+    * regime, not this one). At sf≤0.01 supplier is broadcast-sized and
+    * saltedInnerJoin's guard no-ops to the plain join (result-identical by
+    * construction; the guard is spec-covered); at scale the salt spreads
+    * the 150M-row hot key across 8 reducers instead of one straggler. The
+    * sum is integer-valued (quantity), so the oracle compare is exact
+    * regardless of the salt's row routing. */
   private def q63(s: SparkSession, d: String): DataFrame = {
     val hotFact = li(s, d).select(
       when(col("l_linenumber") === 1, lit(1L))
-        .otherwise(col("l_orderkey")).as("o_orderkey"),
+        .otherwise(col("l_suppkey")).as("s_suppkey"),
       col("l_quantity"))
-    val o = ord(s, d).select(col("o_orderkey"), col("o_orderpriority"))
-    SkewJoin.saltedInnerJoin(hotFact, o, Seq("o_orderkey"), saltFactor = 8)
-      .groupBy(col("o_orderpriority"))
+    val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+    SkewJoin.saltedInnerJoin(hotFact, supp, Seq("s_suppkey"), saltFactor = 8)
+      .groupBy(col("s_name"))
       .agg(count(lit(1)).as("n"),
         sum(col("l_quantity")).cast("long").as("qty"))
   }
 
   private val q63Sql =
-    """SELECT o_orderpriority, count(*) AS n,
+    """SELECT s_name, count(*) AS n,
       |  CAST(sum(l_quantity) AS BIGINT) AS qty
-      |FROM lineitem JOIN orders
-      |  ON (CASE WHEN l_linenumber = 1 THEN 1 ELSE l_orderkey END) = o_orderkey
-      |GROUP BY o_orderpriority""".stripMargin
+      |FROM lineitem JOIN supplier
+      |  ON (CASE WHEN l_linenumber = 1 THEN 1 ELSE l_suppkey END) = s_suppkey
+      |GROUP BY s_name""".stripMargin
 
   /** q64: hot-key-split join (broadcast path for hot keys, shuffle path for
     * the cold tail) — same oracle-identity property as q63. Hot keys here

@@ -49,7 +49,10 @@ Per-query exemption rules (the round-7 verdict's mechanical-pinning ask):
     line, and the pin is its tripwire.
 
 Usage: python3 tools/yardstick.py [x10_dir] [oracle_sql.json] [out.json]
-                                  [--pins=off]
+                                  [--pins=off] [--interleave=N]
+  --interleave=N (final-gate runs): N alternating Spark/DuckDB blocks,
+  per-query medians + spread in the artifact -- absorbs the box-state
+  drift that flipped same-tree runs 1.22x vs 1.63x in r11.
   x10_dir default /tmp/graft_sf1; oracle json default
   /tmp/verify_out/oracle_sql.json (dumped by any graft.Verify run);
   out default target/yardstick_x10.json (bench JSON goes next to it as
@@ -239,11 +242,22 @@ def main():
         sys.exit(2)
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     flags = [a for a in sys.argv[1:] if a.startswith("--")]
-    unknown = [f for f in flags if f not in ("--pins=off", "--pins=on")]
+    unknown = [f for f in flags
+               if f not in ("--pins=off", "--pins=on")
+               and not f.startswith("--interleave=")]
     if unknown:
         print(f"ERROR: unknown flags {unknown}", file=sys.stderr)
         sys.exit(2)
     pins_on = "--pins=off" not in flags
+    # --interleave=N (final-gate drift protection, r11 verdict #5): run N
+    # alternating Spark/DuckDB blocks and take per-query MEDIANS, so box-
+    # state drift between one monolithic Spark block and one DuckDB block
+    # (r11 measured the same tree at 1.22x and 1.63x minutes apart) is
+    # absorbed by pairing; per-query spread is reported in the artifact.
+    interleave = 1
+    for f in flags:
+        if f.startswith("--interleave="):
+            interleave = int(f.split("=", 1)[1])
     x10 = args[0] if len(args) > 0 else "/tmp/graft_sf1"
     oracle = (args[1] if len(args) > 1
               else "/tmp/verify_out/oracle_sql.json")
@@ -255,25 +269,55 @@ def main():
              "/root/testdata/sf0.1", x10, "10"])
     bench_out = os.path.join(os.path.dirname(os.path.abspath(out_path)),
                              "bench_x10.json")
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=x10,
-               SPARK_GRAFT_BENCH_OUT=bench_out)
-    env.setdefault("SPARK_GRAFT_BENCH_SET", "wide")
-    env.setdefault("SPARK_GRAFT_BENCH_RUNS", "3")
-    subprocess.check_call(["sbt", "-batch", "runMain graft.Bench"],
-                          cwd=REPO, env=env)
-    spark = json.load(open(bench_out))["queries"]
-    # Bench records an errored query's median as -1.0; summing the
-    # sentinel would understate s_tot and could print INSIDE on a broken
-    # build. Errored queries fail the yardstick outright.
-    errored = sorted(q for q, v in spark.items() if v < 0)
-    if errored:
-        print(f"ERROR: bench queries failed at x10: {errored} -- "
-              "contract unverifiable", file=sys.stderr)
-        sys.exit(1)
-    duck_names = sorted(k for k in spark if k not in EXCLUDE)
-    duck = json.loads(subprocess.check_output(
-        [sys.executable, os.path.join(REPO, "tools", "bench_duckdb.py"),
-         x10, oracle] + duck_names))["queries"]
+
+    def median(xs):
+        s = sorted(xs)
+        return s[len(s) // 2]
+
+    def run_spark_block():
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=x10,
+                   SPARK_GRAFT_BENCH_OUT=bench_out)
+        env.setdefault("SPARK_GRAFT_BENCH_SET", "wide")
+        # interleaved mode gets its median across BLOCKS (3 Spark
+        # executions per query either way); single mode keeps Bench's
+        # internal median-of-3
+        env.setdefault("SPARK_GRAFT_BENCH_RUNS",
+                       "1" if interleave > 1 else "3")
+        subprocess.check_call(["sbt", "-batch", "runMain graft.Bench"],
+                              cwd=REPO, env=env)
+        j = json.load(open(bench_out))
+        # Bench records an errored query's median as -1.0; summing the
+        # sentinel would understate s_tot and could print INSIDE on a
+        # broken build. Errored queries fail the yardstick outright.
+        errored = sorted(q for q, v in j["queries"].items() if v < 0)
+        if errored:
+            print(f"ERROR: bench queries failed at x10: {errored} -- "
+                  "contract unverifiable", file=sys.stderr)
+            sys.exit(1)
+        return j["queries"], j.get("shuffle", {})
+
+    def run_duck_block(names):
+        return json.loads(subprocess.check_output(
+            [sys.executable, os.path.join(REPO, "tools", "bench_duckdb.py"),
+             x10, oracle] + names))["queries"]
+
+    spark_runs, duck_runs = [], []
+    shuffle = {}
+    duck_names = None
+    for i in range(interleave):
+        s, shuffle = run_spark_block()
+        spark_runs.append(s)
+        if duck_names is None:
+            duck_names = sorted(k for k in s if k not in EXCLUDE)
+        duck_runs.append(run_duck_block(duck_names))
+    spark = {q: median([r[q] for r in spark_runs]) for q in spark_runs[0]}
+    duck = {q: median([r[q] for r in duck_runs if q in r])
+            for q in duck_runs[0]}
+
+    def spread(runs, q):
+        xs = [r[q] for r in runs if q in r]
+        m = median(xs)
+        return round((max(xs) - min(xs)) / m, 3) if m else None
     common = sorted((set(spark) & set(duck)) - EXCLUDE)
     missing = set(duck_names) - set(duck)
     if missing:
@@ -281,7 +325,6 @@ def main():
         # surface it so "covered everything" stays honest
         print(f"WARNING: no oracle timing for {sorted(missing)}",
               file=sys.stderr)
-    shuffle = json.load(open(bench_out)).get("shuffle", {})
     s_tot = sum(spark[q] for q in common)
     d_tot = sum(duck[q] for q in common)
     ratio = s_tot / d_tot if d_tot else float("inf")
@@ -341,6 +384,7 @@ def main():
         print(f"per-query FAILURES (unexempted >2x or tripped pin): "
               f"{failed}", file=sys.stderr)
     result = {"x10_dir": x10, "n_queries": len(common),
+              "interleave": interleave,
               "ratio": round(ratio, 3),
               "spark_total": round(s_tot, 3), "duck_total": round(d_tot, 3),
               "legacy_n": len(leg), "legacy_ratio": round(leg_ratio, 3),
@@ -354,6 +398,10 @@ def main():
                               "ratio": round(spark[q] / duck[q], 3)
                               if duck[q] else None,
                               "verdict": verdicts[q],
+                              "spark_runs": [r.get(q) for r in spark_runs],
+                              "duck_runs": [r.get(q) for r in duck_runs],
+                              "spark_spread": spread(spark_runs, q),
+                              "duck_spread": spread(duck_runs, q),
                               "shuffle_records":
                               shuffle.get(q, {}).get("records")}
                           for q in common}}
