@@ -62,7 +62,37 @@ object BloomJoin extends Logging {
       logWarning(s"BloomJoin: ${n} expected keys need ${bits / 8 >> 20} MB " +
         s"> ${maxFilterBytes >> 20} MB budget; skipping prefilter (plain join)")
       None
-    } else Some(dim.stat.bloomFilter(key, n, fpp))
+    } else {
+      // Spark 4 routes stat.bloomFilter through BloomFilterAggregate,
+      // which SILENTLY clamps BOTH sizing inputs to the runtime-filter
+      // confs: maxNumBits (default 2^26 = 8 MB -- saturated the 30M-key
+      // r12 filter to fpp 0.95) and maxNumItems (default 4M -- with the
+      // bits ceiling lifted, 30M keys clamped to 4M expected items got
+      // numHashFunctions ~50, overfilling the filter to fpp 0.76). Raise
+      // both for the build, restore after; the require is the tripwire
+      // against any further silent clamp.
+      val conf = dim.sparkSession.conf
+      val keys = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" ->
+          math.max(bits, 1L << 26).toString,
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" ->
+          math.max(n, 1L << 22).toString)
+      val prev = keys.map { case (k, _) => k -> conf.getOption(k) }
+      keys.foreach { case (k, v) => conf.set(k, v) }
+      try {
+        val f = dim.stat.bloomFilter(key, n, fpp)
+        require(f.bitSize() >= bits,
+          s"bloom filter clamped to ${f.bitSize()} bits < optimal $bits " +
+            s"for $n keys -- saturated filter prunes nothing")
+        require(f.expectedFpp() <= math.max(fpp * 4, 0.05),
+          f"bloom filter overfull: expectedFpp ${f.expectedFpp()}%.3f " +
+            f"after inserting the dim keys (sizing clamped?)")
+        Some(f)
+      } finally prev.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+    }
   }
 
   /** Inner equi-join `fact ⋈ dim` on the shared column `key` (LongType),

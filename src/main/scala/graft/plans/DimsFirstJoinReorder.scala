@@ -68,16 +68,31 @@ case class DimsFirstJoinReorder() extends Rule[LogicalPlan] {
         val refs = cond2.references
         val touchesA = refs.intersect(a.outputSet).nonEmpty
         val touchesB = refs.intersect(b.outputSet).nonEmpty
-        if (touchesB && !touchesA && muchSmaller(dim, a)) {
+        // Only rotate onto a receiving side that would itself SHUFFLE: if
+        // that side is broadcast-sized, the inner join is a build-side
+        // BHJ with no exchange for the rotation to pre-empt — and nesting
+        // the dim under it replaces a broadcastable LEAF with a join
+        // whose product-estimate the static planner can't size, LOSING
+        // the broadcast (r12 ×1000: the bushy cust⋈nat cluster cost q182
+        // an extra 150M-record orders shuffle, 30 s vs q06's 20 s).
+        if (touchesB && !touchesA && muchSmaller(dim, a) && !broadcastable(b)) {
           project(j.output,
             Join(a, Join(b, dim, Inner, Some(cond2), JoinHint.NONE),
               Inner, Some(cond1), JoinHint.NONE))
-        } else if (touchesA && !touchesB && muchSmaller(dim, b)) {
+        } else if (touchesA && !touchesB && muchSmaller(dim, b) &&
+            !broadcastable(a)) {
           project(j.output,
             Join(Join(a, dim, Inner, Some(cond2), JoinHint.NONE), b,
               Inner, Some(cond1), JoinHint.NONE))
         } else j
     }
+  }
+
+  /** Would the planner broadcast this side (size estimate at or under the
+    * session's autoBroadcastJoinThreshold)? */
+  private def broadcastable(p: LogicalPlan): Boolean = {
+    val t = conf.autoBroadcastJoinThreshold
+    t > 0 && p.stats.sizeInBytes <= t
   }
 
   /** `small` must be at most 1/SizeRatio of `big` by plan-stats size. */

@@ -55,6 +55,30 @@ class LakehouseSpec extends AnyFunSuite {
     assert(misses <= 50, s"$misses/1000 false positives — saturated filter")
   }
 
+  test("bloom join: sizing survives the runtime-filter conf clamps (r12 regression)") {
+    // Spark 4's stat.bloomFilter clamps via runtime.bloomFilter.maxNumBits
+    // (2^26) and maxNumItems (4M). A dim above BOTH clamps must still get
+    // an optimally-sized, non-overfull filter — at x1000 the clamped
+    // filter read fpp 0.76-0.95 and pruned nothing. buildFilter lifts the
+    // confs for the build and REQUIREs the result un-clamped; this pins
+    // that on a 6M-key dim (above the 4M item clamp; optimal bits 2.1x
+    // the bits clamp).
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val confBefore = spark.conf.getOption(bitsKey)
+    val dim = spark.range(0, 6L * 1000 * 1000).select(col("id").as("k"))
+    val bloom = BloomJoin.buildFilter(dim, "k", expectedItems = -1,
+      fpp = 0.01, maxFilterBytes = BloomJoin.DefaultMaxFilterBytes).get
+    val optimal = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(6L * 1000 * 1000, 0.01)
+    assert(bloom.bitSize() >= optimal,
+      s"bits clamp returned: ${bloom.bitSize()} < $optimal")
+    assert(bloom.expectedFpp() <= 0.04,
+      s"item clamp returned: filter overfull at fpp ${bloom.expectedFpp()}")
+    // and the conf restore happened (getOption surfaces the session
+    // DEFAULT when unset, so compare against the before-state, not None)
+    assert(spark.conf.getOption(bitsKey) == confBefore)
+  }
+
   test("bloom join: over-budget filter degrades to the plain join") {
     val li = Tables.lineitem(spark, TestSpark.sf0001)
     val dim = Tables.orders(spark, TestSpark.sf0001)

@@ -396,8 +396,15 @@ class PlanSpec extends AnyFunSuite {
     // reduced orders⋈customer⋈nation⋈region subtree
     def lineitemJoinSides(planName: Boolean): (Int, Int) = {
       val key = "spark.graft.joinReorder.dimsFirst"
+      val bcKey = "spark.sql.autoBroadcastJoinThreshold"
       val prev = spark.conf.get(key)
+      val prevBc = spark.conf.get(bcKey)
       spark.conf.set(key, planName.toString)
+      // broadcast off: at sf0.001 every relation is broadcast-sized, and
+      // the rule (correctly) skips rotations whose receiving side would
+      // broadcast anyway — disable broadcast so the structural assert
+      // exercises the genuine-exchange regime the rule targets at scale
+      spark.conf.set(bcKey, "-1")
       try {
         val p = SparkEntry.queries("q182_region_revenue_factfirst")(
           spark, TestSpark.sf0001).queryExecution.optimizedPlan
@@ -411,7 +418,10 @@ class PlanSpec extends AnyFunSuite {
           if (j.left.output.exists(_.name == "l_extendedprice")) (j.left, j.right)
           else (j.right, j.left)
         (liSide.collectLeaves().size, other.collectLeaves().size)
-      } finally spark.conf.set(key, prev)
+      } finally {
+        spark.conf.set(key, prev)
+        spark.conf.set(bcKey, prevBc)
+      }
     }
     // rule ON: lineitem joins the 4-relation dim subtree
     assert(lineitemJoinSides(true) == (1, 4))
