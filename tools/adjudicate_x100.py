@@ -123,6 +123,54 @@ FIXED = {
         "decade"),
 }
 
+# Round-12 overlay (--r12): the r11 x100 run remains the ratio/slope base
+# (no new x100 run this round), but every slope-only constant-factor
+# member now carries its OWN measured x1000 pair, Spark and DuckDB run on
+# the SAME freshly-rebuilt replica minutes apart (one Bench invocation,
+# bench/r12/bench_x1000_final.json + bench/r12/duck_x1000.json) --
+# closing r11 verdict #6. q104 and q63 move to FIXED: both were
+# rewritten/re-fixtured this round after the x100 run was taken, so their
+# x100 rows time plans that no longer exist.
+X1000_R12 = {
+    "q04_exists_priority": (34.877, 14.521,
+                            "bench/r12/bench_x1000_final.json + duck_x1000.json"),
+    "q10_semi_join": (3.866, 0.474,
+                      "bench/r12/bench_x1000_final.json + duck_x1000.json"),
+    "q23_theta_join": (41.593, 7.743,
+                       "bench/r12/bench_x1000_final.json + duck_x1000.json"),
+    "q28_stats_agg": (14.751, 12.811,
+                      "bench/r12/bench_x1000_final.json + duck_x1000.json"),
+    "q58_full_outer": (7.836, 6.299,
+                       "bench/r12/bench_x1000_final.json + duck_x1000.json"),
+    "q64_hotkey_join": (41.531, 6.818,
+                        "bench/r12/bench_x1000_final.json + duck_x1000.json"),
+    "q122_peak_concurrency": (22.605, 4.806,
+                              "bench/r12/bench_x1000_final.json + duck_x1000.json"),
+    "q06_region_revenue": (22.398, 1.605,
+                           "bench/r12/bench_x1000_final.json + duck_x1000.json"),
+    "q104_bloom_join": (27.435, 3.456,
+                        "bench/r12/bench_x1000_final.json + duck_x1000.json"),
+    "q63_salted_join": (9.790, 2.814,
+                        "bench/r12/bench_x1000_final.json + duck_x1000.json"),
+}
+FIXED_R12 = {
+    "q104_bloom_join": (
+        "Bloom prefilter auto-sized from dim.count() with the Spark-4 "
+        "runtime-bloom conf clamps lifted for the build, probed via the "
+        "codegen'd bloom_contains_long expression (was a 65k-item "
+        "saturated filter + closure UDF): x1000 shuffle 630M -> 155.5M "
+        "records (pruned fact + dim, the plan minimum), wall 73.3 -> "
+        "27.4-49.5 s across runs; 7.9x vs DuckDB on the same-replica "
+        "pair -- was 20.5x. Oracle (plain-join SQL) green."),
+    "q63_salted_join": (
+        "re-fixtured into salting's regime (r11 verdict #2): skewed left "
+        "key (25% of lineitem on one suppkey) vs 1M-row supplier; the "
+        "x100 row times the OLD broadcast-salted fixture. New fixture at "
+        "x1000: engine-choice (broadcast guard) 9.8 s, 3.5x vs DuckDB "
+        "2.8 s; in-regime decomposition (broadcast off) in "
+        "bench/r12/skew_demo.json: salted 45.5 s vs unsalted 64.5 s."),
+}
+
 # named single-member classes (each a measured decomposition, not prose)
 OUTPUT_BOUND = {
     "q46_fts_postings": "137.6 MB posting strings: construction is 6.2 s "
@@ -141,6 +189,11 @@ def load(path, fallback=None):
 
 
 def main():
+    r12 = "--r12" in sys.argv
+    if r12:
+        X1000.update(X1000_R12)
+        FIXED.update(FIXED_R12)
+    out_dir = os.path.join(REPO, "bench", "r12") if r12 else B
     x100 = load(os.path.join(B, "yardstick_x100.json"))
     x10 = load(os.path.join(B, "yardstick_x10.json"),
                os.path.join(REPO, "target", "yardstick_x10.json"))
@@ -200,13 +253,45 @@ def main():
         # declining ratio (same absolute ceiling as leg (a))
         elif slope is not None and slope <= SLOPE_MAX and \
                 (r.get("ratio") or 0) <= CF_CEILING:
-            v["final"] = "exempt-engine-constant-factor"
-            v["adjudication"] = (
-                f"x10->x100 ratio slope {slope} <= {SLOPE_MAX}: the ratio "
-                "is flat-to-declining across the two measured decades "
-                "(x10 " + str(v.get("x10_ratio")) + "x -> x100 "
-                + str(r.get("ratio")) + "x); family representatives "
-                "measured at x1000 decline further (q03/q05/q25/q117)")
+            # leg (b) may not ignore a measured x1000 leg that RISES
+            # (the r12 q10 case): exempt only when the rise is on the
+            # DENOMINATOR (DuckDB's wall shrinking/flat on the dim-skew
+            # replica) while the Spark wall grows sublinearly in the 10x
+            # data growth -- and say so, with the decomposition, instead
+            # of the generic flat-slope text. A spark-side superlinear
+            # rise is a real regression and routes to needs-adjudication.
+            rising = (x1000_ratio is not None and r.get("ratio")
+                      and x1000_ratio > r["ratio"] + 0.05)
+            sgrow = (round(X1000[q][0] / r["spark"], 2)
+                     if rising and r.get("spark") else None)
+            if rising and x1000_ratio <= CF_CEILING and \
+                    sgrow is not None and sgrow <= 10.0:
+                v["final"] = "exempt-engine-constant-factor"
+                v["adjudication"] = (
+                    f"x1000 ratio RISES ({r['ratio']}x -> {x1000_ratio}x) "
+                    f"but the Spark wall grew only {sgrow}x for 10x the "
+                    f"data ({r['spark']} -> {X1000[q][0]} s, sublinear) "
+                    f"while the DuckDB twin went {r['duck']} -> "
+                    f"{X1000[q][1]} s on the dim-skew replica (the dim "
+                    "stays x10, so the oracle's in-core probe stops "
+                    "growing) -- the rise is the denominator, not the "
+                    "engine; terminal ratio under the ceiling")
+            elif rising:
+                v["final"] = "needs-adjudication"
+                v["adjudication"] = (
+                    f"x1000 ratio rises ({r['ratio']}x -> {x1000_ratio}x) "
+                    f"with spark-side growth {sgrow}x for 10x data -- "
+                    "superlinear or over-ceiling; measure deeper or "
+                    "rewrite")
+            else:
+                v["final"] = "exempt-engine-constant-factor"
+                v["adjudication"] = (
+                    f"x10->x100 ratio slope {slope} <= {SLOPE_MAX}: the "
+                    "ratio is flat-to-declining across the two measured "
+                    "decades (x10 " + str(v.get("x10_ratio")) + "x -> "
+                    "x100 " + str(r.get("ratio")) + "x); family "
+                    "representatives measured at x1000 decline further "
+                    "(q03/q05/q25/q117)")
         else:
             v["final"] = "needs-adjudication"
             v["adjudication"] = (
@@ -219,15 +304,20 @@ def main():
         finals.setdefault(v["final"].split("(")[0], []).append(q)
     unexempted = sorted(q for q, v in out.items()
                         if v["final"] in ("fail", "needs-adjudication"))
-    result = {"source": "bench/r11 yardstick_x100.json + x10 slope base + "
-                        "member x1000 runs (see module docstring)",
+    src = ("bench/r11 yardstick_x100.json (ratio/slope base; no new x100 "
+           "run in r12) + member x1000 SAME-REPLICA pairs "
+           "bench/r12/bench_x1000_final.json + duck_x1000.json"
+           if r12 else
+           "bench/r11 yardstick_x100.json + x10 slope base + "
+           "member x1000 runs (see module docstring)")
+    result = {"source": src,
               "slope_max": SLOPE_MAX,
               "aggregate_ratio": x100["ratio"],
               "n_queries": x100["n_queries"],
               "verdict_counts": {k: len(v) for k, v in sorted(finals.items())},
               "unexempted_failures": unexempted,
               "queries": out}
-    path = os.path.join(B, "yardstick_x100_adjudicated.json")
+    path = os.path.join(out_dir, "yardstick_x100_adjudicated.json")
     with open(path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result["verdict_counts"], indent=1))
