@@ -229,6 +229,8 @@ class PlanSpec extends AnyFunSuite {
         (2, "dev-only rehearsal main: two top-10 probe results, materialized for the timing harness"),
       "ProbeScale.scala" ->
         (2, "dev-only serving-scale main: phrase-hit rows (posting-intersection-sized, the served result) + top-10 ADC probe rows, materialized for the timing harness"),
+      "Q04Variants.scala" ->
+        (3, "dev-only variant-study main: q04 equality check collects the 5-row grouped-by-priority output twice; q10 comparison collects one count+bit_xor checksum row per variant"),
       "llm/RagPipeline.scala" ->
         (1, "RAG context assembly: top-k rows, k<=3 by construction"))
     val root = java.nio.file.Paths.get("src/main/scala/graft")
