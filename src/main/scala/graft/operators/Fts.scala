@@ -21,15 +21,32 @@ object Fts {
     * (word, doc_id) with term frequency and sorted 0-based positions.
     * Tokenization matches [[graft.functions.TextFunctions.words]]
     * (single-space split) so index-backed scores equal text-scan scores.
-    * One shuffle on (word, doc_id); collect_list is per-(term,doc) and
-    * bounded by document length. */
+    *
+    * NO shuffle (r12): a document's text lives in ONE row, so the
+    * per-(word, doc) groups are computable inside that row — the
+    * [[graft.functions.WordPostings]] kernel emits the (word, tf,
+    * positions) structs in one byte-level pass and this method just
+    * explodes them. The previous `posexplode → groupBy(word, doc_id)`
+    * form paid a full corpus exchange that merged nothing (every
+    * (word, doc) group already sat complete in one map partition); at the
+    * ×10 gate that exchange was the dominant stage of every inline FTS
+    * query (q127/q128/q129). Row-set, schema, and shuffle-free-plan
+    * equality with the composed form is pinned in FtsSpec ("native
+    * per-doc postings kernel equals the composed posexplode+groupBy
+    * build").
+    *
+    * PRECONDITION (now load-bearing, was silent): `docIdCol` is unique —
+    * a corpus frame carries one row per document. The old groupBy would
+    * have MERGED duplicate doc rows' positions (silently double-counting
+    * tf, exactly what [[upsertPostingsIndex]]'s requireUniqueIds guard
+    * exists to reject); the per-row kernel would instead emit duplicate
+    * (word, doc) postings. Every caller passes a corpus keyed by doc id. */
   def positionalPostings(docs: DataFrame, docIdCol: String,
       textCol: String): DataFrame =
     docs.select(col(docIdCol).as("doc_id"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
-      .groupBy(col("word"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"),
-        sort_array(collect_list(col("pos"))).as("positions"))
+        explode(graft.functions.WordPostings(col(textCol))).as("p"))
+      .select(col("p.word").as("word"), col("doc_id"),
+        col("p.tf").as("tf"), col("p.positions").as("positions"))
 
   /** Per-document token counts (the other half a lexical scorer needs —
     * index-resident, so scoring never re-reads text). */
@@ -96,11 +113,30 @@ object Fts {
     * via conditional aggregation, so the double sum is deterministic and
     * cross-engine reproducible. Touches only the queried terms' postings —
     * at 100 TB, term-bucket pruning makes query cost ∝ posting lists, not
-    * corpus. */
+    * corpus.
+    *
+    * The explicit doc_id repartition after the term filter (r12): with
+    * the shuffle-free postings build there is no build exchange left in
+    * the plan, so the df aggregate and the scoring branch — two consumers
+    * of the hits — would each re-derive the corpus postings from scratch
+    * (measured 1.9 s vs 1.2 at ×10). The repartition bounds that: the
+    * scoring branch's copy lands partitioned by doc_id, which the
+    * doc-length join and the final per-doc aggregate then reuse (no
+    * further hits-sized exchange), and keying it on doc_id keeps it
+    * parallel — a Window.partitionBy(word) df variant serialized the
+    * hits onto ≤|terms| reducers (17.2 s vs 14.3 at corpus ×1000, where
+    * the old build-exchange plan read 15.4). The two copies of the
+    * exchange do not merge into one ReusedExchange: column pruning
+    * narrows the df branch to [word, doc_id] (count(tf) gets rewritten
+    * to count(1) — tf is non-nullable — so the tf column cannot be kept
+    * referenced), which breaks canonical subtree equality; the df
+    * branch's re-derivation is the measured residual and the recorded
+    * next lever. */
   def bm25Scores(postings: DataFrame, docLens: DataFrame, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val ts = terms.distinct.sorted
     val hits = postings.filter(col("word").isin(ts: _*))
+      .repartition(col("doc_id"))
     val dfT = hits.groupBy(col("word")).agg(count(lit(1)).as("df"))
     // count/avg over integral doc_len are exact (long sum, then divide):
     // avgdl is deterministic, not a float-order accident

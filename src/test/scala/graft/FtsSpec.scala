@@ -342,4 +342,38 @@ class FtsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(enc == Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
   }
+
+  test("native per-doc postings kernel equals the composed posexplode+groupBy build") {
+    // the r12 shuffle-free build (WordPostings kernel): row-set equality
+    // with the exact pipeline it replaced, on the token edge cases split's
+    // semantics create — empty text (one "" token), leading / trailing /
+    // doubled spaces (empty tokens are real tokens), repeated words
+    // (positions merge into one ascending list), multi-byte UTF-8 (byte
+    // scanning must not split inside a sequence), and a null doc (no rows)
+    val docs = Seq[(java.lang.Long, String)](
+      (1L, "join scan table join join"),
+      (2L, ""),
+      (3L, " leading and  doubled trailing "),
+      (4L, "über straße über ünïcode"),
+      (5L, "x"),
+      (6L, null),
+      (7L, "a a a a a a a a a a b")).toDF("doc_id", "text")
+    val native = Fts.positionalPostings(docs, "doc_id", "text")
+    val composed = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .groupBy(col("word"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+    assert(native.columns.toSeq == composed.columns.toSeq)
+    assert(native.schema.map(f => (f.name, f.dataType)) ==
+      composed.schema.map(f => (f.name, f.dataType)))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Int](3).toList)).toSet
+    assert(rows(native) == rows(composed))
+    // and the plan is shuffle-free: building postings must not exchange
+    val plan = native.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"postings build plans an exchange:\n$plan")
+  }
 }

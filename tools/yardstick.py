@@ -136,7 +136,12 @@ PINNED = {"q117_exclusive_blame": 3811204, "q105_paragraph_dedup": 577470,
           # 2.17 across two same-tree runs, records identical both times)
           "q49_above_part_avg": 9731260,
           "q25_events_dedup_first": 75010, "q46_fts_postings": 62,
-          "q128_fts_phrase": 190929, "q168_tokenizer_audit": 359}
+          # q128/q129 re-pinned r12: the shuffle-free postings build
+          # (WordPostings kernel) dropped the build exchange outright
+          # (q128 190929 -> 48140 records); q129's pin covers the
+          # doc_id-repartition reuse point + docLens join + final agg
+          "q128_fts_phrase": 48140, "q129_bm25_rank": 232164,
+          "q168_tokenizer_audit": 359}
 # Round-9 ADVICE split: a record pin is a TRIPWIRE for every member of
 # PINNED, but only the PIN_EXEMPT subset also carries a wall-time
 # exemption (each with its written adjudication above: q117/q83/q100 by
@@ -163,10 +168,13 @@ PIN_EXEMPT = {"q117_exclusive_blame", "q83_range_join",
               # 0.5 s floor line run-to-run (q128 duck measured 0.416,
               # 0.445, 0.490, 0.506 across four same-tree r10 runs; q105
               # duck read 0.507 in-sequence vs 0.599/0.664 isolated in
-              # r11 while PASSING 1.6x isolated), flipping verdicts on
-              # unchanged plans. Records tripwire all three.
+              # r11 while PASSING 1.6x isolated; q129 duck read 0.483 /
+              # 0.527 across the two r12 interleaved gates, flipping
+              # exempt-floor -> fail on an unchanged plan). Records
+              # tripwire all of them.
               "q128_fts_phrase", "q168_tokenizer_audit",
-              "q105_paragraph_dedup", "q49_above_part_avg"}
+              "q105_paragraph_dedup", "q49_above_part_avg",
+              "q129_bm25_rank"}
 PIN_TOL = 1.10
 
 
